@@ -1,0 +1,73 @@
+"""Version-guarded upsert (MERGE) on parquet storage.
+
+ref: cosmo/sms/ingest_sms.py:154-198 — SQLite
+``INSERT ... ON CONFLICT(SMSID) DO UPDATE ... WHERE EXCLUDED.VERSION > VERSION``
+(and per-EXPOSURE rows guarded by FILEID).  Semantics to preserve
+(docs/source/sms.rst:96-109): newer version supersedes, equal/older version is
+a no-op, unmatched keys insert — i.e. the merge is idempotent and monotone.
+
+Without a transactional table format in this environment the merge is
+expressed set-based — union + top-1-per-key — and rewritten atomically via a
+temp directory swap.  On a Delta/Iceberg deployment ``merge_versioned``
+becomes a single ``MERGE INTO`` with the same guard predicate; the semantics
+(and tests) carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_versioned(
+    current: DataFrame | None,
+    updates: DataFrame,
+    key_cols: str | Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """Return the merged state: per key, the row with the greatest version;
+    on equal versions the existing row wins (re-ingest is a no-op,
+    ref: tests/test_sms_ingest.py:98-105 idempotence golden).
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    updates = updates.withColumn("__is_new", F.lit(1))
+    if current is None:
+        unioned = updates
+    else:
+        unioned = current.withColumn("__is_new", F.lit(0)).unionByName(updates)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("__is_new").asc()
+    )
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__is_new")
+    )
+
+
+def merge_into_path(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: str | Sequence[str],
+    version_col: str,
+) -> None:
+    """Apply ``merge_versioned`` against a parquet table path, atomically.
+
+    Full-rewrite merge is the no-transaction-log fallback; a production
+    deployment partitions the table and rewrites only partitions containing
+    updated keys (dynamic partition overwrite), or uses Delta MERGE.
+    """
+    current = spark.read.parquet(path) if os.path.exists(path) else None
+    merged = merge_versioned(current, updates, key_cols, version_col)
+    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns.
+
+Two strategies:
+- ``cosine_topk``     — brute-force exact top-k: broadcast the (small) query
+                        set against the corpus, per-row JVM dot products,
+                        window top-k.  The baseline; exact.
+- ``ivf_cosine_topk`` — IVF-style approximate top-k: corpus is bucketed by
+                        nearest centroid (coarse quantizer); queries probe
+                        only ``nprobe`` buckets.  The 100 TB path: the
+                        corpus-side join key prunes most of the corpus before
+                        any dot product runs.
+
+Both keep all arithmetic in zip_with/aggregate expressions — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cosmo_spark.functions.vectors import as_double, cosine_sim
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank); deterministic tiebreak on
+    neighbor id.  Queries are broadcast — corpus never shuffles.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos_sim", cosine_sim("q_vec", "c_vec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def assign_buckets(
+    df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    ``centroids`` must have (bucket, centroid) columns; it is broadcast.
+    """
+    v = df.select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v"))
+    c = centroids.select("bucket", as_double(F.col("centroid")).alias("__c"))
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "__sim", cosine_sim("__v", "__c")
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("bucket").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__id").alias(id_col), F.col("__v").alias(vec_col), "bucket")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest buckets per query.
+
+    Scale: corpus is bucketed once (and would be written bucketed-by(bucket)
+    at rest); each query joins to ~nprobe/num_buckets of the corpus.  Recall
+    depends on centroid quality — callers supply centroids (e.g. sampled +
+    k-means offline).
+    """
+    bucketed_corpus = assign_buckets(corpus, centroids, vec_col, id_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c_dim = centroids.select("bucket", as_double(F.col("centroid")).alias("__c"))
+    probes = (
+        q.crossJoin(F.broadcast(c_dim))
+        .withColumn("__sim", cosine_sim("q_vec", "__c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("bucket").asc())
+    probe_buckets = (
+        probes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", "bucket")
+    )
+    pairs = bucketed_corpus.withColumnRenamed(id_col, "neighbor_id").join(
+        F.broadcast(probe_buckets), "bucket"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos_sim", cosine_sim("q_vec", vec_col))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,45 @@
+"""Named query catalog.
+
+Each query is registered with a Spark callable ``(spark, sf_dir) -> DataFrame``
+and (where SQL-expressible) an equivalent ANSI-SQL oracle string that DuckDB
+runs over the same parquet tables.  Column names and rounding are kept
+identical on both sides so order-insensitive value hashes match.
+
+This is the Spark analog of the reference's monitor registry
+(ref: cosmo/monitors/__init__.py:1-19, cosmo/run_monitors.py:11-34): a
+catalog of named query bundles discovered by the runner.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    operators: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 ids
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, operators: tuple[str, ...] = (),
+             doc: str = ""):
+    """Decorator adding a query to the catalog."""
+    def deco(fn):
+        REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), operators)
+        return fn
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    # import side-effect registration
+    from cosmo_spark.queries import tpch, timeseries, textops, vectorops  # noqa: F401
+    return dict(sorted(REGISTRY.items()))

@@ -1,0 +1,382 @@
+"""Text-analysis / dedup query catalog over the ``documents`` table.
+
+Training-data pipeline operators: exact dedup, MinHash+LSH near-dup,
+SimHash fingerprints, n-gram Jaccard, language ID, quality scoring, token
+counting, document fingerprinting.  All hashes are deterministic polynomial
+arithmetic so the DuckDB oracles reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmo_spark.queries import register
+from cosmo_spark.session import tune_session
+from cosmo_spark.sources.tables import load_table
+from cosmo_spark.functions.text import STOPWORDS, poly_hash, stopword_ratio, tokenize
+from cosmo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    normalize_text,
+    simhash,
+)
+
+#: DuckDB fragment: polynomial hash of a string expression {X}
+_DUCK_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_filter(string_split({X}, ''), ch -> ch <> ''), "
+    "ch -> CAST(unicode(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+#: DuckDB fragment: token list of lower(text)
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------- #
+# q18 — tokenize + explode word frequency                                     #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q18_word_frequency",
+    operators=("U3", "TXT4"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS word FROM tl)
+SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY word HAVING count(*) >= 10
+""",
+)
+def q18_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip-explode + group count — the reference's explode_df reshape
+    (ref: cosmo/monitor_helpers.py:35-49) applied to token arrays.
+
+    Scale: explode multiplies rows before the shuffle, but partial
+    aggregation collapses per-partition word counts first.
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q20 — exact dedup                                                           #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q20_exact_dedup",
+    operators=("P16", "DD1"),
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         {_DUCK_POLY.replace('{X}', 'norm_text')} AS text_hash,
+         length(norm_text) AS text_len
+  FROM norm
+)
+SELECT text_hash, text_len, min(doc_id) AS rep_id, count(*) AS n_dups
+FROM hashed GROUP BY text_hash, text_len
+""",
+)
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text via hash-groupBy (keep min id).
+
+    Scale: the shuffle carries (hash, len, id) — never the document text.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id", keep="min")
+
+
+# --------------------------------------------------------------------------- #
+# q34 — language identification heuristic                                     #
+# --------------------------------------------------------------------------- #
+
+def _lang_case_sql() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(toks, t -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], t)))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    return f"""
+WITH tl AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {hits['en']} AS h_en, {hits['es']} AS h_es,
+         {hits['fr']} AS h_fr, {hits['de']} AS h_de
+  FROM tl
+)
+SELECT doc_id, lang AS label,
+       CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+            WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+            WHEN h_fr >= h_de THEN 'fr'
+            ELSE 'de' END AS predicted
+FROM scored
+"""
+
+
+@register("q34_langid", operators=("TXT1",), oracle=_lang_case_sql())
+def q34_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hit counts
+    with a deterministic preference order on ties (en > es > fr > de)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    scored = d.select("doc_id", F.col("lang").alias("label"), toks.alias("toks"))
+
+    def hits(words):
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("toks"), lambda t: F.array_contains(sw, t)))
+
+    for lang, words in STOPWORDS.items():
+        scored = scored.withColumn(f"h_{lang}", hits(words))
+    h = {lang: F.col(f"h_{lang}") for lang in STOPWORDS}
+    predicted = (
+        F.when((h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]), "en")
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]), "es")
+        .when(h["fr"] >= h["de"], "fr")
+        .otherwise("de")
+    )
+    return scored.select("doc_id", "label", predicted.alias("predicted"))
+
+
+# --------------------------------------------------------------------------- #
+# q35 — quality scoring                                                       #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q35_quality_score",
+    operators=("TXT2",),
+    oracle=f"""
+WITH tl AS (
+  SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(text) AS len_text
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+                       / len(toks) END, 6) AS mean_token_len,
+       round(n_punct / len_text, 6) AS punct_ratio,
+       round(CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, t -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], t)))
+                       / CAST(len(toks) AS DOUBLE) END, 6) AS stopword_ratio,
+       (len(toks) BETWEEN 10 AND 1000 AND n_punct / len_text < 0.2) AS passes
+FROM tl
+""",
+)
+def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: token count, mean token length, punctuation
+    ratio, stopword ratio, and a pass/fail gate — the standard pre-training
+    corpus filters, all as column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        n_punct.alias("n_punct"),
+        F.length("text").alias("len_text"),
+    )
+    n_tokens = F.size("toks")
+    mean_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) / n_tokens,
+    )
+    sw_ratio = stopword_ratio(F.col("toks"), STOPWORDS["en"])
+    punct_ratio = F.col("n_punct") / F.col("len_text")
+    return base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        (n_tokens.between(10, 1000) & (punct_ratio < 0.2)).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q36 — corpus token statistics                                               #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q36_token_stats",
+    operators=("TXT3",),
+    oracle=f"""
+WITH tl AS (SELECT lang, source, {_DUCK_TOKS} AS toks, n_chars FROM documents)
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(len(toks)) AS total_tokens,
+       round(avg(len(toks)), 6) AS avg_tokens,
+       sum(n_chars) AS total_chars
+FROM tl GROUP BY lang, source
+""",
+)
+def q36_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token accounting per (lang, source) — the bookkeeping
+    rollup every training-data pipeline runs before sampling."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(tokenize(F.col("text")))
+    return (
+        d.select("lang", "source", n_tokens.alias("n_toks"), "n_chars")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q37 — document fingerprint (polynomial rolling hash)                        #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q37_fingerprint",
+    operators=("TXT5", "DD1"),
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+  FROM documents
+)
+SELECT doc_id, {_DUCK_POLY.replace('{X}', 'nt')} AS fingerprint
+FROM norm
+""",
+)
+def q37_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling-hash fingerprint — deterministic across engines
+    (polynomial fold, not murmur/xxhash)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", poly_hash(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q38 — SimHash fingerprints                                                  #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q38_simhash",
+    operators=("DD3",),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM tl),
+tokh AS (SELECT doc_id, {_DUCK_POLY.replace('{X}', 'tok')} AS h FROM tok),
+bits AS (SELECT unnest(range(16)) AS i),
+votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tokh CROSS JOIN bits GROUP BY doc_id, i
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END)
+         AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document: sign-aggregated token-hash
+    bits, all in per-row higher-order expressions (no shuffle until the
+    final projection)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id", bits=16)
+
+
+# --------------------------------------------------------------------------- #
+# q39 — MinHash + LSH near-duplicate candidates, Jaccard-verified             #
+# --------------------------------------------------------------------------- #
+
+def _minhash_oracle() -> str:
+    from cosmo_spark.operators.dedup import minhash_perms
+
+    perms = minhash_perms(8)
+    p = 1_000_000_007
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    bands = ",\n       ".join(
+        f"(m{2*b} * 31 + m{2*b+1}) % {p} AS band{b}" for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM sig" for b in range(4)
+    )
+    return f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM tl),
+sh AS (
+  SELECT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS shingle
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), shh AS (
+  SELECT DISTINCT doc_id, {_DUCK_POLY.replace('{X}', 'shingle')} AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shh GROUP BY doc_id
+), sigb AS (
+  SELECT doc_id,
+       {bands}
+  FROM sig
+), bandrows AS ({band_union.replace('sig', 'sigb')}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         (SELECT count(*) FROM shh x JOIN shh y
+            ON x.doc_id = c.id_a AND y.doc_id = c.id_b AND x.h = y.h) AS inter,
+         (SELECT count(*) FROM shh x WHERE x.doc_id = c.id_a) AS na,
+         (SELECT count(*) FROM shh y WHERE y.doc_id = c.id_b) AS nb
+  FROM cand c
+)
+SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM verified
+"""
+
+
+@register("q39_minhash_lsh", operators=("DD2", "DD4"), oracle=_minhash_oracle())
+def q39_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2 rows) candidate pairs, verified with
+    exact shingle-set Jaccard.
+
+    Scale: signatures are per-row expressions; the only shuffles are the
+    (band_idx, band_hash) candidate join — tiny rows — and the verify join
+    restricted to candidates.  This is the find-then-verify shape that keeps
+    near-dup at 100 TB sub-quadratic.
+    """
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_candidates(d, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3)
+    verified = ngram_jaccard_pairs(d, "text", "doc_id", candidate_pairs=cands)
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

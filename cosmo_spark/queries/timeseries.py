@@ -1,0 +1,371 @@
+"""Time-series / window query catalog (SURVEY.md §2.5, §2.9).
+
+The reference's telemetry and OSM-shift monitors are time-series analytics:
+rolling means, cumulative sums, boxcar smoothing, as-of lookups, event-time
+binning, MJD conversions.  All are expressed as Spark window/group operations
+with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cosmo_spark.queries import register
+from cosmo_spark.session import tune_session
+from cosmo_spark.sources.tables import load_table
+from cosmo_spark.functions.timekit import ts_to_mjd, ts_to_doy_str, decimal_year
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------- #
+# q13 — rolling time-window mean                                              #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q13_rolling_mean",
+    operators=("W1", "W6"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day_num,
+         strftime(o_orderdate, '%Y-%m-%d') AS day,
+         round(sum(o_totalprice), 4) AS revenue,
+         CAST(round(sum(o_totalprice) * 10000) AS BIGINT) AS rev_e4
+  FROM orders GROUP BY 1, 2
+)
+SELECT day, revenue,
+       sum(rev_e4) OVER w / (10000.0 * count(*) OVER w) AS rolling_30d
+FROM daily
+WINDOW w AS (ORDER BY day_num RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+""",
+)
+def q13_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """180-day rolling mean pattern (ref: osm shift rolling mean,
+    cosmo/monitors/osm_shift_monitors.py:444-452) as a RANGE window over a
+    day-number key.
+
+    Scale: the rolling window here is a single global series (one partition
+    exchange) because the daily rollup is already tiny; with a per-grating
+    partition key (as the reference has) it parallelizes per group.
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.floor(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86400e6)
+            ).cast("long").alias("day_num"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.round(F.sum("o_totalprice") * 10000).cast("long").alias("rev_e4"),
+        )
+    )
+    # rolling mean as integer rolling-sum / count: exact under any summation
+    # order, so the cross-engine hash can't flip on a rounding boundary
+    w = Window.orderBy("day_num").rangeBetween(-29, 0)
+    # no final decimal rounding: dividing exact integers is IEEE-deterministic
+    # on both engines, while round() can flip on half-decimal ties
+    rolling = F.sum("rev_e4").over(w) / (10000.0 * F.count(F.lit(1)).over(w))
+    return daily.select(
+        "day", "revenue", rolling.alias("rolling_30d")
+    ).drop("rev_e4")
+
+
+# --------------------------------------------------------------------------- #
+# q14 — cumulative sum over ordered bins                                      #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q14_cumulative",
+    operators=("W2", "A6"),
+    oracle="""
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT day, n,
+       sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_n
+FROM daily
+""",
+)
+def q14_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution over ordered bins (ref: np.cumsum over
+    histogram counts, cosmo/monitors/dark_monitors.py:404)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select("day", "n", F.sum("n").over(w).alias("cum_n"))
+
+
+# --------------------------------------------------------------------------- #
+# q15 — centered boxcar smoothing                                             #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q15_boxcar",
+    operators=("W3",),
+    oracle="""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 6) AS v,
+         CAST(round(avg(value) * 1000000) AS BIGINT) AS v_e6
+  FROM events GROUP BY 1
+)
+SELECT day, v,
+       sum(v_e6) OVER w / (1000000.0 * count(*) OVER w) AS smoothed
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+""",
+)
+def q15_boxcar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width-4 boxcar kernel smoothing (ref: astropy Box1DKernel(4) over
+    monthly solar flux, cosmo/monitors/dark_monitors.py:124-127) — a centered
+    rows-window mean; no convolution library needed."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("v"),
+        F.round(F.avg("value") * 1e6).cast("long").alias("v_e6"),
+    )
+    # integer rolling-sum / count: exact under any summation order
+    w = Window.orderBy("day").rowsBetween(-2, 1)
+    smoothed = F.sum("v_e6").over(w) / (1e6 * F.count(F.lit(1)).over(w))
+    return daily.select("day", "v", smoothed.alias("smoothed"))
+
+
+# --------------------------------------------------------------------------- #
+# q16 — value relative to first sample per key                                #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q16_first_relative",
+    operators=("W4", "P13"),
+    oracle="""
+SELECT event_id, user_id,
+       round(value - first_value(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), 6) AS rel_value
+FROM events
+WHERE user_id < 100
+""",
+)
+def q16_first_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-relative-to-first-flash (ref: REL_SHIFT = SHIFT - SHIFT[0],
+    cosmo/monitors/osm_drift_monitors.py:21-27) in window form; the array
+    form is cosmo_spark.functions.arrays.rel_to_first.
+
+    Deterministic ordering via (ts, event_id) tiebreak.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.col("value") - F.first("value").over(w), 6).alias("rel_value"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q17 — as-of join (last value at-or-before probe time)                       #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q17_asof_join",
+    operators=("J8", "W5", "O2"),
+    oracle="""
+SELECT p.event_id, p.user_id,
+       round(p.value, 6) AS purchase_value,
+       round(s.value, 6) AS last_login_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login' OR event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each probe row, the last series value at-or-before its
+    timestamp (ref: step_wise stepwise interpolation,
+    cosmo/monitors/telemetry_monitors.py:428-457; find_closest_date :172-176).
+
+    Spark has no native as-of join; implemented via the union trick —
+    tag probes and series, then ``last(value, ignorenulls)`` over a
+    (key, time, tag) ordered window.  One shuffle on the key; no range
+    explosion.  The reusable operator is cosmo_spark.operators.asof.asof_join.
+    """
+    from cosmo_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    series = e.filter(F.col("event_type").isin("login", "signup")).select(
+        "user_id", "ts", F.col("value").alias("series_value")
+    )
+    joined = asof_join(probes, series, on="user_id", time_col="ts",
+                       value_cols=["series_value"])
+    return joined.select(
+        "event_id", "user_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.round("series_value", 6).alias("last_login_value"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q21 — event-time binned rates                                               #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q21_binned_event_rate",
+    operators=("A9", "ST4"),
+    oracle="""
+SELECT event_type,
+       CAST(floor(epoch(ts) / 1500) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(count(*) / 1500.0, 8) AS rate_per_sec
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q21_binned_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time binning into fixed windows + rate (ref: dark-rate 25 s
+    histogram, cosmo/monitors/dark_monitors.py:53-98).  Batch form of a
+    tumbling window — the streaming twin is
+    cosmo_spark.streaming.rates.windowed_rates."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(1500e6)).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type", "bucket", "n",
+            F.round(F.col("n") / 1500.0, 8).alias("rate_per_sec"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q22 — per-group linear regression                                           #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q22_regression",
+    operators=("F3",),
+    oracle="""
+SELECT event_type,
+       round(regr_slope(value, epoch(ts) / 86400.0), 6)     AS slope_per_day,
+       round(regr_intercept(value, epoch(ts) / 86400.0), 4) AS intercept,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q22_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-1 trend fit per group (ref: np.polyfit in fit_line,
+    cosmo/monitor_helpers.py:28-32) via built-in regr_* aggregates — stays
+    JVM-side, partial-aggregatable, no UDF."""
+    e = _t(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(86400e6)
+    return e.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q23 — JSON property extraction                                              #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q23_json_props",
+    operators=("S12",),
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)), 6)
+         AS avg_k,
+       max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q23_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction (ref: nested JSON scans,
+    cosmo/monitors/telemetry_monitors.py:278-298, dark_monitors.py:101-129).
+    Extraction via regexp for engine-portable semantics; in production
+    ``from_json`` with an explicit schema is the Spark-native path."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("long")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q24 — conditional flag partition (SAA analog)                               #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q24_conditional_flag",
+    operators=("P6",),
+    oracle="""
+SELECT (CASE WHEN value > 50 OR extract(hour FROM ts) < 6 THEN 1 ELSE 0 END)
+         AS flagged,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1
+""",
+)
+def q24_conditional_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean flag column + partition count (ref: SAA geographic flag
+    ``lat > 10 or lon < 260`` evaluated as an expression string,
+    cosmo/monitors/dark_monitors.py:195-198)."""
+    e = _t(spark, sf_dir, "events")
+    flag = F.when((F.col("value") > 50) | (F.hour("ts") < 6), 1).otherwise(0)
+    return e.groupBy(flag.alias("flagged")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q25 — MJD time kernel round-trip                                            #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q25_time_kernel",
+    operators=("P10", "P15"),
+    oracle="""
+SELECT event_id,
+       round(epoch(ts) / 86400.0 + 40587.0, 8)       AS mjd,
+       strftime(ts, '%Y.%j')                          AS doy,
+       round(extract(year FROM ts)
+             + (dayofyear(ts) - 1
+                + (extract(hour FROM ts) * 3600
+                   + extract(minute FROM ts) * 60
+                   + extract(second FROM ts)) / 86400.0)
+             / (CASE WHEN (extract(year FROM ts) % 4 = 0
+                           AND (extract(year FROM ts) % 100 <> 0
+                                OR extract(year FROM ts) % 400 = 0))
+                     THEN 366.0 ELSE 365.0 END), 8)   AS dec_year
+FROM events
+WHERE user_id < 50
+""",
+)
+def q25_time_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MJD/day-of-year/decimal-year time kernel (ref: astropy Time
+    conversions, cosmo/monitor_helpers.py:15-25,52-76;
+    cosmo/monitors/acq_monitors.py:241-242) as pure column expressions."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return e.select(
+        "event_id",
+        F.round(ts_to_mjd("ts"), 8).alias("mjd"),
+        ts_to_doy_str("ts").alias("doy"),
+        F.round(decimal_year("ts"), 8).alias("dec_year"),
+    )

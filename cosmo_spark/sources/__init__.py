@@ -1,0 +1,3 @@
+from cosmo_spark.sources.tables import load_table, load_tables, TABLES
+
+__all__ = ["load_table", "load_tables", "TABLES"]

@@ -1,0 +1,51 @@
+"""Parquet table loaders for the synthetic star schema (TESTDATA.md).
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst gets predicate
+pushdown, column pruning, and (on partitioned layouts) partition pruning for
+free — the reference achieves the same effects manually via per-column
+extraction requests and program-ID subdirectory globs
+(ref: cosmo/monitors/data_models.py:28,62-77; cosmo/filesystem.py:281-288).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any realistic scale factor.
+DIMENSIONS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_nanos(df)
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Convert nanosecond-timestamp columns (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) to microsecond timestamps.
+
+    Integer ``div`` keeps full precision (ns-since-epoch overflows double);
+    truncation matches DuckDB's ns->us conversion.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from cosmo_spark.session import get_spark
+
+    s = get_spark(
+        app_name="cosmo-spark-tests", master="local[4]", shuffle_partitions=4
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()

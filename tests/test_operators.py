@@ -1,0 +1,182 @@
+"""Operator-level tests with hand-computed frames (ref test strategy layer 1,
+SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmo_spark.operators.asof import asof_join
+from cosmo_spark.operators.describe import describe_by
+from cosmo_spark.operators.histogram import histogram, quantile_cuts
+from cosmo_spark.operators.merge import merge_versioned
+from cosmo_spark.operators.outliers import sigma_outliers
+from cosmo_spark.operators.segment_diff import segment_diff
+from cosmo_spark.operators.topk import latest_per_key
+from cosmo_spark.operators.windows import boxcar, cumulative, rolling_time_mean
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_backward(spark):
+    series = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:00:10"), 1.0), (1, ts("2024-01-01T00:00:20"), 2.0)],
+        "k INT, t TIMESTAMP, v DOUBLE",
+    )
+    probes = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:00:05"), "a"),
+         (1, ts("2024-01-01T00:00:10"), "b"),   # equal time -> takes the 10s row
+         (1, ts("2024-01-01T00:00:15"), "c"),
+         (1, ts("2024-01-01T00:00:25"), "d"),
+         (2, ts("2024-01-01T00:00:15"), "e")],  # key with no series -> NULL
+        "k INT, t TIMESTAMP, tag STRING",
+    )
+    out = {
+        r.tag: r.v
+        for r in asof_join(probes, series, on="k", time_col="t", value_cols=["v"]).collect()
+    }
+    assert out == {"a": None, "b": 1.0, "c": 1.0, "d": 2.0, "e": None}
+
+
+def test_asof_forward(spark):
+    series = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:00:10"), 1.0), (1, ts("2024-01-01T00:00:20"), 2.0)],
+        "k INT, t TIMESTAMP, v DOUBLE",
+    )
+    probes = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:00:15"), "a"), (1, ts("2024-01-01T00:00:25"), "b")],
+        "k INT, t TIMESTAMP, tag STRING",
+    )
+    out = {
+        r.tag: r.v
+        for r in asof_join(
+            probes, series, on="k", time_col="t", value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert out == {"a": 2.0, "b": None}
+
+
+def test_segment_diff_positional():
+    """Array-form segment diff must pair flashes positionally, per ROOTNAME."""
+
+
+def test_segment_diff(spark):
+    # ref: compute_segment_diff pairs FUVA with FUVB per rootname per flash
+    # (osm_shift_monitors.py:55-86)
+    df = spark.createDataFrame(
+        [
+            ("r1", ["FUVA", "FUVB", "FUVA", "FUVB"], [1.0, 0.5, 2.0, 1.0],
+             [0.0, 0.0, 25.0, 25.0]),
+        ],
+        "ROOTNAME STRING, SEGMENT ARRAY<STRING>, SHIFT_DISP ARRAY<DOUBLE>, TIME ARRAY<DOUBLE>",
+    )
+    # explode -> flash_idx within exposure; FUVA rows at idx 0,2; FUVB at 1,3.
+    # pairing key must be the *flash* so re-key by (ROOTNAME, TIME) group:
+    # here we use the generic long-form path
+    from cosmo_spark.functions.arrays import explode_zip
+
+    long = explode_zip(df, ["SEGMENT", "SHIFT_DISP", "TIME"], index_col="pos")
+    long = long.withColumn(
+        "flash_idx", F.floor(F.col("pos") / 2)
+    )
+    out = segment_diff(
+        long, ["ROOTNAME"], "SEGMENT", "SHIFT_DISP", "FUVA", "FUVB"
+    ).orderBy("flash_idx").collect()
+    assert [r.seg_diff for r in out] == [0.5, 1.0]
+    assert all(r.segment_pair == "FUVA-FUVB" for r in out)
+
+
+def test_merge_versioned_supersede_and_idempotence(spark):
+    # ref semantics: newer VERSION supersedes; equal version no-op; new keys
+    # insert (cosmo/sms/ingest_sms.py:154-198; tests/test_sms_ingest.py:98-146)
+    current = spark.createDataFrame(
+        [("s1", "b4", "old"), ("s2", "a1", "keep")], "SMSID STRING, VERSION STRING, payload STRING"
+    )
+    updates = spark.createDataFrame(
+        [("s1", "c2", "new"),     # supersedes b4 (lexicographic)
+         ("s1", "a9", "stale"),   # older than c2 -> loses
+         ("s3", "a1", "insert")],
+        "SMSID STRING, VERSION STRING, payload STRING",
+    )
+    merged = merge_versioned(current, updates, "SMSID", "VERSION")
+    state = {r.SMSID: (r.VERSION, r.payload) for r in merged.collect()}
+    assert state == {"s1": ("c2", "new"), "s2": ("a1", "keep"), "s3": ("a1", "insert")}
+
+    # idempotence: re-applying the same updates changes nothing
+    again = merge_versioned(merged, updates, "SMSID", "VERSION")
+    state2 = {r.SMSID: (r.VERSION, r.payload) for r in again.collect()}
+    assert state2 == state
+
+    # equal version: existing row wins (no churn)
+    tie = spark.createDataFrame(
+        [("s2", "a1", "imposter")], "SMSID STRING, VERSION STRING, payload STRING"
+    )
+    state3 = {
+        r.SMSID: (r.VERSION, r.payload)
+        for r in merge_versioned(merged, tie, "SMSID", "VERSION").collect()
+    }
+    assert state3["s2"] == ("a1", "keep")
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", "b4", 1), ("a", "c2", 2), ("a", "b3", 3), ("b", "a1", 4)],
+        "k STRING, version STRING, payload INT",
+    )
+    # string-max version semantics (ref: docs/source/sms.rst:27-30)
+    out = {r.k: r.version for r in latest_per_key(df, "k", ["version"]).collect()}
+    assert out == {"a": "c2", "b": "a1"}
+
+
+def test_describe_by(spark):
+    df = spark.createDataFrame(
+        [("g", float(x)) for x in range(1, 5)], "g STRING, v DOUBLE"
+    )
+    row = describe_by(df, ["g"], ["v"]).first()
+    assert row["v_count"] == 4
+    assert row["v_mean"] == pytest.approx(2.5)
+    assert row["v_25%"] == pytest.approx(1.75)
+    assert row["v_50%"] == pytest.approx(2.5)
+    assert row["v_max"] == 4.0
+
+
+def test_histogram_and_cuts(spark):
+    df = spark.createDataFrame([(float(x),) for x in range(100)], "v DOUBLE")
+    h = {r.bin: (r.n, r.cum_n) for r in histogram(df, "v", 25.0).collect()}
+    assert h == {0: (25, 25), 1: (25, 50), 2: (25, 75), 3: (25, 100)}
+    cuts = quantile_cuts(df, "v", quantiles=(0.95,), sigma_lines=(2.0,)).first()
+    assert cuts["p95"] == pytest.approx(94.05)
+    assert cuts["median_plus_2sigma"] == pytest.approx(
+        49.5 + 2 * 29.011491975882016
+    )
+
+
+def test_sigma_outliers_grouped(spark):
+    rows = [("g1", float(v)) for v in [10, 10, 10, 10, 50]] + [("g2", 40.0), ("g2", 60.0)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = sigma_outliers(df, "v", k=1.5, group_cols=["g"])
+    flagged = [(r.g, r.v) for r in out.filter("outlier").collect()]
+    assert flagged == [("g1", 50.0)]  # only g1's 50 deviates >= 1.5 sigma in-group
+
+
+def test_windows_ops(spark):
+    df = spark.createDataFrame(
+        [(ts("2024-01-01T00:00:00"), 1.0), (ts("2024-01-02T00:00:00"), 3.0),
+         (ts("2024-01-10T00:00:00"), 10.0)],
+        "t TIMESTAMP, v DOUBLE",
+    )
+    # 2-day trailing window: second row averages rows 1-2; third stands alone
+    out = rolling_time_mean(df, "t", "v", window_seconds=86400 * 2).orderBy("t").collect()
+    assert [r.rolling_mean for r in out] == [1.0, 2.0, 10.0]
+
+    cum = cumulative(df, "t", "v").orderBy("t").collect()
+    assert [r.cum_sum for r in cum] == [1.0, 4.0, 14.0]
+
+    box = boxcar(df, "t", "v", width=4).orderBy("t").collect()
+    # centered width-4: row0 -> rows[-2..1] = (1+3)/2; row1 -> (1+3+10)/3
+    assert box[0].smoothed == pytest.approx(2.0)
+    assert box[1].smoothed == pytest.approx(14.0 / 3)

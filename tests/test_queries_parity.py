@@ -1,0 +1,52 @@
+"""Replica of the driver's correctness gate: every catalog query must match
+its DuckDB oracle on the sf0.001 tables (row count, schema, order-insensitive
+values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.parity import compare, duck_con
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duck_con(SF_DIR)
+
+
+def _query_names():
+    from cosmo_spark.queries import all_queries
+
+    return [name for name, q in all_queries().items() if q.oracle]
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, con, name):
+    from cosmo_spark.queries import all_queries
+
+    q = all_queries()[name]
+    sdf = q.spark_fn(spark, SF_DIR)
+    problems = compare(name, sdf, con, q.oracle)
+    assert not problems, problems
+
+
+def test_every_query_has_survey_operators():
+    from cosmo_spark.queries import all_queries
+
+    for name, q in all_queries().items():
+        assert q.operators, f"{name} lacks SURVEY §2 operator ids"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+    # queries()/oracle_sql() contract: every oracle key exists in queries
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
