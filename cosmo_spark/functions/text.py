@@ -64,15 +64,35 @@ def word_shingles(tokens: Column | str, n: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_hashes(tokens: Column | str, n: int = 3) -> Column:
-    """Distinct polynomial hashes of the n-gram shingle set."""
-    return F.array_distinct(
-        F.transform(word_shingles(tokens, n), lambda s: _poly_hash_expr(s))
-    )
+def token_hashes(tokens: Column | str) -> Column:
+    """Polynomial hash of every token: array<long>."""
+    return F.transform(_c(tokens), lambda t: poly_hash(t))
 
 
-def _poly_hash_expr(s: Column) -> Column:
-    return poly_hash(s)
+def shingle_hashes_from_token_hashes(th: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram shingle hashes from a *pre-materialized* token-hash
+    array column.
+
+    Shingle hash := polynomial fold of the token hashes
+    (``((h1*31 + h2) % p * 31 + h3) % p``) — each character is hashed exactly
+    once per document (in ``token_hashes``) instead of ``n`` times.
+
+    IMPORTANT: ``th`` must be a bound column (staged in its own projection),
+    not an inline ``transform`` expression — Catalyst cannot CSE inside
+    lambda bodies, so an inline expression would be re-evaluated per shingle
+    index (O(tokens²) hashing).
+    """
+    th = _c(th)
+    count = F.size(th) - F.lit(n - 1)
+    hashes = F.when(count > 0, F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.aggregate(
+            F.slice(th, i, n),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * F.lit(HASH_BASE) + h) % F.lit(HASH_MOD),
+        ),
+    )).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(hashes)
 
 
 def minhash_signature(hashes: Column | str, perms: list[tuple[int, int]]) -> Column:

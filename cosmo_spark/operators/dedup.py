@@ -27,7 +27,8 @@ from cosmo_spark.functions.text import (
     HASH_MOD,
     minhash_signature,
     poly_hash,
-    shingle_hashes,
+    shingle_hashes_from_token_hashes,
+    token_hashes,
     tokenize,
 )
 
@@ -71,6 +72,34 @@ def exact_dedup(
     )
 
 
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sh) with the distinct shingle-hash array per document.
+
+    Compute once and share between candidate generation and Jaccard
+    verification — shingle hashing is the expensive per-row step (interpreted
+    higher-order expressions over every character).
+
+    Staged projections keep the token-hash array a bound column so each
+    token is hashed exactly once (see shingle_hashes_from_token_hashes).
+    The empty-doc filter runs on size(__th) BEFORE the shingle fold: a
+    predicate on the fold output would be pushed through the projection,
+    re-inlining the token-hash transform into the per-shingle lambda
+    (O(tokens²) hashing).
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+        )
+        .select("__id", token_hashes("__toks").alias("__th"))
+        .filter(F.size("__th") >= shingle_n)
+        .select(
+            "__id", shingle_hashes_from_token_hashes("__th", shingle_n).alias("sh")
+        )
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -78,6 +107,7 @@ def minhash_candidates(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate near-duplicate id pairs.
 
@@ -85,20 +115,18 @@ def minhash_candidates(
     signature (n_hashes) → split into ``bands`` bands → hash each band →
     self-join on (band_idx, band_hash) → distinct pairs (id_a < id_b).
 
-    Docs with empty shingle sets never become candidates.
+    Docs with empty shingle sets never become candidates.  Pass a cached
+    ``shingle_table`` as ``shingles`` to amortize hashing across operators.
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must divide evenly into bands")
     rows_per_band = n_hashes // bands
     perms = minhash_perms(n_hashes)
 
-    sig = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            shingle_hashes(tokenize(F.col(text_col)), shingle_n).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .select("doc", minhash_signature("sh", perms).alias("sig"))
+    if shingles is None:
+        shingles = shingle_table(df, text_col, id_col, shingle_n)
+    sig = shingles.select(
+        F.col("__id").alias("doc"), minhash_signature("sh", perms).alias("sig")
     )
     # band hash = polynomial fold of the band's signature slice
     band = sig.select(
@@ -133,6 +161,7 @@ def ngram_jaccard_pairs(
     candidate_pairs: DataFrame | None = None,
     shingle_n: int = 3,
     threshold: float = 0.0,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard similarity of distinct shingle-hash sets for id pairs.
 
@@ -140,10 +169,9 @@ def ngram_jaccard_pairs(
     verified — the MinHash-then-verify pattern; otherwise all pairs
     (quadratic — small inputs only).
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        shingle_hashes(tokenize(F.col(text_col)), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sh = shingles if shingles is not None else shingle_table(
+        df, text_col, id_col, shingle_n
+    )
     a = sh.select(F.col("__id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("sh").alias("sh_b"))
     if candidate_pairs is not None:
@@ -163,36 +191,30 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     """SimHash document fingerprint: sign-aggregated token-hash bits.
 
     For each bit position i, sum +1/-1 over token hashes' bit i; the
-    fingerprint sets bit i when the sum is positive.  Pure column expressions
-    (sequence/transform/aggregate) — per-row, no shuffle.
+    fingerprint sets bit i when the sum is positive.
+
+    Formulated long-form for codegen: explode tokens, hash each token once
+    (interpreted HOF, but exactly once per token), then ``bits`` conditional
+    SUM aggregates — whole-stage-codegen'd and map-side combinable, so the
+    shuffle carries one partial row per (partition, doc), not per token.
+    The per-row HOF formulation re-walked every token ``bits`` times.
     """
-    toks = tokenize(F.col(text_col))
-    hashes = F.transform(toks, lambda t: _tok_hash(t))
-
-    # shiftleft/shiftright need literal shift amounts; the shift index here is
-    # a lambda variable, so bits are extracted arithmetically instead —
-    # exact because token hashes are < HASH_MOD < 2^30.
-    def bit_of(h, i):
-        return F.floor(h / F.pow(F.lit(2.0), i)).cast("long") % 2
-
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda i: F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(bit_of(h, i) == 1, 1).otherwise(-1),
-        ),
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokenize(F.col(text_col))).alias("tok")
     )
-    fp = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(0),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    hashed = toks.select("__id", _tok_hash(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("__id").agg(*votes)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+        fp = term if fp is None else fp + term
+    return agg.select(F.col("__id").alias(id_col), fp.alias("simhash"))
 
 
 def _tok_hash(t):
@@ -212,25 +234,28 @@ def embedding_near_dups(
     (e.g. an LSH bucket or coarse cluster id) — the scale path; without it,
     all-pairs (small inputs only).
     """
-    from cosmo_spark.functions.vectors import as_double, cosine_sim
+    from cosmo_spark.functions.vectors import as_double, dot, l2_norm
 
     base = df.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
-    )
+    ).withColumn("__n", l2_norm("__v"))  # norm once per vector, not per pair
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("v_a"),
+        F.col("__n").alias("n_a"),
         *( [F.col("__blk").alias("__blk")] if block_col else [] ),
     )
     b = base.select(
         F.col("__id").alias("id_b"), F.col("__v").alias("v_b"),
+        F.col("__n").alias("n_b"),
         *( [F.col("__blk").alias("__blk")] if block_col else [] ),
     )
     pairs = a.join(b, "__blk") if block_col else a.crossJoin(b)
+    denom = F.col("n_a") * F.col("n_b")
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine_sim("v_a", "v_b"))
+        .withColumn("cos_sim", F.when(denom > 0, dot("v_a", "v_b") / denom))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

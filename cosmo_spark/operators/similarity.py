@@ -35,16 +35,23 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos_sim, rank); deterministic tiebreak on
     neighbor id.  Queries are broadcast — corpus never shuffles.
     """
+    from cosmo_spark.functions.vectors import dot, l2_norm
+
+    # norms computed once per vector BEFORE the pair join — per-pair work is
+    # a single dot product, not dot + two norm re-walks
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_norm", l2_norm("q_vec"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
-    )
+    ).withColumn("c_norm", l2_norm("c_vec"))
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cos_sim", cosine_sim("q_vec", "c_vec"))
+    denom = F.col("q_norm") * F.col("c_norm")
+    scored = pairs.withColumn(
+        "cos_sim", F.when(denom > 0, dot("q_vec", "c_vec") / denom)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -332,13 +332,13 @@ def _minhash_oracle() -> str:
     return f"""
 WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM tl),
-sh AS (
-  SELECT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS shingle
-  FROM tok a
-  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-), shh AS (
-  SELECT DISTINCT doc_id, {_DUCK_POLY.replace('{X}', 'shingle')} AS h FROM sh
+tokh AS (SELECT doc_id, pos, {_DUCK_POLY.replace('{X}', 'tok')} AS th FROM tok),
+shh AS (
+  SELECT DISTINCT a.doc_id,
+         ((a.th * 31 + b.th) % {p} * 31 + c.th) % {p} AS h
+  FROM tokh a
+  JOIN tokh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokh c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
 ), sig AS (
   SELECT doc_id,
          {mins}
@@ -376,7 +376,16 @@ def q39_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to candidates.  This is the find-then-verify shape that keeps
     near-dup at 100 TB sub-quadratic.
     """
+    from cosmo_spark.operators.dedup import shingle_table
+
     d = _t(spark, sf_dir, "documents")
-    cands = minhash_candidates(d, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3)
-    verified = ngram_jaccard_pairs(d, "text", "doc_id", candidate_pairs=cands)
+    # hash shingles once, reuse for both signature and verification — the
+    # per-character hashing is the dominant cost
+    sh = shingle_table(d, "text", "doc_id", shingle_n=3).persist()
+    cands = minhash_candidates(
+        d, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3, shingles=sh
+    )
+    verified = ngram_jaccard_pairs(
+        d, "text", "doc_id", candidate_pairs=cands, shingles=sh
+    )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

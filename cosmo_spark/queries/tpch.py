@@ -595,9 +595,11 @@ def q27_region_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast literal table with a range predicate — the per-region Python
     loop disappears into a single scan."""
     e = _t(spark, sf_dir, "events")
-    regions = spark.createDataFrame(
-        [(0, 0.0, 20.0), (1, 20.0, 40.0), (2, 40.0, 60.0), (3, 60.0, 80.0), (4, 80.0, 1e9)],
-        "region INT, lo DOUBLE, hi DOUBLE",
+    # literal dim via SQL VALUES: stays JVM-side (createDataFrame would route
+    # through Python-RDD serialization and spin up Python workers)
+    regions = spark.sql(
+        "SELECT * FROM VALUES (0, 0.0D, 20.0D), (1, 20.0D, 40.0D), "
+        "(2, 40.0D, 60.0D), (3, 60.0D, 80.0D), (4, 80.0D, 1e9D) AS t(region, lo, hi)"
     )
     return (
         e.join(
