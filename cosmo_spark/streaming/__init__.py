@@ -1,0 +1,4 @@
+from cosmo_spark.streaming.ingest import stream_ingest_merge
+from cosmo_spark.streaming.rates import windowed_rates
+
+__all__ = ["stream_ingest_merge", "windowed_rates"]

@@ -1,0 +1,237 @@
+"""Monitor pipeline tests over synthetic cosmo-shaped data — the reference's
+per-monitor smoke + golden-value strategy (SURVEY.md §5 layers 1-5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmo_spark.monitors import MONITORS, run_monitors
+from cosmo_spark.monitors.acq import (
+    acq_image_monitor,
+    acq_image_v2v3_monitor,
+    acq_peak_monitor,
+)
+from cosmo_spark.monitors.osm import osm_drift_monitor, osm_shift_monitor
+from cosmo_spark.monitors.dark import dark_rate_monitor, saa_flag
+from cosmo_spark.monitors.telemetry import map_text_states, telemetry_monitor, value_at
+from cosmo_spark.monitors.aper import aperture_shift_monitor
+from cosmo_spark.monitors.jitter import jitter_monitor
+
+
+@pytest.fixture()
+def acq(spark):
+    cols = ("ROOTNAME EXPTYPE ACQSLEWX ACQSLEWY EXPSTART OBSTYPE NEVENTS SHUTTER "
+            "LAMPEVNT ACQSTAT EXTENDED LINENUM APERTURE OPT_ELEM FGS CENWAVE")
+    rows = [
+        # good image acq, small slew
+        ("r1", "ACQ/IMAGE", 0.3, 0.4, 58000.0, "IMAGING", 3000.0, "Open",
+         600.0, "Success", "NO", "1.001", "PSA", "MIRRORA", "F1", 0),
+        # large-distance outlier (3-4-5 triangle: distance 5)
+        ("r2", "ACQ/IMAGE", 3.0, 4.0, 58010.0, "IMAGING", 3000.0, "Open",
+         600.0, "Success", "NO", "1.001", "PSA", "MIRRORA", "F1", 0),
+        # failure outlier
+        ("r3", "ACQ/IMAGE", 0.1, 0.1, 58020.0, "IMAGING", 3000.0, "Open",
+         600.0, "Failure", "NO", "2.002", "PSA", "MIRRORA", "F2", 0),
+        # peakd exposure
+        ("r4", "ACQ/PEAKD", 1.5, 0.0, 58030.0, "SPECTROSCOPIC", 100.0, "Open",
+         0.0, "Success", "NO", "1.001", "PSA", "G130M", "F1", 1291),
+        ("r5", "ACQ/PEAKD", 0.2, 0.0, 58040.0, "SPECTROSCOPIC", 100.0, "Open",
+         0.0, "Success", "NO", "1.001", "PSA", "G130M", "F1", 1291),
+    ]
+    schema = ", ".join(
+        f"{c} {'DOUBLE' if c in ('ACQSLEWX','ACQSLEWY','EXPSTART','NEVENTS','LAMPEVNT') else 'LONG' if c=='CENWAVE' else 'STRING'}"
+        for c in cols.split()
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_acq_image_monitor(acq):
+    out = acq_image_monitor(acq)
+    data = out["data"].collect()
+    assert len(data) == 3  # only ACQ/IMAGE
+    d = {r.ROOTNAME: r.distance for r in data}
+    assert d["r2"] == pytest.approx(5.0)
+    outliers = sorted(r.ROOTNAME for r in out["outliers"].collect())
+    assert outliers == ["r2", "r3"]  # distance>=2 and Failure
+    res = out["results"].collect()[0]
+    assert res["configuration"] == "PSA-MIRRORA"
+    assert res["ACQSLEWX_count"] == 3
+
+
+def test_acq_v2v3_quality_filter(acq):
+    out = acq_image_v2v3_monitor(acq)
+    rows = out["data"].collect()
+    # r2 excluded (distance 5 >= 2), r3 excluded (Failure + LINENUM '2.002')
+    assert [r.ROOTNAME for r in rows] == ["r1"]
+    r = rows[0]
+    assert r.V2SLEW == pytest.approx((0.3 + 0.4) / math.sqrt(2))
+    assert r.V3SLEW == pytest.approx((-0.3 + 0.4) / math.sqrt(2))
+
+
+def test_acq_peak_monitor(acq):
+    out = acq_peak_monitor(acq)
+    slews = {r.ROOTNAME: r.slew for r in out["data"].collect()}
+    assert slews == {"r4": -1.5, "r5": pytest.approx(-0.2)}  # sign flip
+    assert [r.ROOTNAME for r in out["outliers"].collect()] == ["r4"]
+
+
+@pytest.fixture()
+def osm(spark):
+    schema = (
+        "ROOTNAME STRING, DETECTOR STRING, LIFE_ADJ LONG, OPT_ELEM STRING, "
+        "CENWAVE LONG, EXPSTART DOUBLE, TSINCEOSM1 DOUBLE, TIME ARRAY<DOUBLE>, "
+        "SHIFT_DISP ARRAY<DOUBLE>, SHIFT_XDISP ARRAY<DOUBLE>, SEGMENT ARRAY<STRING>, "
+        "LAMPTAB_SEGMENT ARRAY<STRING>, FP_PIXEL_SHIFT ARRAY<DOUBLE>, "
+        "XC_RANGE ARRAY<DOUBLE>, SEARCH_OFFSET ARRAY<DOUBLE>"
+    )
+    rows = [
+        # 2 flashes x (FUVA, FUVB): positional pairing must give
+        # flash0: 1.0-0.6=0.4, flash1: 2.0-1.0=1.0
+        ("lb1", "FUV", 3, "G130M", 1291, 58000.0, 1000.0,
+         [4.3, 4.3, 2404.3, 2404.3],
+         [1.0, 0.6, 2.0, 1.0],
+         [0.1, 0.1, 0.2, 0.2],
+         ["FUVA", "FUVB", "FUVA", "FUVB"],
+         ["FUVA", "FUVB"], [3.5, 4.5],
+         [50.0], [0.0]),
+        # empty-array row must be dropped (P7)
+        ("lb2", "FUV", 3, "G130M", 1291, 58001.0, 1000.0,
+         [], [], [], [], ["FUVA", "FUVB"], [3.5, 4.5], [50.0], [0.0]),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_osm_shift_monitor(osm):
+    out = osm_shift_monitor(osm)
+    data = out["data"].collect()
+    assert len(data) == 4  # lb2 dropped, lb1 exploded to 4
+    assert all(r.FP_PIXEL_SHIFT_MATCHED == 3.5 for r in data)  # FUVA match
+    assert all(r.XC_RANGE_0 == 50.0 for r in data)
+    diffs = {r.flash_idx: r.seg_diff for r in out["segment_diffs"].collect()}
+    assert diffs == {0: pytest.approx(0.4), 1: pytest.approx(1.0)}
+
+
+def test_osm_drift_monitor(osm):
+    out = osm_drift_monitor(osm)
+    rows = sorted(out["data"].collect(), key=lambda r: r.flash_idx)
+    # REL_SHIFT = SHIFT[1:] - SHIFT[0] = [-0.4, 1.0, 0.0]; rates /T_REST
+    assert [r.REL_SHIFT for r in rows] == [pytest.approx(-0.4), 1.0, 0.0]
+    assert rows[1].SHIFT1_DRIFT == pytest.approx(1.0 / 2404.3)
+
+
+@pytest.fixture()
+def dark(spark):
+    schema = (
+        "ROOTNAME STRING, SEGMENT STRING, EXPTIME DOUBLE, EXPSTART DOUBLE, "
+        "PHA ARRAY<LONG>, XCORR ARRAY<DOUBLE>, YCORR ARRAY<DOUBLE>, TIME ARRAY<DOUBLE>"
+    )
+    rows = [
+        # FUVA: 3 in-band in-region events in bin 0, 1 out-of-band, 1 out-of-region
+        ("d1", "FUVA", 100.0, 58000.0,
+         [10, 10, 10, 1, 10],
+         [2000.0, 2000.0, 2000.0, 2000.0, 100.0],
+         [500.0, 500.0, 500.0, 500.0, 500.0],
+         [1.0, 2.0, 3.0, 4.0, 5.0]),
+        # EXPSTART=0 row skipped entirely
+        ("d2", "FUVA", 100.0, 0.0, [10], [2000.0], [500.0], [1.0]),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_dark_rate_monitor(dark):
+    out = dark_rate_monitor(dark)
+    rates = out["results"].collect()
+    assert len(rates) == 1
+    r = rates[0]
+    npix = (15119 - 1260) * (660 - 375)
+    assert r.n_events == 3
+    assert r.dark_rate == pytest.approx(3 / (npix * 25.0))
+
+
+def test_saa_flag(spark):
+    df = spark.createDataFrame(
+        [(20.0, 300.0), (-20.0, 100.0), (-20.0, 300.0)],
+        "LATITUDE DOUBLE, LONGITUDE DOUBLE",
+    )
+    flags = [r.no_saa for r in saa_flag(df).collect()]
+    assert flags == [1, 1, 0]  # lat>10 OR lon<260
+
+
+@pytest.fixture()
+def telemetry(spark):
+    rows = [("LMMCETMP", 58000.0 + i, float(i)) for i in range(11)]
+    return spark.createDataFrame(rows, "mnemonic STRING, MJD DOUBLE, Data DOUBLE")
+
+
+def test_telemetry_monitor(telemetry):
+    out = telemetry_monitor(telemetry)
+    b = out["results"].collect()[0]
+    assert b["band_lo"] == pytest.approx(0.05)   # quantile 0.005 of 0..10
+    assert b["band_hi"] == pytest.approx(9.95)
+    assert b["n"] == 11
+
+
+def test_telemetry_value_at(spark, telemetry):
+    probes = spark.createDataFrame(
+        [("LMMCETMP", 58005.5), ("LMMCETMP", 57999.0)], "mnemonic STRING, MJD DOUBLE"
+    )
+    out = {r.MJD: r.value_at for r in value_at(telemetry, probes).collect()}
+    assert out[58005.5] == 5.0   # last at-or-before
+    assert out[57999.0] is None  # before first sample
+
+
+def test_telemetry_text_states(spark):
+    t = spark.createDataFrame(
+        [("LOSM1POS", 58000.0, "G130M")], "mnemonic STRING, MJD DOUBLE, state STRING"
+    )
+    states = spark.createDataFrame(
+        [("LOSM1POS", "G130M", 2.0)], "mnemonic STRING, state STRING, numeric DOUBLE"
+    )
+    assert map_text_states(t, states).collect()[0].numeric == 2.0
+
+
+def test_aperture_shift_monitor(spark):
+    science = spark.createDataFrame(
+        [("r1", 3, "PSA", "FUV"), ("r2", 3, "PSA", "FUV")],
+        "ROOTNAME STRING, LIFE_ADJ LONG, APERTURE STRING, DETECTOR STRING",
+    )
+    ancillary = spark.createDataFrame(
+        [("r1", "CAL", 0.0, 313.0), ("r1", "CAL", 0.0, 313.0), ("r2", "GO", 0.0, 310.0)],
+        "ROOTNAME STRING, PROP_TYP STRING, APERXPOS DOUBLE, APERYPOS DOUBLE",
+    )
+    out = aperture_shift_monitor(science, ancillary)
+    data = {r.ROOTNAME: r.SHIFT_APERY for r in out["data"].collect()}
+    # expected for (3, PSA, FUV) = 300 + 10 + 1 = 311
+    assert data == {"r1": pytest.approx(2.0), "r2": pytest.approx(-1.0)}
+    assert out["data"].count() == 2  # ancillary dup deduped
+
+
+def test_jitter_monitor(spark):
+    rows = [
+        ("j1", "COS/FUV", "STARE", [0.01, 1e30, 0.03], [0.02, 0.04], [0.0], [0.0]),
+        ("j2", "COS/FUV", "ACQ/IMAGE", [9.0], [9.0], [0.0], [0.0]),  # excluded
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "EXPNAME STRING, CONFIG STRING, EXPTYPE STRING, SI_V2_AVG ARRAY<DOUBLE>, "
+        "SI_V3_AVG ARRAY<DOUBLE>, SI_V2_RMS ARRAY<DOUBLE>, SI_V3_RMS ARRAY<DOUBLE>",
+    )
+    out = jitter_monitor(df)
+    data = out["data"].collect()
+    assert len(data) == 1  # ACQ excluded
+    r = data[0]
+    assert r["SI_V2_AVG_mean"] == pytest.approx(0.02)  # sentinel stripped
+    assert r["SI_V2_AVG_max"] == pytest.approx(0.03)
+    assert "SI_V2_AVG" not in out["data"].columns  # array dropped after reduce
+
+
+def test_run_monitors_cadence(spark, acq):
+    inputs = {"acq": acq}
+    out = run_monitors("monthly", {**inputs, "osm": None, "science": None,
+                                   "ancillary": None, "jitter": None})
+    # only monitors whose inputs we passed as real frames matter here;
+    # monthly set includes the acq monitors
+    assert "acq_image" in out and "acq_peakd" in out
