@@ -1,0 +1,55 @@
+"""Physical-plan introspection helpers.
+
+The optimizations the reference hand-codes (predicate pushdown, column
+pruning, dimension broadcast — SURVEY.md §4) are Catalyst's job here; these
+helpers make them *assertable* so a regression that silently de-optimizes a
+plan (a lost pushdown, a broadcast that became a sort-merge join) fails
+tests instead of shipping.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Formatted physical plan (post-AQE initial plan) as a string."""
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Plan string AFTER execution — under AQE the final plan (with
+    WholeStageCodegen annotations and materialized query stages) only exists
+    once the query has run.  Must collect() THIS DataFrame — count() would
+    build (and execute) a different QueryExecution."""
+    df.collect()
+    return physical_plan(df)
+
+
+def plan_has(df: DataFrame, *needles: str, absent: tuple[str, ...] = ()) -> list[str]:
+    """Return the list of violations: needles missing from the plan or
+    forbidden fragments present."""
+    plan = physical_plan(df)
+    problems = [f"missing: {n}" for n in needles if n not in plan]
+    problems += [f"forbidden present: {a}" for a in absent if a in plan]
+    return problems
+
+
+def scan_read_schema(df: DataFrame, table_hint: str | None = None) -> list[str]:
+    """Column names in the parquet scan's ReadSchema — verifies pruning."""
+    plan = physical_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols += [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    return cols
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """Concatenated PushedFilters entries from every scan in the plan."""
+    plan = physical_plan(df)
+    return " | ".join(m.group(1) for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan))

@@ -41,5 +41,11 @@ def register(name: str, oracle: str | None = None, operators: tuple[str, ...] = 
 
 def all_queries() -> dict[str, Query]:
     # import side-effect registration
-    from cosmo_spark.queries import tpch, timeseries, textops, vectorops  # noqa: F401
+    from cosmo_spark.queries import (  # noqa: F401
+        misc,
+        textops,
+        timeseries,
+        tpch,
+        vectorops,
+    )
     return dict(sorted(REGISTRY.items()))

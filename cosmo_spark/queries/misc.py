@@ -1,0 +1,267 @@
+"""Catalog batch 2: remaining SURVEY §2 operator patterns.
+
+P14 static-map lookup, P10 recency filter, O2 nearest-row lookup, J6
+normalized fuzzy-key join, A13/A14 group-key enumeration, BPE-ish token
+counting, and the IVF approximate-ANN scale path (rows-only check — its
+centroid assignment is iterative/argmin-based, outside ANSI SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cosmo_spark.queries import register
+from cosmo_spark.session import tune_session
+from cosmo_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q28_static_map_lookup",
+    operators=("P14", "J2"),
+    oracle="""
+WITH expected AS (
+  SELECT * FROM (VALUES ('BUILDING', 1.5e5), ('AUTOMOBILE', 1.4e5),
+                        ('MACHINERY', 1.3e5), ('HOUSEHOLD', 1.2e5),
+                        ('FURNITURE', 1.1e5)) t(seg, expected_price)
+)
+SELECT c.c_mktsegment,
+       round(avg(o.o_totalprice - e.expected_price), 4) AS mean_deviation,
+       count(*) AS n
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN expected e ON c.c_mktsegment = e.seg
+GROUP BY c.c_mktsegment
+""",
+)
+def q28_static_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static constant-map lookup as a broadcast literal dimension
+    (ref: expected aperture-position array,
+    cosmo/monitors/aper_shift_monitors.py:77-110): the Python-side constant
+    array becomes a VALUES dim; deviation = observed - expected."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    expected = spark.sql(
+        "SELECT * FROM VALUES ('BUILDING', 1.5e5D), ('AUTOMOBILE', 1.4e5D), "
+        "('MACHINERY', 1.3e5D), ('HOUSEHOLD', 1.2e5D), ('FURNITURE', 1.1e5D) "
+        "AS t(seg, expected_price)"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(expected), F.col("c_mktsegment") == F.col("seg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg(F.col("o_totalprice") - F.col("expected_price")), 4)
+             .alias("mean_deviation"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q29_last_n_days",
+    operators=("P10", "A4"),
+    oracle="""
+WITH bound AS (SELECT max(ts) AS tmax FROM events)
+SELECT e.event_type, count(*) AS n, round(avg(e.value), 6) AS avg_value
+FROM events e CROSS JOIN bound b
+WHERE e.ts > b.tmax - INTERVAL 7 DAY
+GROUP BY e.event_type
+""",
+)
+def q29_last_n_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency filter relative to the data's own maximum timestamp
+    (ref: ``max(EXPSTART) - EXPSTART < 30`` last-30-days slice,
+    cosmo/monitors/acq_monitors.py:94-99).
+
+    The scalar max is a broadcast 1-row aggregate, not a window over the
+    whole table — the fact scan stays parallel and the time predicate can
+    prune partitions on a date-partitioned layout.
+    """
+    e = _t(spark, sf_dir, "events")
+    bound = e.agg(F.max("ts").alias("tmax"))
+    return (
+        e.crossJoin(F.broadcast(bound))
+        .filter(F.col("ts") > F.col("tmax") - F.expr("INTERVAL 7 DAY"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "q40_nearest_event",
+    operators=("O2", "J8"),
+    oracle="""
+SELECT user_id, event_id,
+       round(abs(epoch(ts) - epoch(TIMESTAMP '2024-01-15 12:00:00')), 3) AS dist_sec
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY abs(epoch(ts) - epoch(TIMESTAMP '2024-01-15 12:00:00')), event_id
+  ) AS rn
+  FROM events WHERE user_id < 20
+) WHERE rn = 1
+""",
+)
+def q40_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-row-to-target lookup (ref: find_closest_date argmin,
+    cosmo/monitors/telemetry_monitors.py:172-176) as a per-group top-1
+    window with a deterministic id tiebreak."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    target = F.unix_micros(F.lit("2024-01-15 12:00:00").cast("timestamp")) / 1e6
+    dist = F.abs(F.unix_micros("ts") / 1e6 - target)
+    w = Window.partitionBy("user_id").orderBy(dist.asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round(dist, 3).alias("dist_sec"))
+    )
+
+
+@register(
+    "q41_fuzzy_key_join",
+    operators=("J6",),
+    oracle="""
+WITH padded_dim AS (
+  SELECT DISTINCT concat(p_brand, '   ') AS brand_key, p_brand AS brand_label
+  FROM part
+)
+SELECT p.p_brand, count(*) AS n_parts,
+       CAST(round(sum(p.p_retailprice * 100)) AS BIGINT) / (100.0 * count(*))
+         AS avg_price
+FROM part p
+JOIN padded_dim d ON p.p_brand = rtrim(d.brand_key)
+GROUP BY p.p_brand
+""",
+)
+def q41_fuzzy_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-string-tolerant dimension join (ref: CRDS reference-row match
+    tolerating right-padded / bytes keys via 3 equality variants,
+    cosmo/filesystem.py:117-139).  Spark-first: normalize with ``rtrim`` at
+    join time (cheaper still: at ingest) — one equi-join instead of an
+    OR-of-equalities that would defeat hashing."""
+    p = _t(spark, sf_dir, "part")
+    padded = (
+        p.select(
+            F.concat(F.col("p_brand"), F.lit("   ")).alias("brand_key"),
+            F.col("p_brand").alias("brand_label"),
+        ).distinct()
+    )
+    return (
+        p.join(F.broadcast(padded), p.p_brand == F.rtrim(padded.brand_key))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            # exact-cents mean: integer sum / count is order-insensitive,
+            # so the cross-engine hash can't drift in the last ulp
+            (
+                F.round(F.sum(F.col("p_retailprice") * 100)).cast("long")
+                / (100.0 * F.count(F.lit(1)))
+            ).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q42_group_key_enum",
+    operators=("A13", "A14"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+       count(*) AS n
+FROM lineitem
+WHERE l_quantity > 0
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q42_group_key_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct group-key enumeration with per-subgroup min/max bounds
+    (ref: search-box shapes per (XC_RANGE, SEARCH_OFFSET),
+    cosmo/monitors/osm_shift_monitors.py:643-668)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q43_bpe_tokens",
+    operators=("TXT3", "TXT4"),
+    oracle="""
+SELECT lang,
+       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+         AS bpe_ish_tokens,
+       sum(len(regexp_extract_all(text, '\\S+'))) AS ws_tokens,
+       count(*) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+)
+def q43_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    lexer (letter runs | digit runs | single punctuation) — the standard
+    pre-tokenizer shape for corpus token accounting."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+    ws = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+    return d.groupBy("lang").agg(
+        F.sum(bpe).alias("bpe_ish_tokens"),
+        F.sum(ws).alias("ws_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "q44_ivf_ann",
+    operators=("SIM2",),
+    oracle=None,  # iterative centroid assignment — not ANSI-SQL expressible;
+                  # driver records the weaker rows-only check
+)
+def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors — the 100 TB similarity
+    path: corpus assigned to coarse centroid buckets once; each query probes
+    nprobe buckets, so the pair join touches a fraction of the corpus.
+
+    Centroids here are per-label mean vectors (deterministic, self-derived);
+    production would k-means a sample offline.
+    """
+    from cosmo_spark.operators.similarity import ivf_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    # centroid per label: positional mean via posexplode + regroup
+    pos = e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+    centroids = (
+        pos.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("bucket"), "centroid")
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    out = ivf_cosine_topk(
+        e, queries, centroids, "embedding", "vec_id", k=5, nprobe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
