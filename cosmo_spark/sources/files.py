@@ -1,0 +1,98 @@
+"""Ancillary file sources and sinks (SURVEY §2.1 S11-S13, S15-S18).
+
+The reference reads ancillary CSVs, whitespace-separated telemetry series,
+JSON state maps, and an Excel mnemonic sheet via pandas
+(ref: cosmo/monitor_helpers.py:152-154, cosmo/monitors/telemetry_monitors.py:84-119,
+cosmo/monitors/dark_monitors.py:101-129) and writes CSV results
+(ref: cosmo/monitors/acq_monitors.py:472-475).  Spark-first equivalents with
+explicit schemas — schema inference is a correctness and performance hazard
+at scale (it scans data twice and can flip types between runs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cosmo_spark.schemas import ANCILLARY, TELEMETRY
+
+
+def read_ancillary_csv(spark: SparkSession, path: str) -> DataFrame:
+    """ROOTNAME-keyed enrichment CSV, deduped on the key before any join
+    (ref: cosmo/monitor_helpers.py:147-159 — duplicates would fan out a
+    left join)."""
+    df = spark.read.csv(path, header=True, schema=ANCILLARY)
+    return df.dropDuplicates(["ROOTNAME"])
+
+
+def read_telemetry_series(
+    spark: SparkSession, path: str, mnemonic: str | None = None
+) -> DataFrame:
+    """Whitespace-separated 2-column (MJD, Data) telemetry series
+    (ref: cosmo/monitors/telemetry_monitors.py:104-119).  The mnemonic is
+    derived from the filename when not given — one read covers a directory
+    of per-mnemonic files."""
+    raw = spark.read.text(path).withColumn("__file", F.input_file_name())
+    parts = F.split(F.trim("value"), r"\s+")
+    name = (
+        F.lit(mnemonic)
+        if mnemonic
+        else F.regexp_extract(F.element_at(F.split("__file", "/"), -1), r"^([A-Za-z0-9_]+)", 1)
+    )
+    return (
+        raw.filter(F.length(F.trim("value")) > 0)
+        .select(
+            name.alias("mnemonic"),
+            F.element_at(parts, 1).cast("double").alias("MJD"),
+            F.element_at(parts, 2).cast("double").alias("Data"),
+        )
+        .filter(F.col("MJD").isNotNull())
+    )
+
+
+def read_json_states(spark: SparkSession, path: str) -> DataFrame:
+    """Nested JSON text-state mapping flattened to a (mnemonic, state,
+    numeric) dimension table (ref: telemetry_monitors.py:278-311).  Expected
+    shape: one object per mnemonic: {"LOSM1POS": {"G130M": 2.0, ...}, ...}."""
+    df = spark.read.option("multiLine", True).json(path)
+    cols = df.columns
+    stacked = None
+    for mnemonic in cols:
+        states = df.select(F.lit(mnemonic).alias("mnemonic"), f"`{mnemonic}`.*")
+        long = states.unpivot(
+            "mnemonic", [c for c in states.columns if c != "mnemonic"],
+            "state", "numeric",
+        )
+        stacked = long if stacked is None else stacked.unionByName(long)
+    return stacked
+
+
+def read_mnemonic_descriptions(spark: SparkSession, path: str) -> DataFrame:
+    """Mnemonic -> description dimension.  The reference reads an Excel
+    sheet (ref: telemetry_monitors.py:84); Excel needs an external package,
+    so the supported interchange here is its CSV export — same two columns."""
+    if path.endswith((".xlsx", ".xls")):
+        raise NotImplementedError(
+            "Excel input requires an external reader not present in this "
+            "environment; export the sheet to CSV (Mnemonic,Description)"
+        )
+    return spark.read.csv(path, header=True, schema="Mnemonic STRING, Description STRING")
+
+
+def write_results_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """Results sink (ref: store_results CSV,
+    cosmo/monitors/acq_monitors.py:472-475).  Monitor outputs are small
+    aggregates, so ``single_file`` coalesces to one part for human use;
+    large outputs should keep their parallelism."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def append_table(df: DataFrame, path: str) -> None:
+    """DataModel ingest sink: append new rows to the model's table
+    (ref: model.ingest(), docs/source/api.rst:101-125).  Keyed upserts go
+    through operators.merge instead."""
+    df.write.mode("append").parquet(path)

@@ -1,0 +1,95 @@
+"""CSV / telemetry / JSON source tests + runner CLI smoke."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from cosmo_spark.sources.files import (
+    read_ancillary_csv,
+    read_json_states,
+    read_mnemonic_descriptions,
+    read_telemetry_series,
+    write_results_csv,
+)
+
+
+def test_ancillary_csv_dedup(spark, tmp_path):
+    p = tmp_path / "anc.csv"
+    p.write_text(
+        "ROOTNAME,PROP_TYP,APERXPOS,APERYPOS\n"
+        "r1,CAL,1.0,311.0\n"
+        "r1,CAL,1.0,311.0\n"   # duplicate rootname -> deduped
+        "r2,GO,2.0,312.0\n"
+    )
+    df = read_ancillary_csv(spark, str(p))
+    assert df.count() == 2
+    r = {x.ROOTNAME: x.APERYPOS for x in df.collect()}
+    assert r == {"r1": 311.0, "r2": 312.0}
+
+
+def test_telemetry_series_from_filename(spark, tmp_path):
+    (tmp_path / "LMMCETMP.txt").write_text("58000.0 20.5\n58001.0 21.5\n\n")
+    df = read_telemetry_series(spark, str(tmp_path / "LMMCETMP.txt"))
+    rows = df.orderBy("MJD").collect()
+    assert [r.mnemonic for r in rows] == ["LMMCETMP", "LMMCETMP"]
+    assert rows[0].MJD == 58000.0 and rows[0].Data == 20.5
+
+
+def test_json_states(spark, tmp_path):
+    p = tmp_path / "states.json"
+    p.write_text(json.dumps({
+        "LOSM1POS": {"G130M": 2.0, "G140L": 3.0},
+        "LOSM2POS": {"MIRRORA": 1.0},
+    }))
+    df = read_json_states(spark, str(p))
+    got = {(r.mnemonic, r.state): r.numeric for r in df.collect()}
+    assert got == {
+        ("LOSM1POS", "G130M"): 2.0,
+        ("LOSM1POS", "G140L"): 3.0,
+        ("LOSM2POS", "MIRRORA"): 1.0,
+    }
+
+
+def test_mnemonic_descriptions_excel_stub(spark, tmp_path):
+    with pytest.raises(NotImplementedError):
+        read_mnemonic_descriptions(spark, "mnemonics.xlsx")
+    p = tmp_path / "mn.csv"
+    p.write_text("Mnemonic,Description\nLMMCETMP,MCE temperature\n")
+    assert read_mnemonic_descriptions(spark, str(p)).first().Description == "MCE temperature"
+
+
+def test_write_results_csv_single_file(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING")
+    dest = str(tmp_path / "out")
+    write_results_csv(df, dest)
+    parts = [f for f in os.listdir(dest) if f.startswith("part-") and f.endswith(".csv")]
+    assert len(parts) == 1
+
+
+def test_runner_cli_end_to_end(spark, tmp_path):
+    # build a tiny acq table, run the CLI as a subprocess, check CSV output
+    acq = spark.createDataFrame(
+        [("r1", "ACQ/IMAGE", 3.0, 4.0, 58000.0, "IMAGING", 3000.0, "Open",
+          600.0, "Success", "NO", "1.001", "PSA", "MIRRORA", "F1", 0)],
+        "ROOTNAME STRING, EXPTYPE STRING, ACQSLEWX DOUBLE, ACQSLEWY DOUBLE, "
+        "EXPSTART DOUBLE, OBSTYPE STRING, NEVENTS DOUBLE, SHUTTER STRING, "
+        "LAMPEVNT DOUBLE, ACQSTAT STRING, EXTENDED STRING, LINENUM STRING, "
+        "APERTURE STRING, OPT_ELEM STRING, FGS STRING, CENWAVE LONG",
+    )
+    data_dir = tmp_path / "tables"
+    acq.write.parquet(str(data_dir / "acq.parquet"))
+    out_dir = tmp_path / "results"
+    proc = subprocess.run(
+        [sys.executable, "-m", "cosmo_spark.runner", "--cadence", "monthly",
+         "--data-dir", str(data_dir), "--out", str(out_dir),
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    written = os.listdir(out_dir)
+    assert any(d.startswith("acq_image_") for d in written), written
