@@ -35,6 +35,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
+
+    # warmup (untimed): JIT the session, register codegen paths, prime the
+    # filesystem metadata cache — so per-query numbers reflect steady-state
+    # execution rather than one-time JVM start-up costs
+    from cosmo_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
+    qs["q01_pricing_summary"].spark_fn(spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, q in qs.items():

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for order-sensitive operators.
+
+The reference tests with hand-picked goldens only (SURVEY §5); these
+properties cover the input shapes goldens miss: duplicate timestamps,
+adversarial version orderings, ragged group sizes.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from cosmo_spark.operators.asof import asof_join
+from cosmo_spark.operators.merge import merge_versioned
+
+_SETTINGS = dict(
+    deadline=None,
+    max_examples=12,  # each example runs Spark jobs — keep the dial low
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@st.composite
+def series_and_probes(draw):
+    series = draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-100, 100)),
+            min_size=0, max_size=15,
+        )
+    )
+    probes = draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10
+        )
+    )
+    return series, probes
+
+
+@given(series_and_probes())
+@settings(**_SETTINGS)
+def test_asof_matches_bruteforce(spark, data):
+    series, probes = data
+    # dedupe (key, t) in series: asof over duplicate timestamps is defined as
+    # "some row at that time"; keep the brute force well-defined by keeping
+    # the max value per (key, t) and matching the operator's last() choice
+    dedup: dict[tuple[int, int], int] = {}
+    for k, t, v in series:
+        dedup[(k, t)] = max(v, dedup.get((k, t), v))
+    series = [(k, t, v) for (k, t), v in dedup.items()]
+
+    sdf = spark.createDataFrame(series, "k INT, t INT, v INT")
+    pdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(probes)], "pid INT, k INT, t INT"
+    )
+    out = {
+        r.pid: r.v
+        for r in asof_join(pdf, sdf, on="k", time_col="t", value_cols=["v"]).collect()
+    }
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, v in series:
+        by_key.setdefault(k, []).append((t, v))
+    for k in by_key:
+        by_key[k].sort()
+    for pid, (k, t) in enumerate(probes):
+        rows = by_key.get(k, [])
+        idx = bisect.bisect_right([x[0] for x in rows], t) - 1
+        expected = rows[idx][1] if idx >= 0 else None
+        assert out[pid] == expected, (pid, k, t, rows)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(0, 99)),
+        min_size=0, max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(0, 99)),
+        min_size=0, max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_merge_versioned_properties(spark, base, updates):
+    schema = "k INT, ver INT, payload INT"
+    # make versions unique per key within each batch (top-1 well-defined);
+    # payload max-tiebreak mirrors nothing in the operator — so collapse to
+    # one row per (k, ver) first
+    def collapse(rows):
+        m = {}
+        for k, ver, p in rows:
+            m[(k, ver)] = max(p, m.get((k, ver), p))
+        return [(k, v, p) for (k, v), p in m.items()]
+
+    base, updates = collapse(base), collapse(updates)
+    bdf = spark.createDataFrame(base, schema)
+    udf = spark.createDataFrame(updates, schema)
+
+    merged = merge_versioned(bdf, udf, "k", "ver")
+    state = {r.k: (r.ver, r.payload) for r in merged.collect()}
+
+    # property 1: per key, version is the max across both inputs
+    expect_ver: dict[int, int] = {}
+    for k, ver, _ in base + updates:
+        expect_ver[k] = max(ver, expect_ver.get(k, ver))
+    assert {k: v[0] for k, v in state.items()} == expect_ver
+
+    # property 2 (tie rule): on equal max version, the existing row wins
+    base_at = {(k, v): p for k, v, p in base}
+    for k, (ver, payload) in state.items():
+        if (k, ver) in base_at:
+            assert payload == base_at[(k, ver)]
+
+    # property 3: idempotence — re-applying the same updates is a no-op
+    again = merge_versioned(merged, udf, "k", "ver")
+    state2 = {r.k: (r.ver, r.payload) for r in again.collect()}
+    assert state2 == state
