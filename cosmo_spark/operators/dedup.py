@@ -64,7 +64,7 @@ def exact_dedup(
     return (
         df.select(
             poly_hash(norm).alias("text_hash"),
-            F.length(norm).alias("text_len"),
+            F.length(norm).cast("long").alias("text_len"),
             F.col(id_col),
         )
         .groupBy("text_hash", "text_len")

@@ -205,9 +205,9 @@ def q42_group_key_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("TXT3", "TXT4"),
     oracle="""
 SELECT lang,
-       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
-         AS bpe_ish_tokens,
-       sum(len(regexp_extract_all(text, '\\S+'))) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+            AS BIGINT) AS bpe_ish_tokens,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens,
        count(*) AS n_docs
 FROM documents
 GROUP BY lang
@@ -263,5 +263,6 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, centroids, "embedding", "vec_id", k=5, nprobe=2
     )
     return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -213,7 +213,7 @@ def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct_ratio = F.col("n_punct") / F.col("len_text")
     return base.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(mean_tok, 6).alias("mean_token_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(sw_ratio, 6).alias("stopword_ratio"),
@@ -232,9 +232,9 @@ def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tl AS (SELECT lang, source, {_DUCK_TOKS} AS toks, n_chars FROM documents)
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(len(toks)) AS total_tokens,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
        round(avg(len(toks)), 6) AS avg_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM tl GROUP BY lang, source
 """,
 )
@@ -298,8 +298,8 @@ votes AS (
   FROM tokh CROSS JOIN bits GROUP BY doc_id, i
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END)
-         AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """,
 )

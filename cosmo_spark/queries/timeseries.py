@@ -90,7 +90,7 @@ WITH daily AS (
   FROM orders GROUP BY 1
 )
 SELECT day, n,
-       sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_n
+       CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
 FROM daily
 """,
 )

@@ -505,7 +505,7 @@ WITH base AS (
   FROM unioned
 )
 SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total,
-       sum(version) AS version_sum
+       CAST(sum(version) AS BIGINT) AS version_sum
 FROM merged WHERE rn = 1
 GROUP BY o_orderstatus
 """,

@@ -47,7 +47,7 @@ def q30_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = as_double(F.col("embedding"))
     return e.select(
         "vec_id",
-        F.size(v).alias("dim"),
+        F.size(v).cast("long").alias("dim"),
         F.round(array_mean(v), 6).alias("vec_mean"),
         F.round(array_std(v), 6).alias("vec_std"),
         F.round(array_max(v), 6).alias("vec_max"),
@@ -79,7 +79,7 @@ def q31_array_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(v, 1), 6).alias("first_el"),
         F.round(F.element_at(v, -1), 6).alias("last_el"),
         F.round(F.aggregate(rel, F.lit(0.0), lambda a, x: a + x), 6).alias("rel_sum"),
-        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
     )
 
 
@@ -112,7 +112,8 @@ def q32_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8)
     out = cosine_topk(e, queries, "embedding", "vec_id", k=5)
     return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

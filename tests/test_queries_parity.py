@@ -32,6 +32,33 @@ def test_query_matches_oracle(spark, con, name):
     assert not problems, problems
 
 
+SPARK2PD = {"bigint": "int64", "int": "int32", "double": "float64",
+            "string": "object", "boolean": "bool"}
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_dtype_parity(spark, con, name):
+    """Spark column types must map onto the oracle's pandas dtypes — DuckDB
+    promotes integer sums to HUGEINT (-> float64), which would silently
+    break a type-sensitive value hash even when values match."""
+    from cosmo_spark.queries import all_queries
+
+    q = all_queries()[name]
+    ddf = con.execute(q.oracle).fetchdf()
+    sdf = q.spark_fn(spark, SF_DIR)
+    stypes = {
+        f.name: SPARK2PD.get(f.dataType.simpleString(), f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+    dtypes = dict(ddf.dtypes.astype(str))
+    diffs = {
+        k: (stypes.get(k), dtypes.get(k))
+        for k in set(stypes) | set(dtypes)
+        if stypes.get(k) != dtypes.get(k)
+    }
+    assert not diffs, diffs
+
+
 def test_every_query_has_survey_operators():
     from cosmo_spark.queries import all_queries
 
