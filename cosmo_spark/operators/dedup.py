@@ -221,6 +221,63 @@ def _tok_hash(t):
     return poly_hash(t)
 
 
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: (id, cluster) where
+    cluster is the minimum id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds (duplicate clusters are near-cliques from LSH, so
+    diameter is tiny).  Each round is one shuffle on the node id; the loop
+    is driver-side control flow over small label tables, not collected data.
+
+    Input columns: id_a, id_b. Output: one row per node appearing in pairs.
+    """
+    # persist the edge list: the loop re-references it every round, and its
+    # upstream (MinHash + Jaccard verification) must not be recomputed
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint()  # truncate lineage at the loop entry
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        # localCheckpoint each round: without it the plan (and per-round
+        # recompute cost) grows with iteration count — the standard
+        # iterative-algorithm discipline on Spark
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster")))
+                 .alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if not changed:
+            break
+    edges.unpersist()
+    return labels
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,

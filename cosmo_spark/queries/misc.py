@@ -241,7 +241,11 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe buckets, so the pair join touches a fraction of the corpus.
 
     Centroids here are per-label mean vectors (deterministic, self-derived);
-    production would k-means a sample offline.
+    production would k-means a sample offline.  Measured recall vs the exact
+    q32 top-5 on the synthetic embeddings: 0.375/0.50/0.65/0.80 at
+    nprobe=2/3/4/6 of 10 buckets — the labels only weakly cluster the vector
+    space, so this run leans toward recall (nprobe=4, probing 40% of the
+    corpus); with real k-means centroids the same code probes far less.
     """
     from cosmo_spark.operators.similarity import ivf_cosine_topk
 
@@ -260,7 +264,7 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = e.filter(F.col("vec_id") < 8)
     out = ivf_cosine_topk(
-        e, queries, centroids, "embedding", "vec_id", k=5, nprobe=2
+        e, queries, centroids, "embedding", "vec_id", k=5, nprobe=4
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),

@@ -366,6 +366,82 @@ FROM verified
 """
 
 
+def _cluster_oracle() -> str:
+    """Recursive-CTE transitive closure over the MinHash candidate pairs."""
+    minhash = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  {minhash}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+)
+SELECT id, CAST(least(id, min(peer)) AS BIGINT) AS cluster
+FROM reach GROUP BY id
+"""
+
+
+@register("q45_dup_clusters", operators=("DD6",), oracle=_cluster_oracle())
+def q45_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components over the
+    MinHash candidate graph via iterative min-label propagation — the
+    'keep one per duplicate cluster' step of corpus dedup.
+
+    The oracle expresses the same closure as a recursive CTE; the Spark side
+    is a bounded driver loop of joins (each round one shuffle), the standard
+    iterative-algorithm shape Spark handles that SQL recursion cannot scale.
+    """
+    from cosmo_spark.operators.dedup import duplicate_clusters, shingle_table
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_table(d, "text", "doc_id", shingle_n=3).persist()
+    cands = minhash_candidates(
+        d, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3, shingles=sh
+    )
+    verified = ngram_jaccard_pairs(d, "text", "doc_id", candidate_pairs=cands,
+                                   shingles=sh)
+    return duplicate_clusters(verified.select("id_a", "id_b"))
+
+
+@register(
+    "q46_stratified_sample",
+    operators=("TXT6",),
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         {_DUCK_POLY.replace('{X}', 'text')} AS h
+  FROM documents
+), sampled AS (
+  SELECT * FROM hashed
+  WHERE h % 100 < (CASE lang WHEN 'en' THEN 10 ELSE 50 END)
+)
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM sampled GROUP BY lang
+""",
+)
+def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: per-language rates applied
+    via content-hash buckets (``hash % 100 < rate``) — reproducible across
+    engines and runs, unlike ``sampleBy`` RNG; the standard way to downsample
+    an over-represented language while keeping the selection stable under
+    re-runs and incremental ingest."""
+    d = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    sampled = d.select(
+        "doc_id", "lang", poly_hash(F.col("text")).alias("h")
+    ).filter(F.col("h") % 100 < rate)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 @register("q39_minhash_lsh", operators=("DD2", "DD4"), oracle=_minhash_oracle())
 def q39_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands × 2 rows) candidate pairs, verified with

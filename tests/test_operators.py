@@ -60,10 +60,6 @@ def test_asof_forward(spark):
     assert out == {"a": 2.0, "b": None}
 
 
-def test_segment_diff_positional():
-    """Array-form segment diff must pair flashes positionally, per ROOTNAME."""
-
-
 def test_segment_diff(spark):
     # ref: compute_segment_diff pairs FUVA with FUVB per rootname per flash
     # (osm_shift_monitors.py:55-86)
