@@ -60,9 +60,9 @@ def merge_into_path(
 ) -> None:
     """Apply ``merge_versioned`` against a parquet table path, atomically.
 
-    Full-rewrite merge is the no-transaction-log fallback; a production
-    deployment partitions the table and rewrites only partitions containing
-    updated keys (dynamic partition overwrite), or uses Delta MERGE.
+    Full-rewrite merge is the no-transaction-log fallback for unpartitioned
+    tables; at scale use ``merge_into_partitioned`` (rewrites only affected
+    partitions) or a transactional format's MERGE.
     """
     current = spark.read.parquet(path) if os.path.exists(path) else None
     merged = merge_versioned(current, updates, key_cols, version_col)
@@ -71,3 +71,39 @@ def merge_into_path(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: str | Sequence[str],
+    version_col: str,
+    partition_col: str,
+) -> None:
+    """Version-guarded merge into a Hive-partitioned parquet table, touching
+    ONLY partitions that contain updated keys.
+
+    The 100 TB upsert path: a day of updates against a years-deep table
+    reads and rewrites a handful of partition directories; everything else
+    is untouched bytes.  Mechanics: dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic``) replaces exactly the partitions
+    present in the written frame.  Requires ``partition_col`` to be part of
+    every update row (the merge key's partition cannot change).
+    """
+    affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not affected:
+        return
+    if os.path.exists(path):
+        current = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(affected)  # partition-pruned read
+        )
+        merged = merge_versioned(current, updates, key_cols, version_col)
+    else:
+        merged = merge_versioned(None, updates, key_cols, version_col)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -228,6 +228,41 @@ def test_jitter_monitor(spark):
     assert "SI_V2_AVG" not in out["data"].columns  # array dropped after reduce
 
 
+def test_reference_model_golden_counts(spark):
+    """Replay the reference DataModel goldens: the OSM model yields 11
+    datasets and the Acq model 9 (ref: tests/test_data_models.py:39-41,
+    96-98) — here as row-conservation through the monitor input stage."""
+    osm_rows = [
+        (f"lb{i:02d}", "FUV", 3, "G130M", 1291, 58000.0 + i, 1000.0,
+         [4.3, 4.3], [1.0, 0.5], [0.1, 0.1], ["FUVA", "FUVB"],
+         ["FUVA", "FUVB"], [3.5, 4.5], [50.0], [0.0])
+        for i in range(11)
+    ]
+    osm = spark.createDataFrame(osm_rows, (
+        "ROOTNAME STRING, DETECTOR STRING, LIFE_ADJ LONG, OPT_ELEM STRING, "
+        "CENWAVE LONG, EXPSTART DOUBLE, TSINCEOSM1 DOUBLE, TIME ARRAY<DOUBLE>, "
+        "SHIFT_DISP ARRAY<DOUBLE>, SHIFT_XDISP ARRAY<DOUBLE>, SEGMENT ARRAY<STRING>, "
+        "LAMPTAB_SEGMENT ARRAY<STRING>, FP_PIXEL_SHIFT ARRAY<DOUBLE>, "
+        "XC_RANGE ARRAY<DOUBLE>, SEARCH_OFFSET ARRAY<DOUBLE>"
+    ))
+    out = osm_shift_monitor(osm)
+    assert out["data"].select("ROOTNAME").distinct().count() == 11
+    assert out["segment_diffs"].count() == 11  # one FUVA-FUVB pair per exposure
+
+    acq_rows = [
+        (f"r{i}", "ACQ/IMAGE", 0.1, 0.1, 58000.0 + i, "IMAGING", 3000.0, "Open",
+         600.0, "Success", "NO", "1.001", "PSA", "MIRRORA", "F1", 0)
+        for i in range(9)
+    ]
+    acq9 = spark.createDataFrame(acq_rows, (
+        "ROOTNAME STRING, EXPTYPE STRING, ACQSLEWX DOUBLE, ACQSLEWY DOUBLE, "
+        "EXPSTART DOUBLE, OBSTYPE STRING, NEVENTS DOUBLE, SHUTTER STRING, "
+        "LAMPEVNT DOUBLE, ACQSTAT STRING, EXTENDED STRING, LINENUM STRING, "
+        "APERTURE STRING, OPT_ELEM STRING, FGS STRING, CENWAVE LONG"
+    ))
+    assert acq_image_monitor(acq9)["data"].count() == 9
+
+
 def test_run_monitors_cadence(spark, acq):
     inputs = {"acq": acq}
     out = run_monitors("monthly", {**inputs, "osm": None, "science": None,

@@ -89,6 +89,51 @@ def test_find_new_anti_join(spark, tmp_path):
     assert find_new(cat, None).count() == 2
 
 
+def test_reference_golden_counts(spark, tmp_path):
+    """Replay the reference's finder goldens: 13 report files on disk of
+    which 3 are versions of one SMS -> catalog retains 11 entries, max
+    version wins (ref: tests/test_sms_ingest.py:94-96,124-131)."""
+    names = [f"18{i:04d}a1.txt" for i in range(10)]          # 10 distinct
+    names += ["181137b3.txt", "181137b4.txt", "181137c2.txt"]  # 3 versions
+    for name in names:
+        write_sms(tmp_path, name, [row()])
+    assert len(names) == 13
+    cat = sms_catalog(spark, str(tmp_path))
+    assert cat.count() == 11
+    assert cat.filter("SMSID = '181137'").first().VERSION == "c2"
+
+
+def test_ingest_cli_end_to_end(spark, tmp_path):
+    """The 'cosmo --ingest' analog: CLI merges catalog + exposures, and a
+    re-run is a no-op (idempotent, ref: tests/test_sms_ingest.py:98-105)."""
+    import subprocess
+    import sys as _sys
+
+    sms_dir = tmp_path / "sms"
+    sms_dir.mkdir()
+    write_sms(sms_dir, "181137c2.txt", [row(), row(exp="DQ01K02", root="ld1ce4dm")])
+    data_dir = tmp_path / "tables"
+    data_dir.mkdir()
+
+    def run():
+        return subprocess.run(
+            [_sys.executable, "-m", "cosmo_spark.runner", "--ingest", str(sms_dir),
+             "--data-dir", str(data_dir), "--master", "local[2]"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    proc = run()
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    cat = spark.read.parquet(str(data_dir / "sms_file_stats.parquet"))
+    rows_df = spark.read.parquet(str(data_dir / "sms_exposures.parquet"))
+    assert cat.count() == 1 and rows_df.count() == 2
+
+    proc2 = run()
+    assert proc2.returncode == 0
+    assert "0 new files" in proc2.stdout
+    assert spark.read.parquet(str(data_dir / "sms_exposures.parquet")).count() == 2
+
+
 def test_exposure_merge_fileid_guard(spark, tmp_path):
     """Per-EXPOSURE rows: greater FILEID supersedes (ref: ingest_sms.py:189-198)."""
     write_sms(tmp_path, "181137b4.txt", [row(t1=1.0)])
