@@ -214,6 +214,60 @@ def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# q47 — sessionization (gap-based)                                            #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q47_sessionize",
+    operators=("W2", "W6", "ST4"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER w AS gap_sec
+  FROM events WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+  SELECT *, CAST(sum(CASE WHEN gap_sec IS NULL OR gap_sec > 1800
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_sec
+FROM tagged GROUP BY user_id, session_id
+""",
+)
+def q47_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30 min gap;
+    session id = running count of session starts (lag + cumulative sum).
+    The batch formulation of a session window — no stateful operator needed
+    when history is at rest.
+
+    Scale: two windows over the same (user, time) partitioning — one
+    shuffle; AQE splits skewed users.  Deterministic via event_id tiebreak.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    sec = F.unix_micros("ts") / 1e6
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = sec - F.lag(sec).over(w)
+    tagged = e.withColumn(
+        "session_start",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("session_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.unix_micros(F.max("ts")) / 1e6 - F.unix_micros(F.min("ts")) / 1e6, 3
+        ).alias("duration_sec"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # q21 — event-time binned rates                                               #
 # --------------------------------------------------------------------------- #
 

@@ -72,6 +72,22 @@ def test_q03_join_filters_pushed_both_sides(spark, qs):
     assert "l_quantity" in pf and "o_orderstatus" in pf
 
 
+def test_shingle_table_stays_staged(spark):
+    """The token-hash transform must appear exactly once in the optimized
+    plan.  If CollapseProject or a pushed predicate re-inlines it into the
+    per-shingle lambda, hashing becomes O(tokens²) (the 20x regression
+    documented in operators/dedup.py)."""
+    from cosmo_spark.operators.dedup import shingle_table
+    from cosmo_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    sh = shingle_table(d, "text", "doc_id")
+    optimized = sh._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("ascii") == 1, (
+        f"token hashing inlined {optimized.count('ascii')} times"
+    )
+
+
 def test_q20_shuffle_carries_hash_not_text(spark, qs):
     # exact dedup must shuffle the hash, never the document text
     df = qs["q20_exact_dedup"].spark_fn(spark, SF)
