@@ -92,8 +92,12 @@ def shingle_table(
         df.select(
             F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
         )
+        # filter on the TOKEN array, before hashing: predicate pushdown will
+        # substitute the filtered expression into the scan-side predicate, so
+        # whatever it references is computed twice — cheap for tokenize,
+        # expensive for token hashing
+        .filter(F.size("__toks") >= shingle_n)
         .select("__id", token_hashes("__toks").alias("__th"))
-        .filter(F.size("__th") >= shingle_n)
         .select(
             "__id", shingle_hashes_from_token_hashes("__th", shingle_n).alias("sh")
         )
