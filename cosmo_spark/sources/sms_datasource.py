@@ -4,38 +4,33 @@ The reference has no pluggable source concept — each file type is a
 hand-rolled Python loop (ref: cosmo/sms/ingest_sms.py:73-152,
 cosmo/filesystem.py:355-397).  Spark 4's Python Data Source API
 (pyspark.sql.datasource) lets the SMS format participate in the normal
-reader machinery instead: schema declaration, one input partition per
-report file (task parallelism = file parallelism, exactly the reference's
-dask fan-out), and lazy per-partition parsing.
+reader machinery instead:
 
-    spark.dataSource.register(SmsDataSource)
-    df = spark.read.format("cosmo-sms").load("/path/to/reports")
+- batch: one input partition per report file (task parallelism = file
+  parallelism, exactly the reference's dask fan-out), lazy per-partition
+  parsing;
+- streaming: incremental file discovery as source offsets (SURVEY ST1) —
+  the reference's ingest-log diff becomes engine-checkpointed exactly-once
+  delivery.
 
-This is the batch-source twin of sources/sms.py's regexp pipeline — same
-line grammar and exclusion rules, different integration point.  (For FITS,
-the identical pattern applies with astropy inside ``read`` — kept out of
-this environment because the codec is unavailable; SURVEY.md §4.1.)
+    spark.dataSource.register(build_datasource())
+    df  = spark.read.format("cosmo-sms").load(dir)          # batch
+    st  = spark.readStream.format("cosmo-sms").load(dir)    # stream
+
+Serialization note: every class and helper is defined INSIDE
+``build_datasource`` so cloudpickle ships them by value.  Spark runs data
+sources in separate Python workers (plan worker, streaming source runner),
+and the streaming runner does not inherit ``addPyFile`` includes — a
+module-referenced class would need the package installed on every worker
+(this is the same worker-pickling trap as mapInPandas closures; see
+sources/multimodal.py).
+
+Line grammar matches sources/sms.py (cross-verified row-for-row in tests);
+for FITS the identical pattern applies with astropy inside ``read`` — kept
+out of this environment because the codec is unavailable (SURVEY.md §4.1).
 """
 
 from __future__ import annotations
-
-import glob as _glob
-import os
-import re
-from collections.abc import Iterator
-
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import StructType
-
-#: field order and Python casts for a report line (FIXTURES.md §4)
-_FIELDS = [
-    ("EXPOSURE", str), ("ROOTNAME", str), ("PROPOSID", int), ("DETECTOR", str),
-    ("OPMODE", str), ("EXPTIME", float), ("EXPSTART", str), ("FUVHVSTATE", str),
-    ("APERTURE", str), ("OSM1POS", str), ("OSM2POS", str), ("CENWAVE", int),
-    ("FPOFFSET", int), ("TSINCEOSM1", float), ("TSINCEOSM2", float),
-]
-_EXCLUDED = ("MEMORY", "ALIGN/OSM", "ALIGN/APER")
-_NAME_RE = re.compile(r"([0-9]{6}[a-z0-9]{2,3})\.txt$")
 
 _DDL = (
     "EXPOSURE STRING, ROOTNAME STRING, PROPOSID BIGINT, DETECTOR STRING, "
@@ -45,89 +40,118 @@ _DDL = (
 )
 
 
-class SmsFilePartition(InputPartition):
-    def __init__(self, path: str):
-        self.path = path
+def build_datasource():
+    """Build the (self-contained, pickle-by-value) SmsDataSource class."""
+    import glob as _glob
+    import os as _os
+    import re as _re
 
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
-class SmsReader(DataSourceReader):
-    def __init__(self, options: dict):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("cosmo-sms requires a load(path)")
+    fields = [
+        ("EXPOSURE", str), ("ROOTNAME", str), ("PROPOSID", int),
+        ("DETECTOR", str), ("OPMODE", str), ("EXPTIME", float),
+        ("EXPSTART", str), ("FUVHVSTATE", str), ("APERTURE", str),
+        ("OSM1POS", str), ("OSM2POS", str), ("CENWAVE", int),
+        ("FPOFFSET", int), ("TSINCEOSM1", float), ("TSINCEOSM2", float),
+    ]
+    excluded = ("MEMORY", "ALIGN/OSM", "ALIGN/APER")
+    name_re = _re.compile(r"([0-9]{6}[a-z0-9]{2,3})\.txt$")
+    ddl = _DDL
 
-    def partitions(self):
-        # one partition per report file — task parallelism mirrors the
-        # reference's one-dask-task-per-file fan-out
-        files = sorted(_glob.glob(os.path.join(self.path, "*.txt")))
-        if not files:
-            raise FileNotFoundError(f"no SMS reports under {self.path}")
-        return [SmsFilePartition(p) for p in files]
-
-    def read(self, partition: SmsFilePartition) -> Iterator[tuple]:
-        m = _NAME_RE.search(os.path.basename(partition.path))
+    def parse_file(path):
+        m = name_re.search(_os.path.basename(path))
         fileid = m.group(1) if m else None
-        with open(partition.path) as f:
+        rows = []
+        with open(path) as f:
             for line in f:
                 line = line.strip()
                 if not line or line.startswith("#"):
                     continue
-                if any(x in line for x in _EXCLUDED):
+                if any(x in line for x in excluded):
                     continue
                 parts = line.split()
-                if len(parts) != len(_FIELDS):
-                    raise ValueError(
-                        f"malformed SMS line in {partition.path!r}: {line!r}"
-                    )
-                rec = [cast(tok) for tok, (_, cast) in zip(parts, _FIELDS)]
-                fpoffset = rec[12]
-                row = rec[:12] + [fpoffset + 3] + rec[13:] + [fileid]
-                yield tuple(row)
+                if len(parts) != len(fields):
+                    raise ValueError(f"malformed SMS line in {path!r}: {line!r}")
+                rec = [cast(tok) for tok, (_, cast) in zip(parts, fields)]
+                # FPPOS = fpoffset + 3 (ref: ingest_sms.py:141)
+                rows.append(tuple(rec[:12] + [rec[12] + 3] + rec[13:] + [fileid]))
+        return rows
 
+    def list_files(path):
+        return sorted(_glob.glob(_os.path.join(path, "*.txt")))
 
-class SmsDataSource(DataSource):
-    @classmethod
-    def name(cls) -> str:
-        return "cosmo-sms"
+    class SmsFilePartition(InputPartition):
+        def __init__(self, path):
+            self.path = path
 
-    def schema(self) -> str:
-        return _DDL
+    class SmsReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("cosmo-sms requires a load(path)")
 
-    def reader(self, schema: StructType) -> SmsReader:
-        return SmsReader(self.options)
+        def partitions(self):
+            files = list_files(self.path)
+            if not files:
+                raise FileNotFoundError(f"no SMS reports under {self.path}")
+            return [SmsFilePartition(p) for p in files]
+
+        def read(self, partition):
+            yield from parse_file(partition.path)
+
+    class SmsStreamReader(SimpleDataSourceStreamReader):
+        """Offset = the set of already-emitted file names (a production
+        source would compact to an (mtime, name) watermark)."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("cosmo-sms streaming requires a load(path)")
+
+        def initialOffset(self):
+            return {"seen": []}
+
+        def read(self, start):
+            seen = set(start["seen"])
+            new = [p for p in list_files(self.path)
+                   if _os.path.basename(p) not in seen]
+            rows = []
+            for p in new:
+                rows.extend(parse_file(p))
+            end = {"seen": sorted(seen | {_os.path.basename(p) for p in new})}
+            return iter(rows), end
+
+        def readBetweenOffsets(self, start, end):
+            # deterministic replay after failure: exactly the files that
+            # joined the offset between the two checkpoints
+            delta = set(end["seen"]) - set(start["seen"])
+            rows = []
+            for name in sorted(delta):
+                rows.extend(parse_file(_os.path.join(self.path, name)))
+            return iter(rows)
+
+    class SmsDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "cosmo-sms"
+
+        def schema(self):
+            return ddl
+
+        def reader(self, schema):
+            return SmsReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SmsStreamReader(self.options)
+
+    return SmsDataSource
 
 
 def register(spark) -> None:
-    """Register the source, shipping the package to Python workers.
-
-    The DataSource class is cloudpickled by module reference, so executors
-    must be able to ``import cosmo_spark``.  On a managed cluster that's a
-    pip install or ``--py-files``; here ``addPyFile`` with an on-the-fly
-    package zip makes registration self-sufficient from any working
-    directory.
-    """
-    _ship_package(spark)
-    spark.dataSource.register(SmsDataSource)
-
-
-def _ship_package(spark) -> None:
-    import tempfile
-    import zipfile
-
-    import cosmo_spark
-
-    pkg_dir = os.path.dirname(os.path.abspath(cosmo_spark.__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "cosmo_spark_pkg.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            "cosmo_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
-    spark.sparkContext.addPyFile(zpath)
+    spark.dataSource.register(build_datasource())

@@ -45,6 +45,37 @@ def test_datasource_pushes_filters_post_scan(registered, tmp_path):
     assert df.filter(F.col("DETECTOR") == "NUV").count() == 1
 
 
+def test_datasource_streaming_incremental(registered, tmp_path):
+    """Streaming reader: only newly arrived files are emitted per batch;
+    the offset (seen-file set) is checkpointed."""
+    sms = tmp_path / "sms"
+    sms.mkdir()
+    ckpt = tmp_path / "ck"
+    sink = tmp_path / "out"
+    write_sms(sms, "181137c2.txt", [row()])
+
+    def run():
+        stream = registered.readStream.format("cosmo-sms").load(str(sms))
+        q = (
+            stream.writeStream.format("parquet").option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert registered.read.parquet(str(sink)).count() == 1
+
+    write_sms(sms, "181150a1.txt", [row(exp="DQ02K01"), row(exp="DQ02K02")])
+    run()
+    df = registered.read.parquet(str(sink))
+    assert df.count() == 3  # 1 old + 2 new, old file NOT re-emitted
+    assert df.filter("FILEID = '181150a1'").count() == 2
+
+    run()  # no new files -> no new rows
+    assert registered.read.parquet(str(sink)).count() == 3
+
+
 def test_datasource_malformed_raises(registered, tmp_path):
     (tmp_path / "181137c2.txt").write_text(HEADER + "garbage\n")
     df = registered.read.format("cosmo-sms").load(str(tmp_path))
