@@ -230,6 +230,60 @@ def q43_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_interval_join",
+    operators=("J8", "P4"),
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+       round(epoch(p.ts) - epoch(e.ts), 3) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 100) p
+JOIN (SELECT * FROM events WHERE event_type = 'error' AND user_id < 100) e
+  ON p.user_id = e.user_id
+ AND e.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+""",
+)
+def q48_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval join: errors within 10 minutes before each purchase.
+
+    Formulated as a grid-bucketed equi-join: both sides bucket time into
+    10-minute cells, probes join their own and previous cell, then the exact
+    range predicate filters.  Per-pair work is bounded by cell occupancy —
+    no quadratic per-user blowup, unlike a naive theta join.  (The reference
+    has no interval joins; this is the range-join technique its as-of
+    lookups would need at scale.)
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    cell = 600.0  # seconds, == the interval bound
+    sec = F.unix_micros("ts") / 1e6
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            sec.alias("p_sec"),
+            # probe its own cell and the previous one — covers the full lag
+            F.explode(F.array(
+                F.floor(sec / cell).cast("long"),
+                F.floor(sec / cell).cast("long") - 1,
+            )).alias("cell"),
+        )
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), sec.alias("e_sec"),
+        F.floor(sec / cell).cast("long").alias("cell"),
+    )
+    return (
+        p.join(err, ["user_id", "cell"])
+        .filter(
+            (F.col("e_sec") >= F.col("p_sec") - cell)
+            & (F.col("e_sec") <= F.col("p_sec"))
+        )
+        .select(
+            "user_id", "purchase_id", "error_id",
+            F.round(F.col("p_sec") - F.col("e_sec"), 3).alias("gap_sec"),
+        )
+    )
+
+
+@register(
     "q44_ivf_ann",
     operators=("SIM2",),
     oracle=None,  # iterative centroid assignment — not ANSI-SQL expressible;

@@ -1,0 +1,43 @@
+"""k-means centroid training: converges on separable clusters, deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cosmo_spark.operators.kmeans import kmeans_centroids
+from cosmo_spark.operators.similarity import assign_buckets
+
+
+def _clustered(spark):
+    # three well-separated direction clusters in 4-d
+    rows = []
+    for i in range(30):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0, eps, 0.0, 0.0]))            # cluster along x
+        rows.append((100 + i, [0.0, 1.0, eps, 0.0]))      # cluster along y
+        rows.append((200 + i, [0.0, 0.0, eps, 1.0]))      # cluster along w
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+def test_kmeans_separates_clusters(spark):
+    df = _clustered(spark)
+    cents = kmeans_centroids(df, "embedding", "vec_id", k=3, iterations=4)
+    assert cents.count() == 3
+    assigned = assign_buckets(df, cents, "embedding", "vec_id")
+    groups = (
+        assigned.withColumn("truth", (F.col("vec_id") / 100).cast("int"))
+        .groupBy("truth")
+        .agg(F.countDistinct("bucket").alias("nb"))
+        .collect()
+    )
+    # every ground-truth cluster maps to exactly one bucket
+    assert all(g.nb == 1 for g in groups)
+    # and the three buckets are distinct
+    assert assigned.select("bucket").distinct().count() == 3
+
+
+def test_kmeans_deterministic(spark):
+    df = _clustered(spark)
+    a = sorted(map(repr, kmeans_centroids(df, "embedding", "vec_id", k=3, iterations=2).collect()))
+    b = sorted(map(repr, kmeans_centroids(df, "embedding", "vec_id", k=3, iterations=2).collect()))
+    assert a == b
