@@ -245,27 +245,52 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    # size the per-round tables to the graph, not the session default —
+    # near-dup graphs are usually tiny relative to the corpus, and every
+    # propagation round pays per-partition task overhead
+    n_edges = edges.count()
+    n_parts = max(1, min(n_edges // 500_000, 2000) or 1)
+    edges = edges.coalesce(n_parts)
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("cluster", F.col("id"))
+        .coalesce(n_parts)
         .localCheckpoint()  # truncate lineage at the loop entry
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("nmin"))
         )
-        # localCheckpoint each round: without it the plan (and per-round
-        # recompute cost) grows with iteration count — the standard
-        # iterative-algorithm discipline on Spark
-        updated = (
+        propagated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster")))
                  .alias("cluster"),
             )
+        )
+        # pointer jumping: also adopt the label OF my current label —
+        # halves the remaining distance to the component minimum each round
+        # (O(log diameter) total instead of O(diameter); a bare neighbor-min
+        # loop silently under-converges on long path graphs)
+        parent = propagated.select(
+            F.col("id").alias("pid"), F.col("cluster").alias("pcluster")
+        )
+        # localCheckpoint each round: without it the plan (and per-round
+        # recompute cost) grows with iteration count — the standard
+        # iterative-algorithm discipline on Spark
+        updated = (
+            propagated.join(parent, propagated.cluster == parent.pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("pcluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .coalesce(n_parts)
             .localCheckpoint()
         )
         changed = (
@@ -277,8 +302,14 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         labels = updated
         if not changed:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds "
+            "— raise max_iterations (components with diameter > 2^rounds)"
+        )
     return labels
 
 

@@ -38,9 +38,6 @@ from pyspark.sql import functions as F
 
 from cosmo_spark.operators.topk import latest_per_key
 
-#: one capture group per output column, applied to the whole line
-_FIELD_PATTERNS: dict[str, tuple[int, str]] = {}
-
 #: whitespace-separated field spec: (position, cast type)
 _FIELDS: list[tuple[str, str]] = [
     ("EXPOSURE", "string"),
