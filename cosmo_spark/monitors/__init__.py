@@ -22,14 +22,69 @@ from cosmo_spark.monitors.telemetry import telemetry_monitor
 from cosmo_spark.monitors.aper import aperture_shift_monitor
 from cosmo_spark.monitors.jitter import jitter_monitor
 
-#: name -> (cadence, callable) — cadence mirrors the reference's pytest
-#: markers (ref: cosmo/run_monitors.py:95-146, cosmo/pytest.ini:1-8)
+def _variant(fn, doc, **bound):
+    """Named specialization of a parameterized monitor bundle (the reference
+    declares one class per variant; here variants bind parameters)."""
+    def wrapper(**inputs):
+        return fn(**inputs, **bound)
+    wrapper.__required_inputs__ = fn.__required_inputs__
+    wrapper.__doc__ = doc
+    wrapper.__name__ = fn.__name__
+    return wrapper
+
+
+def _detector_variant(fn, detector, doc, **bound):
+    """Variant that pre-filters its first input table by DETECTOR."""
+    from pyspark.sql import functions as F
+
+    required = fn.__required_inputs__
+
+    def wrapper(**inputs):
+        first = required[0]
+        inputs = {**inputs, first: inputs[first].filter(F.col("DETECTOR") == detector)}
+        return fn(**inputs, **bound)
+    wrapper.__required_inputs__ = required
+    wrapper.__doc__ = doc
+    wrapper.__name__ = f"{fn.__name__}_{detector.lower()}"
+    return wrapper
+
+
+#: name -> (cadence, callable) — one entry per reference monitor class
+#: (ref: cosmo/monitors/__init__.py:1-19; cadence markers
+#: cosmo/run_monitors.py:95-146, cosmo/pytest.ini:1-8)
 MONITORS = {
     "acq_image": ("monthly", acq_image_monitor),
     "acq_image_v2v3": ("monthly", acq_image_v2v3_monitor),
-    "acq_peakd": ("monthly", acq_peak_monitor),
-    "osm_shift": ("monthly", osm_shift_monitor),
-    "osm_drift": ("monthly", osm_drift_monitor),
+    "acq_peakd": ("monthly", _variant(
+        acq_peak_monitor, "AcqPeakdMonitor (ref: acq_monitors.py:355-437)",
+        exptype="ACQ/PEAKD")),
+    "acq_peakxd": ("monthly", _variant(
+        acq_peak_monitor, "AcqPeakxdMonitor (ref: acq_monitors.py:440-516)",
+        exptype="ACQ/PEAKXD")),
+    "fuv_osm_shift1": ("monthly", _detector_variant(
+        osm_shift_monitor, "FUV",
+        "FuvOsmShift1Monitor (ref: osm_shift_monitors.py:124-360)",
+        shift_col="SHIFT_DISP", segment_pairs=[("FUVA", "FUVB")])),
+    "fuv_osm_shift2": ("monthly", _detector_variant(
+        osm_shift_monitor, "FUV",
+        "FuvOsmShift2Monitor (cross-dispersion variant)",
+        shift_col="SHIFT_XDISP", segment_pairs=[("FUVA", "FUVB")])),
+    "nuv_osm_shift1": ("monthly", _detector_variant(
+        osm_shift_monitor, "NUV",
+        "NuvOsmShift1Monitor (ref: osm_shift_monitors.py:383-570)",
+        shift_col="SHIFT_DISP",
+        segment_pairs=[("NUVA", "NUVB"), ("NUVB", "NUVC"), ("NUVC", "NUVA")])),
+    "nuv_osm_shift2": ("monthly", _detector_variant(
+        osm_shift_monitor, "NUV",
+        "NuvOsmShift2Monitor (cross-dispersion variant)",
+        shift_col="SHIFT_XDISP",
+        segment_pairs=[("NUVA", "NUVB"), ("NUVB", "NUVC"), ("NUVC", "NUVA")])),
+    "fuv_osm_drift": ("monthly", _detector_variant(
+        osm_drift_monitor, "FUV",
+        "FUVOSMDriftMonitor (ref: osm_drift_monitors.py:44-135)")),
+    "nuv_osm_drift": ("monthly", _detector_variant(
+        osm_drift_monitor, "NUV",
+        "NUVOSMDriftMonitor (ref: osm_drift_monitors.py:218-300)")),
     "dark_rate": ("daily", dark_rate_monitor),
     "telemetry": ("daily", telemetry_monitor),
     "aperture_shift": ("monthly", aperture_shift_monitor),

@@ -29,11 +29,28 @@ def _monitor(required):
     return deco
 
 
+#: paired segments per detector (ref: compute_segment_diff callers,
+#: cosmo/monitors/osm_shift_monitors.py:55-86 — segment1 FUVA/NUVB/NUVC
+#: pairs with segment2 FUVB/NUVC/NUVA)
+SEGMENT_PAIRS = {
+    "FUV": [("FUVA", "FUVB")],
+    "NUV": [("NUVA", "NUVB"), ("NUVB", "NUVC"), ("NUVC", "NUVA")],
+}
+
+
 @_monitor(["osm"])
-def osm_shift_monitor(osm: DataFrame, shift_col: str = "SHIFT_DISP") -> dict[str, DataFrame]:
+def osm_shift_monitor(
+    osm: DataFrame,
+    shift_col: str = "SHIFT_DISP",
+    segment_pairs: list[tuple[str, str]] | None = None,
+) -> dict[str, DataFrame]:
     """ref: cosmo/monitors/osm_shift_monitors.py:124-133 (get_data),
     :444-452 (rolling mean), :55-86 (segment diff), :634-638 (2σ rule),
-    :613-627 (reference-array lookups)."""
+    :613-627 (reference-array lookups).
+
+    ``segment_pairs`` defaults to the union of FUV and NUV pairings; the
+    detector-specific monitor variants narrow it.
+    """
     base = (
         osm.filter(F.size(F.col(shift_col)) > 0)        # P7: drop empty arrays
         .withColumn(
@@ -44,8 +61,10 @@ def osm_shift_monitor(osm: DataFrame, shift_col: str = "SHIFT_DISP") -> dict[str
         .withColumn("XC_RANGE_0", F.element_at("XC_RANGE", 1))     # P12 :626
         .withColumn("SEARCH_OFFSET_0", F.element_at("SEARCH_OFFSET", 1))
     )
+    # dedupe: shift_col may itself be SHIFT_XDISP (the *2 monitor variants)
+    array_cols = list(dict.fromkeys(["TIME", shift_col, "SHIFT_XDISP", "SEGMENT"]))
     long = explode_zip(
-        base, ["TIME", shift_col, "SHIFT_XDISP", "SEGMENT"], index_col="flash_pos"
+        base, array_cols, index_col="flash_pos"
     ).withColumn("ts", mjd_to_ts(F.col("EXPSTART") + F.col("TIME") / 86400.0))
 
     # flash index within (exposure, segment): position among same-segment
@@ -55,10 +74,15 @@ def osm_shift_monitor(osm: DataFrame, shift_col: str = "SHIFT_DISP") -> dict[str
     w = Window.partitionBy("ROOTNAME", "SEGMENT").orderBy("flash_pos")
     long = long.withColumn("flash_idx", F.row_number().over(w) - 1)
 
-    diffs = segment_diff(
-        long, ["ROOTNAME"], "SEGMENT", shift_col, "FUVA", "FUVB",
-        keep_cols=["OPT_ELEM", "CENWAVE", "EXPSTART"],
-    )
+    if segment_pairs is None:
+        segment_pairs = SEGMENT_PAIRS["FUV"] + SEGMENT_PAIRS["NUV"]
+    diffs = None
+    for seg1, seg2 in segment_pairs:
+        d = segment_diff(
+            long, ["ROOTNAME"], "SEGMENT", shift_col, seg1, seg2,
+            keep_cols=["OPT_ELEM", "CENWAVE", "EXPSTART"],
+        )
+        diffs = d if diffs is None else diffs.unionByName(d)
     rolled = rolling_time_mean(
         long, "ts", shift_col, window_seconds=180 * 86400,
         group_cols=["OPT_ELEM"], out_col="rolling_180d",

@@ -86,8 +86,21 @@ def write_results_csv(df: DataFrame, path: str, single_file: bool = True) -> Non
     """Results sink (ref: store_results CSV,
     cosmo/monitors/acq_monitors.py:472-475).  Monitor outputs are small
     aggregates, so ``single_file`` coalesces to one part for human use;
-    large outputs should keep their parallelism."""
-    out = df.coalesce(1) if single_file else df
+    large outputs should keep their parallelism.
+
+    Array/struct/map columns are serialized to JSON strings — CSV cannot
+    hold them natively (the reference's SQLite layer had the same problem
+    and stringified arrays, ref: cosmo/monitor_helpers.py:118-135)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    cols = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+            cols.append(F.to_json(F.col(field.name)).alias(field.name))
+        else:
+            cols.append(F.col(field.name))
+    out = df.select(*cols)
+    out = out.coalesce(1) if single_file else out
     out.write.mode("overwrite").option("header", True).csv(path)
 
 

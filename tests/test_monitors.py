@@ -263,6 +263,41 @@ def test_reference_model_golden_counts(spark):
     assert acq_image_monitor(acq9)["data"].count() == 9
 
 
+def test_registry_covers_reference_monitor_classes():
+    """One registry entry per reference monitor class
+    (ref: cosmo/monitors/__init__.py:1-19)."""
+    expected = {
+        "acq_image", "acq_image_v2v3", "acq_peakd", "acq_peakxd",
+        "fuv_osm_shift1", "fuv_osm_shift2", "nuv_osm_shift1", "nuv_osm_shift2",
+        "fuv_osm_drift", "nuv_osm_drift",
+        "dark_rate", "telemetry", "aperture_shift", "jitter",
+    }
+    assert set(MONITORS) == expected
+
+
+def test_nuv_osm_shift_pairs_stripes(spark):
+    """NUV variants pair stripes NUVA-NUVB / NUVB-NUVC / NUVC-NUVA
+    (ref: osm_shift_monitors.py:55-86)."""
+    rows = [("n1", "NUV", 3, "G185M", 1786, 58000.0, 0.0,
+             [1.0, 1.0, 1.0], [5.0, 3.0, 2.0], [0.1, 0.1, 0.1],
+             ["NUVA", "NUVB", "NUVC"], ["NUVA", "NUVB", "NUVC"],
+             [1.0, 2.0, 3.0], [50.0], [0.0])]
+    osm = spark.createDataFrame(rows, (
+        "ROOTNAME STRING, DETECTOR STRING, LIFE_ADJ LONG, OPT_ELEM STRING, "
+        "CENWAVE LONG, EXPSTART DOUBLE, TSINCEOSM1 DOUBLE, TIME ARRAY<DOUBLE>, "
+        "SHIFT_DISP ARRAY<DOUBLE>, SHIFT_XDISP ARRAY<DOUBLE>, SEGMENT ARRAY<STRING>, "
+        "LAMPTAB_SEGMENT ARRAY<STRING>, FP_PIXEL_SHIFT ARRAY<DOUBLE>, "
+        "XC_RANGE ARRAY<DOUBLE>, SEARCH_OFFSET ARRAY<DOUBLE>"
+    ))
+    out = MONITORS["nuv_osm_shift1"][1](osm=osm)
+    diffs = {r.segment_pair: r.seg_diff for r in out["segment_diffs"].collect()}
+    assert diffs == {
+        "NUVA-NUVB": pytest.approx(2.0),   # 5 - 3
+        "NUVB-NUVC": pytest.approx(1.0),   # 3 - 2
+        "NUVC-NUVA": pytest.approx(-3.0),  # 2 - 5
+    }
+
+
 def test_run_monitors_cadence(spark, acq):
     inputs = {"acq": acq}
     out = run_monitors("monthly", {**inputs, "osm": None, "science": None,
