@@ -504,7 +504,9 @@ WITH base AS (
                                ORDER BY version DESC) AS rn
   FROM unioned
 )
-SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total,
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT) / 10000.0
+         AS total,
        CAST(sum(version) AS BIGINT) AS version_sum
 FROM merged WHERE rn = 1
 GROUP BY o_orderstatus
@@ -527,9 +529,13 @@ def q26_version_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned = base.unionByName(updates)
     w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
     merged = unioned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # per-row integer e4 units summed exactly (order-free), divided once:
+    # round(sum(...), 4) on a ~1e10 sum can land on a half-decimal tie and
+    # flip between engines (observed at sf0.1)
+    e4 = F.round(F.col("o_totalprice") * 10000).cast("long")
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        (F.sum(e4) / 10000.0).alias("total"),
         F.sum("version").alias("version_sum"),
     )
 
