@@ -37,10 +37,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     operators=("A1", "A4", "P1"),
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)                                   AS sum_qty,
-       round(sum(l_extendedprice), 4)                              AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
+         AS sum_charge,
        round(avg(l_quantity), 6)                                   AS avg_qty,
        round(avg(l_extendedprice), 6)                              AS avg_price,
        round(avg(l_discount), 6)                                   AS avg_disc,
@@ -59,14 +64,21 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    # sums as per-row integer units (exact below 2^53 per row, int64 sums
+    # order-free), divided once: round(sum(...), k) over billion-scale sums
+    # can flip on half-decimal ties between engines (docs/PARITY.md rule 3)
+    def exact_sum(col, k):
+        return F.sum(F.round(col * 10**k).cast("long")) / float(10**k)
+
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -256,8 +268,9 @@ def q05_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("J1", "A4"),
     oracle="""
 SELECT c.c_mktsegment, o.o_orderstatus,
-       count(*)                       AS n_orders,
-       round(sum(o.o_totalprice), 4)  AS revenue
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment, o.o_orderstatus
 """,
@@ -276,7 +289,9 @@ def q06_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            # exact-cents sum (docs/PARITY.md rule 3)
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0)
+             .alias("revenue"),
         )
     )
 
