@@ -270,6 +270,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 "id",
                 F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster")))
                  .alias("cluster"),
+                F.col("cluster").alias("prev"),
             )
         )
         # pointer jumping: also adopt the label OF my current label —
@@ -289,18 +290,19 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("pcluster"), F.col("cluster"))
                 ).alias("cluster"),
+                "prev",
             )
             .coalesce(n_parts)
             .localCheckpoint()
         )
+        # convergence check: `prev` (the label at round entry) rides along
+        # through both joins, so this is a narrow filter over the
+        # just-materialized table — no extra shuffle join against the old
+        # labels, and it works for any orderable id type
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.cluster") != F.col("l.cluster"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("cluster") != F.col("prev")).limit(1).count()
         )
-        labels = updated
+        labels = updated.drop("prev")
         if not changed:
             converged = True
             break
