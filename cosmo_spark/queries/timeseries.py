@@ -303,6 +303,66 @@ def q21_binned_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# q49 — Structured Streaming tumbling-window rates (end-to-end)               #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q49_stream_window_rates",
+    operators=("ST1", "ST4", "A9"),
+    oracle="""
+SELECT event_type,
+       strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+                               * 21600 * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n,
+       round(count(*) / 21600.0, 8) AS rate_per_sec
+FROM events GROUP BY 1, 2
+""",
+)
+def q49_stream_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming run of the event-rate pipeline
+    (ref: dark-rate binning, cosmo/monitors/dark_monitors.py:53-98; the
+    incremental-arrival semantics of SURVEY.md ST1/ST4): availableNow file
+    stream over the events table -> watermarked 6 h tumbling-window counts
+    (cosmo_spark.streaming.rates.windowed_rates, same code path as batch) ->
+    memory sink in complete mode, so the emitted windows are exact and
+    hash-comparable against the batch oracle.  At scale the memory sink
+    becomes a Delta/parquet sink and availableNow a continuous trigger; the
+    plan (partial agg -> shuffle on (event_type, window) -> state store) is
+    unchanged.  Windows are epoch-aligned and the session is pinned to UTC,
+    so window_start equals floor(epoch/21600)*21600 on both engines.
+    """
+    from cosmo_spark.sources.tables import _normalize_nanos
+    from cosmo_spark.streaming.rates import windowed_rates
+
+    tune_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    rates = windowed_rates(
+        _normalize_nanos(stream), time_col="ts", window="6 hours",
+        watermark="2 minutes", group_cols=("event_type",),
+        rate_divisor=21600.0,
+    )
+    sink = "q49_stream_rates_sink"
+    spark.catalog.dropTempView(sink)
+    query = (
+        rates.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).select(
+        "event_type",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        F.round("rate_per_sec", 8).alias("rate_per_sec"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # q22 — per-group linear regression                                           #
 # --------------------------------------------------------------------------- #
 
