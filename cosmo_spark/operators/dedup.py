@@ -251,9 +251,13 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     n_edges = edges.count()
     n_parts = max(1, min(n_edges // 500_000, 2000) or 1)
     edges = edges.coalesce(n_parts)
+    # initial labels already absorb the first propagation round: with
+    # labels == ids, round 0's neighbor-min is just min(dst) per src — a
+    # groupBy on the edge list, one full join+shuffle iteration saved
     labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("cluster", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nmin"))
+        .select("id", F.least(F.col("id"), F.col("nmin")).alias("cluster"))
         .coalesce(n_parts)
         .localCheckpoint()  # truncate lineage at the loop entry
     )
