@@ -251,6 +251,11 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     n_edges = edges.count()
     n_parts = max(1, min(n_edges // 500_000, 2000) or 1)
     edges = edges.coalesce(n_parts)
+    # the label table is bounded by the node count (≤ 2·edges); when the
+    # graph fits the broadcast budget, ship labels to the edge partitions
+    # instead of shuffling both sides every round
+    bcast = n_edges < 2_000_000
+    side = F.broadcast if bcast else (lambda df: df)
     # initial labels already absorb the first propagation round: with
     # labels == ids, round 0's neighbor-min is just min(dst) per src — a
     # groupBy on the edge list, one full join+shuffle iteration saved
@@ -264,12 +269,12 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(side(labels), edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("nmin"))
         )
         propagated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            labels.join(side(neighbor_min), labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster")))
@@ -288,7 +293,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         # recompute cost) grows with iteration count — the standard
         # iterative-algorithm discipline on Spark
         updated = (
-            propagated.join(parent, propagated.cluster == parent.pid, "left")
+            propagated.join(side(parent), propagated.cluster == parent.pid, "left")
             .select(
                 "id",
                 F.least(
