@@ -465,3 +465,61 @@ def q39_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", candidate_pairs=cands, shingles=sh
     )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------- #
+# q50 — Structured Streaming exact dedup (end-to-end)                         #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q50_stream_dedup",
+    operators=("ST1", "ST3", "DD1"),
+    oracle=f"""
+WITH norm AS (
+  SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+  FROM documents
+)
+SELECT DISTINCT {_DUCK_POLY.replace('{X}', 'norm_text')} AS text_hash,
+       length(norm_text) AS text_len
+FROM norm
+""",
+)
+def q50_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming exact dedup: availableNow file stream
+    over the documents table -> stateful ``dropDuplicates`` on the
+    (normalized-text hash, length) key -> append-mode memory sink.
+
+    The incremental twin of q20 (ref new-file semantics: SURVEY.md ST1/ST3,
+    cosmo/monitors/data_models.py:62-77): a batch re-run of the stream is a
+    no-op for already-seen documents because the dedup state carries the key
+    set across triggers.  The emitted key set is arrival-order-independent
+    (keys, not representatives, are output), so it hash-matches the batch
+    DISTINCT oracle exactly.
+
+    Scale: state is ~16 bytes per distinct document (hash + length), never
+    the text; on an unbounded stream the same pipeline uses
+    ``dropDuplicatesWithinWatermark`` to bound state by event time.
+    """
+    from cosmo_spark.operators.dedup import normalize_text
+
+    tune_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    norm = normalize_text(F.col("text"))
+    keyed = stream.select(
+        poly_hash(norm).alias("text_hash"),
+        F.length(norm).cast("long").alias("text_len"),
+    )
+    deduped = keyed.dropDuplicates(["text_hash", "text_len"])
+    sink = "q50_stream_dedup_sink"
+    spark.catalog.dropTempView(sink)
+    query = (
+        deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
