@@ -82,12 +82,21 @@ def array_mean(arr: Column | str) -> Column:
 
 
 def array_std(arr: Column | str) -> Column:
-    """Sample standard deviation of an array cell (NULL when < 2 elements)."""
+    """Sample standard deviation of an array cell (NULL when < 2 elements).
+
+    One-pass sum/sum-of-squares form: the naive two-pass ``(x - mean)²``
+    fold inlines the mean aggregate into the per-element lambda, which
+    re-evaluates it for every element — O(d²) interpreted work per row.
+    Here each fold runs exactly once per row; the variance is clamped at 0
+    to absorb cancellation on near-constant arrays.  Oracles must use the
+    same formula so float64 results match bit-for-bit.
+    """
     arr = _c(arr)
     n = F.size(arr)
-    mean = array_mean(arr)
-    ss = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + (x - mean) * (x - mean))
-    return F.when(n > 1, F.sqrt(ss / (n - F.lit(1))))
+    s = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    ss = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    var = (ss - s * s / n) / (n - F.lit(1))
+    return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
 
 
 def array_max(arr: Column | str) -> Column:

@@ -31,10 +31,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 SELECT vec_id,
        len(embedding) AS dim,
        round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS vec_mean,
-       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-               x -> (x - list_sum(CAST(embedding AS DOUBLE[])) / len(embedding))
-                  * (x - list_sum(CAST(embedding AS DOUBLE[])) / len(embedding))))
-             / (len(embedding) - 1)), 6) AS vec_std,
+       round(sqrt(greatest(
+               (list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))
+                - list_sum(CAST(embedding AS DOUBLE[]))
+                  * list_sum(CAST(embedding AS DOUBLE[])) / len(embedding))
+               / (len(embedding) - 1), 0.0)), 6) AS vec_std,
        round(list_max(CAST(embedding AS DOUBLE[])), 6) AS vec_max
 FROM embeddings
 """,
