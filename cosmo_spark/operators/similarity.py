@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cosmo_spark.functions.vectors import as_double, cosine_sim
+from cosmo_spark.functions.vectors import as_double
 
 
 def cosine_topk(
@@ -69,10 +69,19 @@ def assign_buckets(
 
     ``centroids`` must have (bucket, centroid) columns; it is broadcast.
     """
-    v = df.select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v"))
-    c = centroids.select("bucket", as_double(F.col("centroid")).alias("__c"))
+    from cosmo_spark.functions.vectors import dot, l2_norm
+
+    # norms bound once per vector / per centroid below the join — the
+    # per-pair expression is a single dot product
+    v = df.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__vn", l2_norm("__v"))
+    c = centroids.select(
+        "bucket", as_double(F.col("centroid")).alias("__c")
+    ).withColumn("__cn", l2_norm("__c"))
+    denom = F.col("__vn") * F.col("__cn")
     scored = v.crossJoin(F.broadcast(c)).withColumn(
-        "__sim", cosine_sim("__v", "__c")
+        "__sim", F.when(denom > 0, dot("__v", "__c") / denom)
     )
     w = Window.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("bucket").asc())
     return (
@@ -99,24 +108,35 @@ def ivf_cosine_topk(
     k-means offline).
     """
     bucketed_corpus = assign_buckets(corpus, centroids, vec_col, id_col)
+    from cosmo_spark.functions.vectors import dot, l2_norm
+
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
-    )
-    c_dim = centroids.select("bucket", as_double(F.col("centroid")).alias("__c"))
+    ).withColumn("__qn", l2_norm("q_vec"))
+    c_dim = centroids.select(
+        "bucket", as_double(F.col("centroid")).alias("__c")
+    ).withColumn("__cn", l2_norm("__c"))
+    p_denom = F.col("__qn") * F.col("__cn")
     probes = (
         q.crossJoin(F.broadcast(c_dim))
-        .withColumn("__sim", cosine_sim("q_vec", "__c"))
+        .withColumn("__sim", F.when(p_denom > 0, dot("q_vec", "__c") / p_denom))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("bucket").asc())
     probe_buckets = (
         probes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "q_vec", "bucket")
+        .select("query_id", "q_vec", "__qn", "bucket")
     )
-    pairs = bucketed_corpus.withColumnRenamed(id_col, "neighbor_id").join(
-        F.broadcast(probe_buckets), "bucket"
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cos_sim", cosine_sim("q_vec", vec_col))
+    pairs = (
+        bucketed_corpus.withColumnRenamed(id_col, "neighbor_id")
+        .withColumn("__nn", l2_norm(vec_col))  # once per corpus row, below the join
+        .join(F.broadcast(probe_buckets), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    s_denom = F.col("__qn") * F.col("__nn")
+    scored = pairs.withColumn(
+        "cos_sim", F.when(s_denom > 0, dot("q_vec", vec_col) / s_denom)
+    )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
