@@ -26,12 +26,12 @@ def rotate_45(x: Column | str, y: Column | str) -> tuple[Column, Column]:
     """Rotate detector (x, y) into spacecraft (V2, V3) axes: a fixed 45° rotation.
 
     ref: cosmo/monitor_helpers.py:92-108 (``v2v3``): V2 = x cosθ + y sinθ,
-    V3 = -x sinθ + y cosθ with θ = 45°.
+    V3 = x cosθ - y sinθ with θ = 45°.
     """
     x, y = _c(x), _c(y)
     c = F.lit(math.cos(math.radians(45.0)))
     s = F.lit(math.sin(math.radians(45.0)))
-    return (x * c + y * s, -x * s + y * c)
+    return (x * c + y * s, x * c - y * s)
 
 
 def fit_line_cols(x: Column | str, y: Column | str) -> tuple[Column, Column]:

@@ -63,22 +63,30 @@ MONITORS = {
         exptype="ACQ/PEAKXD")),
     "fuv_osm_shift1": ("monthly", _detector_variant(
         osm_shift_monitor, "FUV",
-        "FuvOsmShift1Monitor (ref: osm_shift_monitors.py:124-360)",
-        shift_col="SHIFT_DISP", segment_pairs=[("FUVA", "FUVB")])),
+        "FuvOsmShift1Monitor (ref: osm_shift_monitors.py:348-356; "
+        "outliers |A-B| > 10 px)",
+        shift_col="SHIFT_DISP", segment_pairs=[("FUVA", "FUVB")],
+        outlier_rule="fixed", outlier_threshold=10.0)),
     "fuv_osm_shift2": ("monthly", _detector_variant(
         osm_shift_monitor, "FUV",
-        "FuvOsmShift2Monitor (cross-dispersion variant)",
-        shift_col="SHIFT_XDISP", segment_pairs=[("FUVA", "FUVB")])),
+        "FuvOsmShift2Monitor (ref: osm_shift_monitors.py:359-367; "
+        "outliers |A-B| > 5 px)",
+        shift_col="SHIFT_XDISP", segment_pairs=[("FUVA", "FUVB")],
+        outlier_rule="fixed", outlier_threshold=5.0)),
     "nuv_osm_shift1": ("monthly", _detector_variant(
         osm_shift_monitor, "NUV",
-        "NuvOsmShift1Monitor (ref: osm_shift_monitors.py:383-570)",
-        shift_col="SHIFT_DISP",
-        segment_pairs=[("NUVA", "NUVB"), ("NUVB", "NUVC"), ("NUVC", "NUVA")])),
+        "NuvOsmShift1Monitor (ref: osm_shift_monitors.py:601-670; "
+        "FP_PIXEL_SHIFT-corrected, B-C / C-A pairs, zero-centered 2σ)",
+        shift_col="SHIFT_DISP", apply_fp_shift=True,
+        segment_pairs=[("NUVB", "NUVC"), ("NUVC", "NUVA")],
+        outlier_rule="pair_2std")),
     "nuv_osm_shift2": ("monthly", _detector_variant(
         osm_shift_monitor, "NUV",
-        "NuvOsmShift2Monitor (cross-dispersion variant)",
+        "NuvOsmShift2Monitor (ref: osm_shift_monitors.py:673-694; "
+        "B-C / C-A pairs, zero-centered 2σ)",
         shift_col="SHIFT_XDISP",
-        segment_pairs=[("NUVA", "NUVB"), ("NUVB", "NUVC"), ("NUVC", "NUVA")])),
+        segment_pairs=[("NUVB", "NUVC"), ("NUVC", "NUVA")],
+        outlier_rule="pair_2std")),
     "fuv_osm_drift": ("monthly", _detector_variant(
         osm_drift_monitor, "FUV",
         "FUVOSMDriftMonitor (ref: osm_drift_monitors.py:44-135)")),

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from cosmo_spark.functions.arrays import element_by_match, explode_zip, rel_to_first
 from cosmo_spark.operators.describe import describe_by
-from cosmo_spark.operators.outliers import sigma_outliers
+from cosmo_spark.operators.outliers import flag_outliers, sigma_outliers
 from cosmo_spark.operators.segment_diff import segment_diff
 from cosmo_spark.operators.windows import rolling_time_mean
 from cosmo_spark.functions.timekit import mjd_to_ts
@@ -30,11 +30,11 @@ def _monitor(required):
 
 
 #: paired segments per detector (ref: compute_segment_diff callers,
-#: cosmo/monitors/osm_shift_monitors.py:55-86 — segment1 FUVA/NUVB/NUVC
-#: pairs with segment2 FUVB/NUVC/NUVA)
+#: cosmo/monitors/osm_shift_monitors.py:137 — FUVA-FUVB — and :388-392 —
+#: NUV tracks exactly two pairs, B-C and C-A; there is no A-B pair)
 SEGMENT_PAIRS = {
     "FUV": [("FUVA", "FUVB")],
-    "NUV": [("NUVA", "NUVB"), ("NUVB", "NUVC"), ("NUVC", "NUVA")],
+    "NUV": [("NUVB", "NUVC"), ("NUVC", "NUVA")],
 }
 
 
@@ -43,21 +43,31 @@ def osm_shift_monitor(
     osm: DataFrame,
     shift_col: str = "SHIFT_DISP",
     segment_pairs: list[tuple[str, str]] | None = None,
+    apply_fp_shift: bool = False,
+    outlier_rule: str = "pair_2std",
+    outlier_threshold: float | None = None,
 ) -> dict[str, DataFrame]:
-    """ref: cosmo/monitors/osm_shift_monitors.py:124-133 (get_data),
-    :444-452 (rolling mean), :55-86 (segment diff), :634-638 (2σ rule),
-    :613-627 (reference-array lookups).
+    """ref: cosmo/monitors/osm_shift_monitors.py:124-133 (FUV get_data),
+    :607-632 (NUV shift1 get_data + FP_PIXEL_SHIFT subtraction),
+    :444-452 (rolling mean), :55-86 (segment diff),
+    :354-367 (FUV fixed-pixel outlier rules), :634-638 (NUV 2σ rule).
 
     ``segment_pairs`` defaults to the union of FUV and NUV pairings; the
     detector-specific monitor variants narrow it.
+
+    ``apply_fp_shift`` — NUV shift1 only (ref :613-623): subtract the
+    FP_PIXEL_SHIFT element whose LAMPTAB_SEGMENT matches each exploded
+    row's SEGMENT from the shift value; no-op when the two reference
+    arrays disagree in length (older lamptabs lack the column).
+
+    ``outlier_rule``:
+    - ``"fixed"`` — |seg_diff| > ``outlier_threshold`` px (FUV: 10 for
+      shift1, 5 for shift2; ref :354-356, :365-367).
+    - ``"pair_2std"`` — |seg_diff| >= 2σ per segment pair, zero-centered
+      (NUV; ref :634-638, :690-694).
     """
     base = (
         osm.filter(F.size(F.col(shift_col)) > 0)        # P7: drop empty arrays
-        .withColumn(
-            "FP_PIXEL_SHIFT_MATCHED",
-            element_by_match("FP_PIXEL_SHIFT", "LAMPTAB_SEGMENT",
-                             F.element_at("SEGMENT", 1)),
-        )
         .withColumn("XC_RANGE_0", F.element_at("XC_RANGE", 1))     # P12 :626
         .withColumn("SEARCH_OFFSET_0", F.element_at("SEARCH_OFFSET", 1))
     )
@@ -66,6 +76,19 @@ def osm_shift_monitor(
     long = explode_zip(
         base, array_cols, index_col="flash_pos"
     ).withColumn("ts", mjd_to_ts(F.col("EXPSTART") + F.col("TIME") / 86400.0))
+
+    # FP_PIXEL_SHIFT lookup keyed on the *exploded row's* segment (ref
+    # :613-623: x.FP_PIXEL_SHIFT[where(x.LAMPTAB_SEGMENT == x.SEGMENT)][0]).
+    # The reference arrays replicate through the explode as scalars.
+    long = long.withColumn(
+        "FP_PIXEL_SHIFT_MATCHED",
+        element_by_match("FP_PIXEL_SHIFT", "LAMPTAB_SEGMENT", F.col("SEGMENT")),
+    )
+    if apply_fp_shift:
+        long = long.withColumn(
+            shift_col,
+            F.col(shift_col) - F.coalesce("FP_PIXEL_SHIFT_MATCHED", F.lit(0.0)),
+        )
 
     # flash index within (exposure, segment): position among same-segment
     # elements pairs FUVA flash k with FUVB flash k (SURVEY §7 hard part a)
@@ -87,7 +110,18 @@ def osm_shift_monitor(
         long, "ts", shift_col, window_seconds=180 * 86400,
         group_cols=["OPT_ELEM"], out_col="rolling_180d",
     )
-    outliers = sigma_outliers(diffs, "seg_diff", k=2.0)
+    if outlier_rule == "fixed":
+        if outlier_threshold is None:
+            raise ValueError("outlier_rule='fixed' requires outlier_threshold")
+        outliers = flag_outliers(
+            diffs, F.abs(F.col("seg_diff")) > F.lit(outlier_threshold)
+        )
+    elif outlier_rule == "pair_2std":
+        outliers = sigma_outliers(
+            diffs, "seg_diff", k=2.0, group_cols=["segment_pair"], centered=False
+        )
+    else:
+        raise ValueError(f"unknown outlier_rule {outlier_rule!r}")
     return {
         "data": long,
         "results": rolled,

@@ -30,9 +30,16 @@ def sigma_outliers(
     k: float = 2.0,
     group_cols: Sequence[str] = (),
     flag_col: str = "outlier",
+    centered: bool = True,
 ) -> DataFrame:
     """Flag rows where |value - mean| >= k * stddev (mean/stddev per group,
-    or global when ``group_cols`` is empty)."""
+    or global when ``group_cols`` is empty).
+
+    ``centered=False`` drops the mean subtraction — |value| >= k * stddev —
+    matching the reference's NUV OSM rule, which compares the raw segment
+    diff against 2σ without centering (ref:
+    cosmo/monitors/osm_shift_monitors.py:634-638, :690-694).
+    """
     v = F.col(value_col)
     stats = df.groupBy(*group_cols).agg(
         F.avg(v).alias("__mu"), F.stddev_samp(v).alias("__sigma")
@@ -42,6 +49,7 @@ def sigma_outliers(
         if group_cols
         else df.crossJoin(F.broadcast(stats))
     )
+    deviation = F.abs(v - F.col("__mu")) if centered else F.abs(v)
     return joined.withColumn(
-        flag_col, F.abs(v - F.col("__mu")) >= F.lit(k) * F.col("__sigma")
+        flag_col, deviation >= F.lit(k) * F.col("__sigma")
     ).drop("__mu", "__sigma")

@@ -74,14 +74,17 @@ def test_decimal_year(spark):
 
 def test_rotation_and_distance(spark):
     # closed-form expectation mirrors ref tests/test_monitor_helpers.py:135-152
-    df = spark.createDataFrame([(1.0, 1.0)], "x DOUBLE, y DOUBLE")
+    df = spark.createDataFrame([(1.0, 1.0), (3.0, 1.0)], "x DOUBLE, y DOUBLE")
     v2, v3 = rotate_45("x", "y")
-    row = df.select(
+    rows = df.select(
         v2.alias("v2"), v3.alias("v3"), hypot_distance("x", "y").alias("d")
-    ).first()
-    assert row.v2 == pytest.approx(math.sqrt(2.0))
-    assert row.v3 == pytest.approx(0.0, abs=1e-12)
-    assert row.d == pytest.approx(math.sqrt(2.0))
+    ).orderBy("x").collect()
+    assert rows[0].v2 == pytest.approx(math.sqrt(2.0))
+    assert rows[0].v3 == pytest.approx(0.0, abs=1e-12)
+    assert rows[0].d == pytest.approx(math.sqrt(2.0))
+    # x != y pins the V3 sign: v3 = x cosθ - y sinθ (ref monitor_helpers.py:101-106)
+    assert rows[1].v2 == pytest.approx(4.0 / math.sqrt(2.0))
+    assert rows[1].v3 == pytest.approx(2.0 / math.sqrt(2.0))
 
 
 def test_fit_line(spark):

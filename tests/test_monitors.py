@@ -68,7 +68,7 @@ def test_acq_v2v3_quality_filter(acq):
     assert [r.ROOTNAME for r in rows] == ["r1"]
     r = rows[0]
     assert r.V2SLEW == pytest.approx((0.3 + 0.4) / math.sqrt(2))
-    assert r.V3SLEW == pytest.approx((-0.3 + 0.4) / math.sqrt(2))
+    assert r.V3SLEW == pytest.approx((0.3 - 0.4) / math.sqrt(2))
 
 
 def test_acq_peak_monitor(acq):
@@ -108,7 +108,9 @@ def test_osm_shift_monitor(osm):
     out = osm_shift_monitor(osm)
     data = out["data"].collect()
     assert len(data) == 4  # lb2 dropped, lb1 exploded to 4
-    assert all(r.FP_PIXEL_SHIFT_MATCHED == 3.5 for r in data)  # FUVA match
+    # matched per exploded row's own segment (ref osm_shift_monitors.py:613-623)
+    matched = {(r.SEGMENT, r.FP_PIXEL_SHIFT_MATCHED) for r in data}
+    assert matched == {("FUVA", 3.5), ("FUVB", 4.5)}
     assert all(r.XC_RANGE_0 == 50.0 for r in data)
     diffs = {r.flash_idx: r.seg_diff for r in out["segment_diffs"].collect()}
     assert diffs == {0: pytest.approx(0.4), 1: pytest.approx(1.0)}
@@ -275,13 +277,86 @@ def test_registry_covers_reference_monitor_classes():
     assert set(MONITORS) == expected
 
 
-def test_nuv_osm_shift_pairs_stripes(spark):
-    """NUV variants pair stripes NUVA-NUVB / NUVB-NUVC / NUVC-NUVA
-    (ref: osm_shift_monitors.py:55-86)."""
+def _nuv_osm_fixture(spark):
     rows = [("n1", "NUV", 3, "G185M", 1786, 58000.0, 0.0,
              [1.0, 1.0, 1.0], [5.0, 3.0, 2.0], [0.1, 0.1, 0.1],
              ["NUVA", "NUVB", "NUVC"], ["NUVA", "NUVB", "NUVC"],
              [1.0, 2.0, 3.0], [50.0], [0.0])]
+    return spark.createDataFrame(rows, (
+        "ROOTNAME STRING, DETECTOR STRING, LIFE_ADJ LONG, OPT_ELEM STRING, "
+        "CENWAVE LONG, EXPSTART DOUBLE, TSINCEOSM1 DOUBLE, TIME ARRAY<DOUBLE>, "
+        "SHIFT_DISP ARRAY<DOUBLE>, SHIFT_XDISP ARRAY<DOUBLE>, SEGMENT ARRAY<STRING>, "
+        "LAMPTAB_SEGMENT ARRAY<STRING>, FP_PIXEL_SHIFT ARRAY<DOUBLE>, "
+        "XC_RANGE ARRAY<DOUBLE>, SEARCH_OFFSET ARRAY<DOUBLE>"
+    ))
+
+
+def test_nuv_osm_shift_pairs_stripes(spark):
+    """NUV tracks exactly B-C and C-A (ref: osm_shift_monitors.py:388-392 —
+    no A-B pair), on FP_PIXEL_SHIFT-corrected shifts (ref :613-623):
+    corrected SHIFT_DISP = [5-1, 3-2, 2-3] = [4, 1, -1]."""
+    out = MONITORS["nuv_osm_shift1"][1](osm=_nuv_osm_fixture(spark))
+    diffs = {r.segment_pair: r.seg_diff for r in out["segment_diffs"].collect()}
+    assert diffs == {
+        "NUVB-NUVC": pytest.approx(2.0),   # 1 - (-1)
+        "NUVC-NUVA": pytest.approx(-5.0),  # -1 - 4
+    }
+
+
+def test_nuv_osm_shift2_no_fp_correction(spark):
+    """NUV shift2 explodes without the FP subtraction
+    (ref: osm_shift_monitors.py:679-688)."""
+    out = MONITORS["nuv_osm_shift2"][1](osm=_nuv_osm_fixture(spark))
+    diffs = {r.segment_pair: r.seg_diff for r in out["segment_diffs"].collect()}
+    # SHIFT_XDISP = [0.1, 0.1, 0.1] -> all pair diffs 0
+    assert diffs == {
+        "NUVB-NUVC": pytest.approx(0.0),
+        "NUVC-NUVA": pytest.approx(0.0),
+    }
+
+
+def test_fuv_osm_fixed_outlier_rule(spark):
+    """FUV outliers are fixed pixel thresholds, not σ-based: |A-B| > 10 for
+    shift1, > 5 for shift2 (ref: osm_shift_monitors.py:354-356, :365-367)."""
+    rows = [
+        ("f1", "FUV", 3, "G130M", 1291, 58000.0, 0.0,
+         [1.0, 1.0], [12.0, 1.0], [7.0, 1.0],
+         ["FUVA", "FUVB"], ["FUVA", "FUVB"], [0.0, 0.0], [50.0], [0.0]),
+        ("f2", "FUV", 3, "G130M", 1291, 58001.0, 0.0,
+         [1.0, 1.0], [3.0, 1.0], [2.0, 1.0],
+         ["FUVA", "FUVB"], ["FUVA", "FUVB"], [0.0, 0.0], [50.0], [0.0]),
+    ]
+    osm = spark.createDataFrame(rows, (
+        "ROOTNAME STRING, DETECTOR STRING, LIFE_ADJ LONG, OPT_ELEM STRING, "
+        "CENWAVE LONG, EXPSTART DOUBLE, TSINCEOSM1 DOUBLE, TIME ARRAY<DOUBLE>, "
+        "SHIFT_DISP ARRAY<DOUBLE>, SHIFT_XDISP ARRAY<DOUBLE>, SEGMENT ARRAY<STRING>, "
+        "LAMPTAB_SEGMENT ARRAY<STRING>, FP_PIXEL_SHIFT ARRAY<DOUBLE>, "
+        "XC_RANGE ARRAY<DOUBLE>, SEARCH_OFFSET ARRAY<DOUBLE>"
+    ))
+    # shift1: f1 diff = 11 > 10 flagged; f2 diff = 2 not
+    out1 = MONITORS["fuv_osm_shift1"][1](osm=osm)
+    assert [r.ROOTNAME for r in out1["outliers"].collect()] == ["f1"]
+    # shift2: f1 diff = 6 > 5 flagged; f2 diff = 1 not
+    out2 = MONITORS["fuv_osm_shift2"][1](osm=osm)
+    assert [r.ROOTNAME for r in out2["outliers"].collect()] == ["f1"]
+
+
+def test_nuv_osm_zero_centered_2std_outliers(spark):
+    """NUV rule: |seg_diff| >= 2σ per segment pair, zero-centered — a large
+    common offset with small spread yields NO outliers under the reference
+    rule (mean-centering would flag the extremes)
+    (ref: osm_shift_monitors.py:634-638)."""
+    rows = []
+    # B-C diffs cluster near 100: std ~ small, but |diff| >= 2*std is TRUE
+    # for all rows (zero-centered) -> all flagged.  Use that asymmetry to
+    # pin the rule: values 100, 101, 102 -> std = 1, all |diff| >= 2.
+    for i, (b, c) in enumerate([(100.0, 0.0), (101.0, 0.0), (102.0, 0.0)]):
+        rows.append(
+            (f"n{i}", "NUV", 3, "G185M", 1786, 58000.0 + i, 0.0,
+             [1.0, 1.0, 1.0], [0.0, b, c], [0.0, b, c],
+             ["NUVA", "NUVB", "NUVC"], ["NUVA", "NUVB", "NUVC"],
+             [0.0, 0.0, 0.0], [50.0], [0.0])
+        )
     osm = spark.createDataFrame(rows, (
         "ROOTNAME STRING, DETECTOR STRING, LIFE_ADJ LONG, OPT_ELEM STRING, "
         "CENWAVE LONG, EXPSTART DOUBLE, TSINCEOSM1 DOUBLE, TIME ARRAY<DOUBLE>, "
@@ -290,12 +365,9 @@ def test_nuv_osm_shift_pairs_stripes(spark):
         "XC_RANGE ARRAY<DOUBLE>, SEARCH_OFFSET ARRAY<DOUBLE>"
     ))
     out = MONITORS["nuv_osm_shift1"][1](osm=osm)
-    diffs = {r.segment_pair: r.seg_diff for r in out["segment_diffs"].collect()}
-    assert diffs == {
-        "NUVA-NUVB": pytest.approx(2.0),   # 5 - 3
-        "NUVB-NUVC": pytest.approx(1.0),   # 3 - 2
-        "NUVC-NUVA": pytest.approx(-3.0),  # 2 - 5
-    }
+    flagged = out["outliers"].filter("segment_pair = 'NUVB-NUVC'").count()
+    assert flagged == 3  # zero-centered: all three 100-ish diffs >= 2*std(=1)
+    # mean-centered would have flagged at most the 100 and 102 rows, never all 3
 
 
 def test_run_monitors_cadence(spark, acq):
