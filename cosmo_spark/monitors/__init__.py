@@ -95,7 +95,12 @@ MONITORS = {
         "NUVOSMDriftMonitor (ref: osm_drift_monitors.py:218-300)")),
     "dark_rate": ("daily", dark_rate_monitor),
     "telemetry": ("daily", telemetry_monitor),
-    "aperture_shift": ("monthly", aperture_shift_monitor),
+    "fuv_aperture_shift": ("monthly", _detector_variant(
+        aperture_shift_monitor, "FUV",
+        "FuvApertureShiftMonitor (ref: aper_shift_monitors.py:329-337)")),
+    "nuv_aperture_shift": ("monthly", _detector_variant(
+        aperture_shift_monitor, "NUV",
+        "NuvApertureShiftMonitor (ref: aper_shift_monitors.py:340-348)")),
     "jitter": ("monthly", jitter_monitor),
 }
 

@@ -21,12 +21,30 @@ def _monitor(required):
     return deco
 
 
-#: (LIFE_ADJ, APERTURE, DETECTOR) -> expected Y steps — static literal dim
-#: standing in for the reference's constant array (aper_shift_monitors.py:77-89)
+#: Expected aperture-block Y position by lifetime position — transcribed
+#: from the reference's 11×4×2 constant array
+#: (ref: aper_shift_monitors.py:77-89).  Rows are LP 1-8, 10-12 (there is
+#: no LP9); each cell is (FUV, NUV) steps.
+APERTURE_BLOCK_POSITIONS = {
+    #     PSA           BOA            FCA            WCA
+    1:  {"PSA": (126, 126), "BOA": (-153, -153), "FCA": (-153, -153), "WCA": (126, 126)},
+    2:  {"PSA": (53, 126),  "BOA": (-226, -153), "FCA": (-226, -153), "WCA": (53, 126)},
+    3:  {"PSA": (181, 126), "BOA": (-98, -153),  "FCA": (-98, -153),  "WCA": (181, 126)},
+    4:  {"PSA": (234, 126), "BOA": (-45, -153),  "FCA": (-45, -153),  "WCA": (234, 126)},
+    5:  {"PSA": (13, 126),  "BOA": (-226, -153), "FCA": (-226, -153), "WCA": (13, 126)},
+    6:  {"PSA": (-11, 126), "BOA": (-98, -153),  "FCA": (-98, -153),  "WCA": (22, 126)},
+    7:  {"PSA": (-49, 126), "BOA": (-98, -153),  "FCA": (-98, -153),  "WCA": (32, 126)},
+    8:  {"PSA": (206, 126), "BOA": (-73, -153),  "FCA": (-73, -153),  "WCA": (206, 126)},
+    10: {"PSA": (206, 126), "BOA": (-73, -153),  "FCA": (-73, -153),  "WCA": (206, 126)},
+    11: {"PSA": (270, 126), "BOA": (-9, -153),   "FCA": (-9, -153),   "WCA": (270, 126)},
+    12: {"PSA": (90, 126),  "BOA": (-189, -153), "FCA": (-189, -153), "WCA": (90, 126)},
+}
+
+#: flattened (LIFE_ADJ, APERTURE, DETECTOR) -> expected Y steps literal dim
 EXPECTED_POSITIONS = [
-    (lp, aper, det, 100.0 * lp + (10.0 if aper == "PSA" else 20.0) + (1.0 if det == "FUV" else 2.0))
-    for lp in range(1, 6)
-    for aper in ("PSA", "BOA")
+    (lp, aper, det, float(pos[0 if det == "FUV" else 1]))
+    for lp, by_aper in APERTURE_BLOCK_POSITIONS.items()
+    for aper, pos in by_aper.items()
     for det in ("FUV", "NUV")
 ]
 
@@ -45,11 +63,12 @@ def aperture_shift_monitor(science: DataFrame, ancillary: DataFrame) -> dict[str
         "ROOTNAME", "left",
     )
     data = (
-        enriched.join(
-            F.broadcast(expected_dim(spark)), ["LIFE_ADJ", "APERTURE", "DETECTOR"], "left"
-        )
+        enriched.filter(F.col("LIFE_ADJ") >= 1)  # LP < 1 -> NA -> dropped (:71-74)
+        .na.drop(subset=["APERYPOS", "APERTURE", "DETECTOR"])
+        # inner: unknown LPs (e.g. the nonexistent LP9) drop out, like the
+        # reference's index arrays which are only populated for listed LPs
+        .join(F.broadcast(expected_dim(spark)), ["LIFE_ADJ", "APERTURE", "DETECTOR"])
         .withColumn("SHIFT_APERY", F.col("APERYPOS") - F.col("expected"))  # :90-110
-        .filter(F.col("SHIFT_APERY").isNotNull())               # dropna :71-74
     )
     results = data.groupBy("LIFE_ADJ", "APERTURE", "DETECTOR").agg(
         F.avg("SHIFT_APERY").alias("mean_shift"),

@@ -197,18 +197,39 @@ def test_telemetry_text_states(spark):
 
 def test_aperture_shift_monitor(spark):
     science = spark.createDataFrame(
-        [("r1", 3, "PSA", "FUV"), ("r2", 3, "PSA", "FUV")],
+        [("r1", 3, "PSA", "FUV"), ("r2", 3, "PSA", "FUV"),
+         ("r3", 0, "PSA", "FUV"),    # LIFE_ADJ < 1 excluded (ref :71-74)
+         ("r4", 9, "PSA", "FUV")],   # nonexistent LP9 dropped
         "ROOTNAME STRING, LIFE_ADJ LONG, APERTURE STRING, DETECTOR STRING",
     )
     ancillary = spark.createDataFrame(
-        [("r1", "CAL", 0.0, 313.0), ("r1", "CAL", 0.0, 313.0), ("r2", "GO", 0.0, 310.0)],
+        [("r1", "CAL", 0.0, 183.0), ("r1", "CAL", 0.0, 183.0), ("r2", "GO", 0.0, 180.0),
+         ("r3", "GO", 0.0, 181.0), ("r4", "GO", 0.0, 181.0)],
         "ROOTNAME STRING, PROP_TYP STRING, APERXPOS DOUBLE, APERYPOS DOUBLE",
     )
     out = aperture_shift_monitor(science, ancillary)
     data = {r.ROOTNAME: r.SHIFT_APERY for r in out["data"].collect()}
-    # expected for (3, PSA, FUV) = 300 + 10 + 1 = 311
+    # expected for (LP3, PSA, FUV) = 181 (ref aper_shift_monitors.py:79)
     assert data == {"r1": pytest.approx(2.0), "r2": pytest.approx(-1.0)}
-    assert out["data"].count() == 2  # ancillary dup deduped
+    assert out["data"].count() == 2  # dup deduped; r3/r4 dropped
+
+
+def test_aperture_block_positions_table(spark):
+    """Pin cells of the transcribed constant table against the reference
+    array (ref: aper_shift_monitors.py:77-89)."""
+    from cosmo_spark.monitors.aper import APERTURE_BLOCK_POSITIONS, EXPECTED_POSITIONS
+
+    assert sorted(APERTURE_BLOCK_POSITIONS) == [1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12]
+    assert len(EXPECTED_POSITIONS) == 11 * 4 * 2
+    cells = {(lp, ap, det): v for lp, ap, det, v in EXPECTED_POSITIONS}
+    assert cells[(1, "PSA", "FUV")] == 126.0
+    assert cells[(2, "BOA", "FUV")] == -226.0
+    assert cells[(6, "PSA", "FUV")] == -11.0
+    assert cells[(6, "WCA", "FUV")] == 22.0    # LP6+ WCA diverges from PSA
+    assert cells[(7, "WCA", "FUV")] == 32.0
+    assert cells[(12, "PSA", "FUV")] == 90.0
+    assert cells[(12, "PSA", "NUV")] == 126.0  # NUV is constant per aperture
+    assert cells[(5, "FCA", "NUV")] == -153.0
 
 
 def test_jitter_monitor(spark):
@@ -268,13 +289,25 @@ def test_reference_model_golden_counts(spark):
 def test_registry_covers_reference_monitor_classes():
     """One registry entry per reference monitor class
     (ref: cosmo/monitors/__init__.py:1-19)."""
-    expected = {
-        "acq_image", "acq_image_v2v3", "acq_peakd", "acq_peakxd",
-        "fuv_osm_shift1", "fuv_osm_shift2", "nuv_osm_shift1", "nuv_osm_shift2",
-        "fuv_osm_drift", "nuv_osm_drift",
-        "dark_rate", "telemetry", "aperture_shift", "jitter",
+    # one registry entry per reference __all__ class
+    # (ref: cosmo/monitors/__init__.py:6-19), 12 classes:
+    reference_classes = {
+        "AcqImageMonitor": "acq_image",
+        "AcqImageV2V3Monitor": "acq_image_v2v3",
+        "AcqPeakdMonitor": "acq_peakd",
+        "AcqPeakxdMonitor": "acq_peakxd",
+        "FuvApertureShiftMonitor": "fuv_aperture_shift",
+        "NuvApertureShiftMonitor": "nuv_aperture_shift",
+        "FuvOsmShift1Monitor": "fuv_osm_shift1",
+        "FuvOsmShift2Monitor": "fuv_osm_shift2",
+        "NuvOsmShift1Monitor": "nuv_osm_shift1",
+        "NuvOsmShift2Monitor": "nuv_osm_shift2",
+        "FUVOSMDriftMonitor": "fuv_osm_drift",
+        "NUVOSMDriftMonitor": "nuv_osm_drift",
     }
-    assert set(MONITORS) == expected
+    # plus the dark/telemetry monitors the reference ships outside __all__
+    extra = {"dark_rate", "telemetry", "jitter"}
+    assert set(MONITORS) == set(reference_classes.values()) | extra
 
 
 def _nuv_osm_fixture(spark):
