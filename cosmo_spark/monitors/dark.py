@@ -6,26 +6,63 @@ by (npix × bin width) for a rate; the SAA ground-track flag and the
 histogram/CDF cuts ride on the same pass (ref: dark_filter :53-98,
 regions :474-575, SAA :195-198, hist/CDF :386-420).
 
-One scan, one shuffle (the groupBy) — the reference's per-file Python loop
-and per-region concat disappear.
+The reference declares 13 monitor classes over 11 distinct detector regions
+(5 per FUV segment + the NUV full frame); the edge regions overlap at the
+corners (e.g. FUVA Bottom ∩ Left), so an event can feed several region
+series.  The region catalog is therefore a broadcast literal dimension
+joined with range predicates — one scan fans out to all series at once; the
+reference's per-class Python loop and per-region concat disappear.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cosmo_spark.functions.arrays import explode_zip
 from cosmo_spark.operators.histogram import quantile_cuts
 
-#: (segment, x0, x1, y0, y1) detector regions (ref: dark_monitors.py:474-575)
+#: segment -> region name -> (x0, x1, y0, y1), transcribed from the
+#: reference monitor classes (ref: dark_monitors.py:474-575).  Strict
+#: inequalities on both bounds, per dark_filter (ref :76-80).
 REGIONS = {
-    "FUVA": (1260, 15119, 375, 660),
-    "FUVB": (1000, 14990, 405, 740),
-    "N/A": (0, 1024, 0, 1024),  # NUV
+    "FUVA": {
+        "Bottom": (1060, 15250, 296, 375),
+        "Left": (1060, 1260, 296, 734),
+        "Top": (1060, 15250, 660, 734),
+        "Right": (15119, 15250, 296, 734),
+        "Inner": (1260, 15119, 375, 660),
+    },
+    "FUVB": {
+        "Bottom": (809, 15182, 360, 405),
+        "Left": (809, 1000, 360, 785),
+        "Top": (809, 15182, 740, 785),
+        "Right": (14990, 15182, 360, 785),
+        "Inner": (1000, 14990, 405, 740),
+    },
+    # NUV files carry SEGMENT = 'N/A' (ref: NUVDarkMonitor :571-575)
+    "N/A": {"Full": (0, 1024, 0, 1024)},
 }
 
 TIME_STEP = 25.0  # seconds (ref: dark_monitors.py:60-63)
+
+
+def region_values_sql() -> str:
+    """The region catalog as a SQL VALUES literal — stays JVM-side and is
+    reusable verbatim inside DuckDB oracles."""
+    rows = ", ".join(
+        f"('{seg}', '{name}', {float(x0)}D, {float(x1)}D, {float(y0)}D, {float(y1)}D)"
+        for seg, by_name in REGIONS.items()
+        for name, (x0, x1, y0, y1) in by_name.items()
+    )
+    return (
+        f"SELECT SEGMENT, region, x0, x1, y0, y1, (x1 - x0) * (y1 - y0) AS npix "
+        f"FROM (VALUES {rows}) AS t(SEGMENT, region, x0, x1, y0, y1)"
+    )
+
+
+def region_dim(spark: SparkSession) -> DataFrame:
+    return spark.sql(region_values_sql())
 
 
 def _monitor(required):
@@ -37,37 +74,30 @@ def _monitor(required):
 
 @_monitor(["dark"])
 def dark_rate_monitor(dark: DataFrame) -> dict[str, DataFrame]:
+    spark = dark.sparkSession
     events = explode_zip(
         dark.filter(F.col("EXPSTART") != 0)            # P8 guard :183-184
         .select("ROOTNAME", "SEGMENT", "EXPSTART", "PHA", "XCORR", "YCORR", "TIME"),
         ["PHA", "XCORR", "YCORR", "TIME"],
     )
-    region = None
-    npix = None
-    for seg, (x0, x1, y0, y1) in REGIONS.items():
-        cond = (
-            (F.col("SEGMENT") == seg)
-            & (F.col("XCORR") > x0) & (F.col("XCORR") < x1)   # P4 :74-80
-            & (F.col("YCORR") > y0) & (F.col("YCORR") < y1)
-        )
-        region = F.when(cond, seg) if region is None else region.when(cond, seg)
-        pix = float((x1 - x0) * (y1 - y0))
-        npix = F.when(F.col("SEGMENT") == seg, pix) if npix is None else npix.when(
-            F.col("SEGMENT") == seg, pix
-        )
+    regions = F.broadcast(region_dim(spark).withColumnRenamed("SEGMENT", "r_seg"))
     filtered = (
-        events.withColumn("region", region)
-        .filter(F.col("region").isNotNull())
+        events.join(
+            regions,
+            (F.col("SEGMENT") == F.col("r_seg"))
+            & (F.col("XCORR") > F.col("x0")) & (F.col("XCORR") < F.col("x1"))  # P4 :74-80
+            & (F.col("YCORR") > F.col("y0")) & (F.col("YCORR") < F.col("y1")),
+        )
         # PHA band applies to FUV only (ref: :59,84-85)
         .filter(
             (~F.col("SEGMENT").startswith("FUV"))
             | ((F.col("PHA") > 2) & (F.col("PHA") < 23))
         )
-        .withColumn("npix", npix)
+        .drop("r_seg", "x0", "x1", "y0", "y1")
     )
     rates = (
         filtered.groupBy(
-            "ROOTNAME", "SEGMENT", "EXPSTART",
+            "ROOTNAME", "SEGMENT", "region", "EXPSTART",
             F.floor(F.col("TIME") / TIME_STEP).cast("long").alias("time_bin"),  # A9
         )
         .agg(F.count(F.lit(1)).alias("n_events"), F.first("npix").alias("npix"))
@@ -75,7 +105,7 @@ def dark_rate_monitor(dark: DataFrame) -> dict[str, DataFrame]:
     )
     cuts = quantile_cuts(
         rates, "dark_rate", quantiles=(0.95, 0.99, 0.995),
-        sigma_lines=(1.0, 2.0, 3.0), group_cols=("SEGMENT",),
+        sigma_lines=(1.0, 2.0, 3.0), group_cols=("SEGMENT", "region"),
     )
     return {"data": filtered, "results": rates, "quantile_cuts": cuts,
             "outliers": rates.limit(0)}

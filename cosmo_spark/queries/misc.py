@@ -324,3 +324,105 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q51 — full dark-region catalog fan-out (11 regions, one pass)               #
+# --------------------------------------------------------------------------- #
+
+def _dark_region_values() -> str:
+    """The 11-region catalog as a VALUES list, shared verbatim between the
+    Spark literal dim and the DuckDB oracle so they can never drift
+    (ref: cosmo/monitors/dark_monitors.py:474-575)."""
+    from cosmo_spark.monitors.dark import REGIONS
+
+    return ", ".join(
+        f"('{seg}', '{name}', {float(x0)}, {float(x1)}, {float(y0)}, {float(y1)})"
+        for seg, by_name in REGIONS.items()
+        for name, (x0, x1, y0, y1) in by_name.items()
+    )
+
+
+_Q51_ORACLE = f"""
+WITH ev AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN 'FUVA'
+              WHEN user_id % 3 = 1 THEN 'FUVB'
+              ELSE 'N/A' END AS seg,
+         CAST(event_id % 16384 AS DOUBLE) AS xcorr,
+         CAST((event_id * 7) % 1100 AS DOUBLE) AS ycorr,
+         event_id % 32 AS pha,
+         value AS t
+  FROM events
+), regions AS (
+  SELECT * FROM (VALUES {_dark_region_values()})
+  r(seg, region, x0, x1, y0, y1)
+)
+SELECT e.seg AS SEGMENT, r.region,
+       CAST(floor(e.t / 25.0) AS BIGINT) AS time_bin,
+       count(*) AS n_events,
+       (r.x1 - r.x0) * (r.y1 - r.y0) AS npix,
+       count(*) / ((r.x1 - r.x0) * (r.y1 - r.y0) * 25.0) AS dark_rate
+FROM ev e JOIN regions r
+  ON e.seg = r.seg
+ AND e.xcorr > r.x0 AND e.xcorr < r.x1
+ AND e.ycorr > r.y0 AND e.ycorr < r.y1
+WHERE e.seg = 'N/A' OR (e.pha > 2 AND e.pha < 23)
+GROUP BY e.seg, r.region, time_bin, r.x0, r.x1, r.y0, r.y1
+"""
+
+
+@register(
+    "q51_dark_region_catalog",
+    operators=("U4", "P4", "P5", "A9", "F5"),
+    oracle=_Q51_ORACLE,
+)
+def q51_dark_region_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full 13-class dark-monitor catalog (11 distinct
+    regions: 5 FUVA + 5 FUVB edges/inner + NUV full frame) as ONE fan-out
+    pass (ref: cosmo/monitors/dark_monitors.py:474-575, dark_filter :53-98).
+
+    Detector coordinates are synthesized deterministically from event ids so
+    the oracle reproduces them exactly; the join/aggregation shape is the
+    production dark monitor's: broadcast region dim with strict range
+    predicates (regions overlap at corners, so one event can feed several
+    series), FUV-only PHA band, 25 s time bins, rate = n / (npix * step).
+    At 100 TB the event scan stays fully parallel — the only shuffle is the
+    final (segment, region, bin) aggregation.
+    """
+    from cosmo_spark.monitors.dark import TIME_STEP
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        F.when(F.col("user_id") % 3 == 0, F.lit("FUVA"))
+        .when(F.col("user_id") % 3 == 1, F.lit("FUVB"))
+        .otherwise(F.lit("N/A")).alias("seg"),
+        (F.col("event_id") % 16384).cast("double").alias("xcorr"),
+        ((F.col("event_id") * 7) % 1100).cast("double").alias("ycorr"),
+        (F.col("event_id") % 32).alias("pha"),
+        F.col("value").alias("t"),
+    )
+    regions = spark.sql(
+        f"SELECT * FROM (VALUES {_dark_region_values()}) "
+        "AS r(r_seg, region, x0, x1, y0, y1)"
+    )
+    return (
+        ev.join(
+            F.broadcast(regions),
+            (F.col("seg") == F.col("r_seg"))
+            & (F.col("xcorr") > F.col("x0")) & (F.col("xcorr") < F.col("x1"))
+            & (F.col("ycorr") > F.col("y0")) & (F.col("ycorr") < F.col("y1")),
+        )
+        .filter((F.col("seg") == "N/A") | ((F.col("pha") > 2) & (F.col("pha") < 23)))
+        .groupBy(
+            F.col("seg").alias("SEGMENT"),
+            "region",
+            F.floor(F.col("t") / F.lit(TIME_STEP)).cast("long").alias("time_bin"),
+            "x0", "x1", "y0", "y1",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("npix", (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0")))
+        .withColumn(
+            "dark_rate", F.col("n_events") / (F.col("npix") * F.lit(TIME_STEP))
+        )
+        .drop("x0", "x1", "y0", "y1")
+    )

@@ -148,9 +148,43 @@ def test_dark_rate_monitor(dark):
     rates = out["results"].collect()
     assert len(rates) == 1
     r = rates[0]
+    assert r.region == "Inner"
     npix = (15119 - 1260) * (660 - 375)
     assert r.n_events == 3
     assert r.dark_rate == pytest.approx(3 / (npix * 25.0))
+
+
+def test_dark_region_catalog_complete(spark):
+    """The region catalog carries all 11 distinct regions behind the
+    reference's 13 dark monitor classes: 5 FUVA + 5 FUVB edges/inner
+    (single-region classes :501-568 = the multi-region FUVA/FUVB classes
+    :474-498) + the NUV full frame :571-575."""
+    from cosmo_spark.monitors.dark import REGIONS, region_dim
+
+    names = {(seg, name) for seg, by in REGIONS.items() for name in by}
+    edges = {"Bottom", "Left", "Top", "Right", "Inner"}
+    assert names == (
+        {("FUVA", e) for e in edges} | {("FUVB", e) for e in edges} | {("N/A", "Full")}
+    )
+    # exact bounds spot-check against dark_monitors.py:479-481, :492-494
+    assert REGIONS["FUVA"]["Bottom"] == (1060, 15250, 296, 375)
+    assert REGIONS["FUVA"]["Right"] == (15119, 15250, 296, 734)
+    assert REGIONS["FUVB"]["Left"] == (809, 1000, 360, 785)
+    assert REGIONS["FUVB"]["Top"] == (809, 15182, 740, 785)
+    assert region_dim(spark).count() == 11
+
+
+def test_dark_corner_event_feeds_overlapping_regions(spark):
+    """Edge regions overlap at corners: an event at FUVA (1100, 300) is in
+    both Bottom and Left, so the fan-out must emit it to both series."""
+    df = spark.createDataFrame(
+        [("c1", "FUVA", 100.0, 58000.0, [10], [1100.0], [300.0], [1.0])],
+        "ROOTNAME STRING, SEGMENT STRING, EXPTIME DOUBLE, EXPSTART DOUBLE, "
+        "PHA ARRAY<LONG>, XCORR ARRAY<DOUBLE>, YCORR ARRAY<DOUBLE>, TIME ARRAY<DOUBLE>",
+    )
+    out = dark_rate_monitor(df)
+    regions = {r.region for r in out["results"].collect()}
+    assert regions == {"Bottom", "Left"}
 
 
 def test_saa_flag(spark):
