@@ -20,48 +20,67 @@ from cosmo_spark.functions.vectors import as_double
 from cosmo_spark.operators.similarity import assign_buckets
 
 
+def _farthest_point_seeds(rows, k: int) -> list[list[float]]:
+    """Driver-side farthest-point seeding over a small sample.
+
+    ``rows`` are (id, vector) pairs already ordered by (hash, id); the first
+    row is the first seed, then each next seed is the sample vector least
+    similar (cosine) to its nearest chosen seed — ties broken by id, exactly
+    the rule the former per-seed Spark jobs applied corpus-wide.
+    """
+    import numpy as np
+
+    ids = [r["__id"] for r in rows]
+    V = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    order = np.argsort(np.asarray(ids, dtype=object))  # id-asc tiebreak
+
+    def sims_to(seed: "np.ndarray") -> "np.ndarray":
+        denom = norms * float(np.linalg.norm(seed))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = (V @ seed) / denom
+        return np.where(denom > 0, s, -1.0)  # zero-vector fallback as before
+
+    chosen = [0]
+    nearest = sims_to(V[0])
+    for _ in range(k - 1):
+        # argmin of nearest-sim with id-asc tiebreak
+        best = min(order, key=lambda i: (nearest[i], ids[i]))
+        chosen.append(int(best))
+        nearest = np.maximum(nearest, sims_to(V[best]))
+    return [[float(x) for x in V[i]] for i in chosen]
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 8,
     iterations: int = 3,
+    seed_sample_size: int = 2048,
 ) -> DataFrame:
     """Return (bucket, centroid) after ``iterations`` Lloyd steps.
 
-    Seeds: the k vectors with the smallest xxhash64(id) — deterministic and
-    spread pseudo-randomly without RNG state.
+    Seeding is deterministic farthest-point (k-means++ without RNG) over a
+    bounded sample: ONE corpus job takes the ``seed_sample_size`` rows with
+    the smallest xxhash64(id) (orderBy+limit plans as TakeOrdered — map-side
+    partial top-N, no full shuffle), then the k−1 farthest-point picks run
+    driver-side on that sample.  Constant driver cost at any corpus size —
+    the former per-seed full-corpus jobs serialized k scans through the
+    driver.
     """
-    from cosmo_spark.functions.vectors import cosine_sim
-
     base = df.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     )
     spark = df.sparkSession
 
-    # deterministic farthest-point seeding (k-means++ without RNG): first
-    # seed = smallest id hash; each next seed = the vector least similar to
-    # its nearest chosen seed (naive hash seeding lands multiple seeds in
-    # one cluster and Lloyd cannot escape that local minimum)
-    first = (
+    sample_rows = (
         base.withColumn("__h", F.xxhash64(F.col("__id")))
-        .orderBy("__h", "__id").limit(1).collect()[0]
+        .orderBy("__h", "__id")
+        .limit(max(seed_sample_size, k))
+        .collect()
     )
-    seeds: list[list[float]] = [list(first["__v"])]
-    for _ in range(k - 1):
-        seed_df = F.broadcast(spark.createDataFrame(
-            [(s,) for s in seeds], "seed ARRAY<DOUBLE>"
-        ))
-        nearest = (
-            base.crossJoin(seed_df)
-            .withColumn("__sim", F.coalesce(cosine_sim("__v", "seed"), F.lit(-1.0)))
-            .groupBy("__id")
-            .agg(F.max("__sim").alias("__near"), F.first("__v").alias("__v"))
-            .orderBy(F.col("__near").asc(), F.col("__id").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        seeds.append(list(nearest["__v"]))
+    seeds = _farthest_point_seeds(sample_rows, k)
     centroids = spark.createDataFrame(
         [(i, s) for i, s in enumerate(seeds)],
         "bucket INT, centroid ARRAY<DOUBLE>",

