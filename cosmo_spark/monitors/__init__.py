@@ -28,6 +28,7 @@ def _variant(fn, doc, **bound):
     def wrapper(**inputs):
         return fn(**inputs, **bound)
     wrapper.__required_inputs__ = fn.__required_inputs__
+    wrapper.__optional_inputs__ = getattr(fn, "__optional_inputs__", [])
     wrapper.__doc__ = doc
     wrapper.__name__ = fn.__name__
     return wrapper
@@ -44,6 +45,7 @@ def _detector_variant(fn, detector, doc, **bound):
         inputs = {**inputs, first: inputs[first].filter(F.col("DETECTOR") == detector)}
         return fn(**inputs, **bound)
     wrapper.__required_inputs__ = required
+    wrapper.__optional_inputs__ = getattr(fn, "__optional_inputs__", [])
     wrapper.__doc__ = doc
     wrapper.__name__ = f"{fn.__name__}_{detector.lower()}"
     return wrapper
@@ -116,5 +118,11 @@ def run_monitors(cadence: str, inputs: dict) -> dict:
         required = fn.__required_inputs__
         if any(inputs.get(k) is None for k in required):
             continue  # input table not provided this run
-        out[name] = fn(**{k: inputs[k] for k in required})
+        kwargs = {k: inputs[k] for k in required}
+        # optional inputs (e.g. the dark monitor's solar overlay) ride along
+        # when provided, and are simply omitted otherwise
+        for k in getattr(fn, "__optional_inputs__", ()):
+            if inputs.get(k) is not None:
+                kwargs[k] = inputs[k]
+        out[name] = fn(**kwargs)
     return out

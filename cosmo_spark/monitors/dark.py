@@ -65,15 +65,18 @@ def region_dim(spark: SparkSession) -> DataFrame:
     return spark.sql(region_values_sql())
 
 
-def _monitor(required):
+def _monitor(required, optional=()):
     def deco(fn):
         fn.__required_inputs__ = required
+        fn.__optional_inputs__ = list(optional)
         return fn
     return deco
 
 
-@_monitor(["dark"])
-def dark_rate_monitor(dark: DataFrame) -> dict[str, DataFrame]:
+@_monitor(["dark"], optional=["solar"])
+def dark_rate_monitor(
+    dark: DataFrame, solar: DataFrame | None = None
+) -> dict[str, DataFrame]:
     spark = dark.sparkSession
     events = explode_zip(
         dark.filter(F.col("EXPSTART") != 0)            # P8 guard :183-184
@@ -107,8 +110,30 @@ def dark_rate_monitor(dark: DataFrame) -> dict[str, DataFrame]:
         rates, "dark_rate", quantiles=(0.95, 0.99, 0.995),
         sigma_lines=(1.0, 2.0, 3.0), group_cols=("SEGMENT", "region"),
     )
-    return {"data": filtered, "results": rates, "quantile_cuts": cuts,
-            "outliers": rates.limit(0)}
+    out = {"data": filtered, "results": rates, "quantile_cuts": cuts,
+           "outliers": rates.limit(0)}
+    if solar is not None:
+        # solar overlay (ref :265-284): the monthly NOAA series trimmed to
+        # the monitored date span, Box1DKernel(4)-smoothed.  ~1 row/month —
+        # a driver-sized overlay frame, never joined into the event scan.
+        from cosmo_spark.functions.timekit import mjd_to_ts
+        from cosmo_spark.operators.windows import box1d_smooth
+
+        span = dark.filter(F.col("EXPSTART") != 0).agg(
+            F.min("EXPSTART").alias("lo"), F.max("EXPSTART").alias("hi")
+        )
+        trimmed = (
+            solar.crossJoin(F.broadcast(span))
+            .filter(
+                (F.col("month") >= F.date_trunc("month", mjd_to_ts(F.col("lo"))))
+                & (F.col("month") <= mjd_to_ts(F.col("hi")))
+            )
+            .drop("lo", "hi")
+        )
+        out["solar"] = box1d_smooth(
+            trimmed, "month", "f107", box=4, out_col="f107_smooth"
+        )
+    return out
 
 
 def saa_flag(track: DataFrame) -> DataFrame:

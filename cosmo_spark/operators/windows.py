@@ -71,3 +71,46 @@ def boxcar(
     after = width - before - 1
     w = Window.partitionBy(*group_cols).orderBy(order_col).rowsBetween(-before, after)
     return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def box1d_smooth(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    box: int = 4,
+    group_cols: Sequence[str] = (),
+    out_col: str = "smoothed",
+) -> DataFrame:
+    """astropy ``convolve(x, Box1DKernel(box))`` as window expressions
+    (ref: cosmo/monitors/dark_monitors.py:124-127, solar-flux smoothing).
+
+    Box1DKernel with even ``box`` is linear-interpolated to ``box+1`` taps
+    with half-weight endpoints (Box1DKernel(4).array =
+    [.125, .25, .25, .25, .125]); odd widths are ``box`` equal taps.
+    astropy's default nan_treatment='interpolate' + normalize_kernel=True
+    divides the weighted sum of *valid* neighbors by the weight mass of
+    those neighbors, which also renormalizes at the series edges — nulls
+    (sentinel gaps) and out-of-series taps simply drop out.
+    """
+    if box % 2 == 1:
+        offsets = [(i - box // 2, 1.0) for i in range(box)]
+    else:
+        half = box // 2
+        offsets = (
+            [(-half, 0.5)]
+            + [(i, 1.0) for i in range(-half + 1, half)]
+            + [(half, 0.5)]
+        )
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    v = F.col(value_col)
+    num, den = F.lit(0.0), F.lit(0.0)
+    for off, wt in offsets:
+        if off == 0:
+            x = v
+        elif off < 0:
+            x = F.lag(v, -off).over(w)
+        else:
+            x = F.lead(v, off).over(w)
+        num = num + F.lit(wt) * F.coalesce(x, F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.when(den > 0, num / den))

@@ -463,6 +463,12 @@ def q51_dark_region_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = spark.sql(
         f"SELECT * FROM (VALUES {_dark_region_values()}) "
         "AS r(r_seg, region, x0, x1, y0, y1)"
+    ).select(
+        "r_seg", "region",
+        # the VALUES literal is shared verbatim with the DuckDB oracle, so
+        # it has no Spark `D` suffixes — without the cast Spark types the
+        # bounds DECIMAL and npix becomes decimal(14,2) vs float64
+        *[F.col(c).cast("double").alias(c) for c in ("x0", "x1", "y0", "y1")],
     )
     return (
         ev.join(

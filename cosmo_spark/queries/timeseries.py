@@ -483,3 +483,77 @@ def q25_time_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_to_doy_str("ts").alias("doy"),
         F.round(decimal_year("ts"), 8).alias("dec_year"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q52 — NOAA solar-flux pipeline: sentinel -> trim -> Box1DKernel smoothing   #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q52_solar_flux_smooth",
+    operators=("S12", "P8", "W3"),
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS DOUBLE) AS raw
+  FROM events GROUP BY 1
+), sentinel AS (
+  -- synthetic NOAA feed: every 13th day-of-month reports the -1 sentinel
+  SELECT d, CASE WHEN extract(day FROM d) % 13 = 0 THEN -1.0 ELSE raw END AS raw
+  FROM daily
+), clean AS (
+  SELECT d, CASE WHEN raw < 0 THEN NULL ELSE raw END AS flux
+  FROM sentinel
+  WHERE d >= TIMESTAMP '2024-01-08' AND d <= TIMESTAMP '2024-03-01'
+), taps AS (
+  SELECT d, flux,
+         lag(flux, 2)  OVER w AS l2, lag(flux, 1)  OVER w AS l1,
+         lead(flux, 1) OVER w AS n1, lead(flux, 2) OVER w AS n2
+  FROM clean WINDOW w AS (ORDER BY d)
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, flux,
+       (0.5 * coalesce(l2, 0) + coalesce(l1, 0) + coalesce(flux, 0)
+          + coalesce(n1, 0) + 0.5 * coalesce(n2, 0))
+       / (CASE WHEN l2 IS NULL THEN 0 ELSE 0.5 END
+          + CASE WHEN l1 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN flux IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN n1 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN n2 IS NULL THEN 0 ELSE 0.5 END) AS flux_smooth
+FROM taps
+""",
+)
+def q52_solar_flux_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOAA solar-flux ingest pipeline (ref: get_solar_data,
+    cosmo/monitors/dark_monitors.py:101-129) over a synthetic feed derived
+    from the events table: -1 sentinel -> null, date trim BEFORE smoothing,
+    then the exact astropy Box1DKernel(4) convolution (5 taps with
+    half-weight endpoints, nulls and edges renormalized out of the weight
+    mass) via operators.windows.box1d_smooth.
+
+    The daily flux is an integer count cast to double, so the smoothing
+    arithmetic is bit-identical across engines without rounding.  The real
+    source reader (JSON month series) is sources/solar.py; this query gates
+    the transform semantics.
+    """
+    from cosmo_spark.operators.windows import box1d_smooth
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("raw")
+    )
+    sent = daily.withColumn(
+        "flux",
+        F.when(F.dayofmonth("d") % 13 == 0, F.lit(-1.0)).otherwise(F.col("raw")),
+    )
+    clean = (
+        sent.withColumn(
+            "flux", F.when(F.col("flux") < 0, F.lit(None)).otherwise(F.col("flux"))
+        )
+        .filter(
+            (F.col("d") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("d") <= F.lit("2024-03-01").cast("timestamp"))
+        )
+    )
+    smoothed = box1d_smooth(clean, "d", "flux", box=4, out_col="flux_smooth")
+    return smoothed.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "flux", "flux_smooth"
+    )
