@@ -90,13 +90,19 @@ def merge_into_partitioned(
     (``partitionOverwriteMode=dynamic``) replaces exactly the partitions
     present in the written frame.  Requires ``partition_col`` to be part of
     every update row (the merge key's partition cannot change).
+
+    The affected-partition set never materializes on the driver: the
+    current-table read is restricted by a broadcast left-semi join on the
+    partition column, which dynamic partition pruning turns into an
+    executor-side skip of untouched directories — O(1) driver cost at any
+    partition count.
     """
-    affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    if not affected:
+    if updates.isEmpty():  # bounded probe (limit 1), not an O(rows) action
         return
     if os.path.exists(path):
-        current = spark.read.parquet(path).filter(
-            F.col(partition_col).isin(affected)  # partition-pruned read
+        affected = updates.select(partition_col).distinct()
+        current = spark.read.parquet(path).join(
+            F.broadcast(affected), partition_col, "left_semi"
         )
         merged = merge_versioned(current, updates, key_cols, version_col)
     else:

@@ -55,20 +55,32 @@ SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
 FROM tok GROUP BY word HAVING count(*) >= 10
 """,
 )
-def q18_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_word_frequency(
+    spark: SparkSession, sf_dir: str, exact_distinct: bool = True
+) -> DataFrame:
     """Zip-explode + group count — the reference's explode_df reshape
     (ref: cosmo/monitor_helpers.py:35-49) applied to token arrays.
 
     Scale: explode multiplies rows before the shuffle, but partial
-    aggregation collapses per-partition word counts first.
+    aggregation collapses per-partition word counts first.  The exact
+    ``countDistinct`` forces a two-phase expand (one extra shuffle keyed on
+    (word, doc_id)); at 100 TB pass ``exact_distinct=False`` to use
+    HyperLogLog++ ``approx_count_distinct`` (rsd 5%), which rides the same
+    single shuffle as the plain counts — the n_docs consumer is a
+    frequency-threshold heuristic that tolerates it (SURVEY A12 note).
+    Default stays exact for bit-parity with the oracle.
     """
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    n_docs = (
+        F.countDistinct("doc_id") if exact_distinct
+        else F.approx_count_distinct("doc_id")
+    )
     return (
         words.groupBy("word")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            n_docs.alias("n_docs"),
         )
         .filter(F.col("n") >= 10)
     )

@@ -1,0 +1,156 @@
+"""format('cosmo-fits') Python DataSource over the mini-FITS codec
+(ref: cosmo/filesystem.py:34-92 FileData extraction semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cosmo_spark.sources.fits_datasource import register
+from cosmo_spark.sources.fits_io import write_fits
+
+
+@pytest.fixture()
+def registered(spark):
+    register(spark)
+    return spark
+
+
+def write_exposure(path, rootname="lb000001", detector="FUV", exptime=100.0,
+                   n_events=4, segment="FUVA"):
+    """A corrtag-shaped fixture: primary header + one events BINTABLE."""
+    times = np.arange(n_events, dtype=np.float64) * 1.5
+    write_fits(str(path), [
+        {"header": {"ROOTNAME": rootname, "DETECTOR": detector,
+                    "SEGMENT": segment}},
+        {"header": {"EXPTIME": exptime, "EXPSTART": 58000.5},
+         "columns": {
+             "TIME": times,
+             "XCORR": np.linspace(1300.0, 1400.0, n_events),
+             "PHA": np.arange(n_events, dtype=np.int32) + 5,
+             "TAG": np.array([f"t{i}" for i in range(n_events)], dtype="S4"),
+         }},
+    ])
+
+
+DDL = ("ROOTNAME STRING, DETECTOR STRING, EXPTIME DOUBLE, EXPSTART DOUBLE, "
+       "TIME ARRAY<DOUBLE>, XCORR ARRAY<DOUBLE>, PHA ARRAY<INT>, "
+       "TAG ARRAY<STRING>, HVLEVELA BIGINT")
+
+OPTS = {
+    "ddl": DDL,
+    "header_request": '{"0": ["ROOTNAME", "DETECTOR"], "1": ["EXPTIME", "EXPSTART", "HVLEVELA"]}',
+    "header_defaults": '{"HVLEVELA": -1}',   # missing-key default (ref :64-72)
+    "table_request": '{"1": ["TIME", "XCORR", "PHA", "TAG"]}',
+}
+
+
+def _load(spark, path, **extra):
+    r = spark.read.format("cosmo-fits")
+    for k, v in {**OPTS, **extra}.items():
+        r = r.option(k, v)
+    return r.load(str(path))
+
+
+def test_fits_reads_header_and_table(registered, tmp_path):
+    write_exposure(tmp_path / "a.fits")
+    write_exposure(tmp_path / "b.fits", rootname="lb000002", n_events=2)
+    df = _load(registered, tmp_path)
+    rows = {r.ROOTNAME: r for r in df.collect()}
+    assert set(rows) == {"lb000001", "lb000002"}
+    a = rows["lb000001"]
+    assert a.DETECTOR == "FUV" and a.EXPTIME == 100.0
+    assert a.TIME == [0.0, 1.5, 3.0, 4.5]
+    assert a.PHA == [5, 6, 7, 8]
+    assert a.TAG == ["t0", "t1", "t2", "t3"]      # bytes -> str (ref :52-57)
+    assert a.HVLEVELA == -1                        # header default applied
+    assert rows["lb000002"].TIME == [0.0, 1.5]
+
+
+def test_fits_partition_per_file(registered, tmp_path):
+    for i in range(3):
+        write_exposure(tmp_path / f"e{i}.fits", rootname=f"lb{i:06d}")
+    df = _load(registered, tmp_path)
+    assert df.rdd.getNumPartitions() == 3          # dask fan-out analog
+
+
+def test_fits_collision_rename(registered, tmp_path):
+    """A table column whose name is already taken gets the {key}_{ext}
+    suffix (ref: filesystem.py:85-92)."""
+    write_fits(str(tmp_path / "c.fits"), [
+        {"header": {"ROOTNAME": "lb000009"}},
+        {"header": {}, "columns": {"ROOTNAME": np.array([b"inner"], dtype="S8"),
+                                   "Y": np.array([2.0])}},
+    ])
+    df = (
+        registered.read.format("cosmo-fits")
+        .option("ddl", "ROOTNAME STRING, ROOTNAME_1 ARRAY<STRING>, Y ARRAY<DOUBLE>")
+        .option("header_request", '{"0": ["ROOTNAME"]}')
+        .option("table_request", '{"1": ["ROOTNAME", "Y"]}')
+        .load(str(tmp_path / "c.fits"))
+    )
+    r = df.collect()[0]
+    assert r.ROOTNAME == "lb000009"
+    assert r.ROOTNAME_1 == ["inner"]
+    assert r.Y == [2.0]
+
+
+def test_fits_filter_after_scan(registered, tmp_path):
+    write_exposure(tmp_path / "a.fits", detector="FUV")
+    write_exposure(tmp_path / "b.fits", rootname="lb000002", detector="NUV")
+    df = _load(registered, tmp_path)
+    assert df.filter(F.col("DETECTOR") == "NUV").count() == 1
+
+
+def test_fits_missing_required_header_raises(registered, tmp_path):
+    write_exposure(tmp_path / "a.fits")
+    df = _load(registered, tmp_path,
+               header_request='{"0": ["NO_SUCH_KEY"]}', header_defaults="{}")
+    with pytest.raises(Exception):
+        df.collect()
+
+
+def test_fits_ddl_option_required(registered, tmp_path):
+    write_exposure(tmp_path / "a.fits")
+    with pytest.raises(Exception, match="ddl"):
+        registered.read.format("cosmo-fits").load(str(tmp_path)).collect()
+
+
+def test_mini_codec_roundtrip_types(tmp_path):
+    """Writer/reader pair preserves dtypes without Spark in the loop."""
+    from cosmo_spark.sources.fits_datasource import build_datasource
+
+    p = str(tmp_path / "t.fits")
+    write_fits(p, [
+        {"header": {"K1": "v", "K2": 7, "K3": 1.5, "K4": True}},
+        {"header": {}, "columns": {
+            "D": np.array([1.0, 2.0]),
+            "F": np.array([1.0, 2.0], dtype=np.float32),
+            "J": np.array([1, 2], dtype=np.int32),
+            "K": np.array([1, 2], dtype=np.int64),
+            "S": np.array([b"ab", b"cd"], dtype="S2"),
+        }},
+    ])
+    # reach the inner reader through a scan
+    import importlib
+    mod = importlib.import_module("cosmo_spark.sources.fits_datasource")
+    src = mod.build_datasource()
+    # drive extract via a tiny fake options dict through the DataSource API
+    ds = src(options={"path": p, "ddl": "K1 STRING"})
+    hdr = {"0": ["K1", "K2", "K3"]}
+    # use the reader end-to-end instead: one partition, full record
+    reader = ds.reader("K1 STRING, K2 BIGINT, K3 DOUBLE, D ARRAY<DOUBLE>, "
+                       "F ARRAY<FLOAT>, J ARRAY<INT>, K ARRAY<BIGINT>, S ARRAY<STRING>")
+    # patch requests directly (unit-level)
+    reader.header_request = hdr
+    reader.table_request = {"1": ["D", "F", "J", "K", "S"]}
+    reader.header_defaults = {}
+    reader.columns = ["K1", "K2", "K3", "D", "F", "J", "K", "S"]
+    [part] = reader.partitions()
+    [row] = list(reader.read(part))
+    assert row[0] == "v" and row[1] == 7 and row[2] == 1.5
+    assert row[3] == [1.0, 2.0]
+    assert row[4] == [1.0, 2.0]
+    assert row[5] == [1, 2] and row[6] == [1, 2]
+    assert row[7] == ["ab", "cd"]

@@ -57,3 +57,29 @@ def test_merge_empty_updates_noop(spark, tmp_path):
     empty = base.limit(0)
     merge_into_partitioned(spark, path, empty, "k", "ver", "month")
     assert part_files(path, "2024-01") == snapshot
+
+
+def test_merge_many_partitions_rewrites_one(spark, tmp_path):
+    """Join-based pruning at a higher partition count: 40 monthly partitions,
+    one update month — only that directory's files change, and no
+    partition-value list is collected to the driver (the semi-join path)."""
+    path = str(tmp_path / "tbl40")
+    base = spark.createDataFrame(
+        [(f"k{i}", 1, f"2020-{(i % 40) + 1:02d}", "x") for i in range(200)],
+        "k STRING, ver INT, month STRING, payload STRING",
+    )
+    merge_into_partitioned(spark, path, base, "k", "ver", "month")
+    snapshots = {m: part_files(path, m) for m in sorted({r.month for r in base.collect()})}
+
+    updates = spark.createDataFrame(
+        [("k7", 2, "2020-08", "upd")], "k STRING, ver INT, month STRING, payload STRING"
+    )
+    merge_into_partitioned(spark, path, updates, "k", "ver", "month")
+
+    for m, snap in snapshots.items():
+        if m == "2020-08":
+            assert part_files(path, m) != snap
+        else:
+            assert part_files(path, m) == snap
+    row = {r.k: r.ver for r in spark.read.parquet(path).filter("month = '2020-08'").collect()}
+    assert row["k7"] == 2
