@@ -71,13 +71,34 @@ def read_json_states(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_mnemonic_descriptions(spark: SparkSession, path: str) -> DataFrame:
-    """Mnemonic -> description dimension.  The reference reads an Excel
-    sheet (ref: telemetry_monitors.py:84); Excel needs an external package,
-    so the supported interchange here is its CSV export — same two columns."""
-    if path.endswith((".xlsx", ".xls")):
+    """Mnemonic -> description dimension (ref: pd.read_excel,
+    cosmo/monitors/telemetry_monitors.py:84).
+
+    Native ``.xlsx`` is parsed by the stdlib-only codec in
+    ``sources/xlsx_io`` (shared/inline strings + numbers — the subset a
+    lookup sheet uses) on the driver: this is a tiny dimension table, so a
+    driver-side parse + ``createDataFrame`` is the right shape, exactly
+    like the reference's in-memory read.  CSV export remains supported.
+    Legacy binary ``.xls`` (BIFF) is not a zip of XML and stays
+    unsupported."""
+    if path.endswith(".xls"):
         raise NotImplementedError(
-            "Excel input requires an external reader not present in this "
-            "environment; export the sheet to CSV (Mnemonic,Description)"
+            "legacy binary .xls (BIFF) is unsupported; save as .xlsx or CSV"
+        )
+    if path.endswith(".xlsx"):
+        from cosmo_spark.sources.xlsx_io import read_xlsx
+
+        rows = read_xlsx(path)
+        if not rows:
+            raise ValueError(f"empty worksheet in {path}")
+        header = [str(h) if h is not None else "" for h in rows[0]]
+        data = [tuple((r + [None] * len(header))[: len(header)]) for r in rows[1:]]
+        df = spark.createDataFrame(
+            data, ", ".join(f"`{h}` STRING" for h in header)
+        )
+        return df.select(
+            F.col(header[0]).alias("Mnemonic"),
+            F.col(header[1]).alias("Description"),
         )
     return spark.read.csv(path, header=True, schema="Mnemonic STRING, Description STRING")
 

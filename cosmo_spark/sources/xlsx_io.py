@@ -1,0 +1,154 @@
+"""Minimal XLSX codec — stdlib-only (zipfile + ElementTree).
+
+The reference reads its telemetry mnemonic-description sheet with
+``pd.read_excel`` (ref: cosmo/monitors/telemetry_monitors.py:84), which
+needs openpyxl.  An .xlsx file is a zip of XML parts, and the subset a
+two-column lookup sheet uses — shared strings, inline strings, numbers —
+parses with the standard library, so the engine can ingest the native file
+instead of demanding a CSV export.
+
+Reader returns rows as lists of optional strings (numbers arrive as their
+lexical form; callers cast).  The writer exists for test fixtures and emits
+shared-string cells — the layout real Excel produces.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_COL = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _col_index(ref: str) -> int:
+    """'A'->0, 'B'->1, ..., 'AA'->26."""
+    m = _COL.match(ref)
+    letters = m.group(1) if m else ref
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def read_xlsx(path: str, sheet: int = 1) -> list[list[str | None]]:
+    """Parse worksheet ``sheet`` into dense rows (None for gaps)."""
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        root = ET.fromstring(z.read(f"xl/worksheets/sheet{sheet}.xml"))
+    rows: list[list[str | None]] = []
+    width = 0
+    for row in root.iter(f"{_NS}row"):
+        cells: dict[int, str | None] = {}
+        for c in row.findall(f"{_NS}c"):
+            ref = c.get("r", "")
+            i = _col_index(ref) if ref else len(cells)
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                is_el = c.find(f"{_NS}is")
+                val = "".join(x.text or "" for x in is_el.iter(f"{_NS}t")) if is_el is not None else None
+            else:
+                v = c.find(f"{_NS}v")
+                if v is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v.text)]
+                else:  # n (number), str (formula result), b (boolean)
+                    val = v.text
+            cells[i] = val
+        width = max(width, max(cells, default=-1) + 1)
+        rows.append(cells)
+    return [[r.get(i) for i in range(width)] for r in rows]
+
+
+def _col_letter(i: int) -> str:
+    s = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        s = chr(ord("A") + rem) + s
+    return s
+
+
+def write_xlsx(path: str, rows: list[list]) -> None:
+    """Write one worksheet with shared-string cells (test fixtures)."""
+    strings: list[str] = []
+    index: dict[str, int] = {}
+
+    def sref(s: str) -> int:
+        if s not in index:
+            index[s] = len(strings)
+            strings.append(s)
+        return index[s]
+
+    body = []
+    for rnum, row in enumerate(rows, start=1):
+        cells = []
+        for cnum, val in enumerate(row):
+            if val is None:
+                continue
+            ref = f"{_col_letter(cnum)}{rnum}"
+            if isinstance(val, (int, float)):
+                cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+            else:
+                cells.append(f'<c r="{ref}" t="s"><v>{sref(str(val))}</v></c>')
+        body.append(f'<row r="{rnum}">{"".join(cells)}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f'<sheetData>{"".join(body)}</sheetData></worksheet>'
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="{len(strings)}" uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/'
+        '2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/'
+        '2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/'
+        '2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>'
+    )
+    types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.'
+        'relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", types)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)

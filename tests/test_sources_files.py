@@ -55,12 +55,40 @@ def test_json_states(spark, tmp_path):
     }
 
 
-def test_mnemonic_descriptions_excel_stub(spark, tmp_path):
-    with pytest.raises(NotImplementedError):
-        read_mnemonic_descriptions(spark, "mnemonics.xlsx")
+def test_mnemonic_descriptions_csv(spark, tmp_path):
     p = tmp_path / "mn.csv"
     p.write_text("Mnemonic,Description\nLMMCETMP,MCE temperature\n")
     assert read_mnemonic_descriptions(spark, str(p)).first().Description == "MCE temperature"
+
+
+def test_mnemonic_descriptions_native_xlsx(spark, tmp_path):
+    """Native .xlsx via the stdlib codec (ref: pd.read_excel,
+    telemetry_monitors.py:84)."""
+    from cosmo_spark.sources.xlsx_io import write_xlsx
+
+    p = tmp_path / "mn.xlsx"
+    write_xlsx(str(p), [
+        ["Mnemonic", "Description"],
+        ["LMMCETMP", "MCE temperature"],
+        ["LOSM1POS", "OSM1 position"],
+    ])
+    got = {r.Mnemonic: r.Description
+           for r in read_mnemonic_descriptions(spark, str(p)).collect()}
+    assert got == {"LMMCETMP": "MCE temperature", "LOSM1POS": "OSM1 position"}
+
+
+def test_mnemonic_descriptions_legacy_xls_unsupported(spark):
+    with pytest.raises(NotImplementedError):
+        read_mnemonic_descriptions(spark, "mnemonics.xls")
+
+
+def test_xlsx_codec_roundtrip(tmp_path):
+    from cosmo_spark.sources.xlsx_io import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, [["a", "b", "c"], ["x", 1, None], [None, 2.5, "z"]])
+    rows = read_xlsx(p)
+    assert rows == [["a", "b", "c"], ["x", "1", None], [None, "2.5", "z"]]
 
 
 def test_write_results_csv_single_file(spark, tmp_path):
