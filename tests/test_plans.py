@@ -94,3 +94,23 @@ def test_q20_shuffle_carries_hash_not_text(spark, qs):
     plan = physical_plan(df)
     ex = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
     assert ex and all("text_hash" in ln for ln in ex), ex
+
+
+def test_q51_region_fanout_is_hash_join(spark, qs):
+    """The 11-region dark fan-out must be a BroadcastHashJoin keyed on the
+    segment with the range bounds as join filters — NOT a nested-loop over
+    every (event, region) pair, and never a sort-merge."""
+    df = qs["q51_dark_region_catalog"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q44_ivf_corpus_join_broadcast_probes(spark, qs):
+    """IVF probe set (queries x nprobe buckets) broadcasts into the bucketed
+    corpus; the corpus itself must not sort-merge."""
+    df = qs["q44_ivf_ann"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
