@@ -106,12 +106,48 @@ def dark_rate_monitor(
         .agg(F.count(F.lit(1)).alias("n_events"), F.first("npix").alias("npix"))
         .withColumn("dark_rate", F.col("n_events") / (F.col("npix") * TIME_STEP))
     )
+
+    # ground track per bin (ref: dark_filter :61-63 subsamples the 1 Hz
+    # LATITUDE/LONGITUDE telemetry at the bin starts): first sample in each
+    # 25 s bin, keyed (ROOTNAME, time_bin), with the SAA flag (:195-198)
+    orbital = None
+    if {"TIME_3", "LATITUDE", "LONGITUDE"} <= set(dark.columns):
+        track = explode_zip(
+            dark.filter(F.col("EXPSTART") != 0)
+            .select("ROOTNAME", "TIME_3", "LATITUDE", "LONGITUDE"),
+            ["TIME_3", "LATITUDE", "LONGITUDE"],
+        ).withColumn("time_bin", F.floor(F.col("TIME_3") / TIME_STEP).cast("long"))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("ROOTNAME", "time_bin").orderBy("TIME_3")
+        track = (
+            track.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("ROOTNAME", "time_bin", "LATITUDE", "LONGITUDE")
+        )
+        track = saa_flag(track)
+        rates = rates.join(track, ["ROOTNAME", "time_bin"], "left")
+        orbital = rates.select(
+            "ROOTNAME", "SEGMENT", "region", "time_bin",
+            "LONGITUDE", "LATITUDE", "dark_rate",
+        )
+
+    # histogram/quantile stats exclude SAA passes, and FUV restricts to the
+    # Inner region (ref: calculate_histogram, dark_monitors.py:386-400)
+    cuts_input = rates
+    if orbital is not None:
+        cuts_input = cuts_input.filter(F.coalesce(F.col("no_saa"), F.lit(1)) == 1)
+    cuts_input = cuts_input.filter(
+        (~F.col("SEGMENT").startswith("FUV")) | (F.col("region") == "Inner")
+    )
     cuts = quantile_cuts(
-        rates, "dark_rate", quantiles=(0.95, 0.99, 0.995),
+        cuts_input, "dark_rate", quantiles=(0.95, 0.99, 0.995),
         sigma_lines=(1.0, 2.0, 3.0), group_cols=("SEGMENT", "region"),
     )
     out = {"data": filtered, "results": rates, "quantile_cuts": cuts,
            "outliers": rates.limit(0)}
+    if orbital is not None:
+        out["orbital"] = orbital
     if solar is not None:
         # solar overlay (ref :265-284): the monthly NOAA series trimmed to
         # the monitored date span, Box1DKernel(4)-smoothed.  ~1 row/month —

@@ -444,3 +444,47 @@ def test_run_monitors_cadence(spark, acq):
     # only monitors whose inputs we passed as real frames matter here;
     # monthly set includes the acq monitors
     assert "acq_image" in out and "acq_peakd" in out
+
+def test_dark_orbital_track_and_saa_filtered_cuts(spark):
+    """Ground-track join + SAA exclusion (ref: dark_filter :61-63 subsampled
+    lat/lon; calculate_histogram :386-400 keeps no_saa == 1 only)."""
+    schema = (
+        "ROOTNAME STRING, SEGMENT STRING, EXPTIME DOUBLE, EXPSTART DOUBLE, "
+        "PHA ARRAY<LONG>, XCORR ARRAY<DOUBLE>, YCORR ARRAY<DOUBLE>, TIME ARRAY<DOUBLE>, "
+        "TIME_3 ARRAY<DOUBLE>, LATITUDE ARRAY<DOUBLE>, LONGITUDE ARRAY<DOUBLE>"
+    )
+    rows = [
+        # bin 0: outside SAA (lat 20); bin 1: inside SAA (lat -20, lon 300)
+        ("d1", "FUVA", 100.0, 58000.0,
+         [10, 10], [2000.0, 2000.0], [500.0, 500.0], [1.0, 30.0],
+         [0.0, 1.0, 25.0, 26.0], [20.0, 20.0, -20.0, -20.0],
+         [100.0, 100.0, 300.0, 300.0]),
+    ]
+    out = dark_rate_monitor(spark.createDataFrame(rows, schema))
+    assert "orbital" in out
+    orb = {r.time_bin: (r.LATITUDE, r.LONGITUDE) for r in out["orbital"].collect()}
+    assert orb == {0: (20.0, 100.0), 1: (-20.0, 300.0)}
+    res = {r.time_bin: r.no_saa for r in out["results"].collect()}
+    assert res == {0: 1, 1: 0}
+    # quantile cuts computed only over the non-SAA bin
+    cuts = out["quantile_cuts"].collect()
+    assert len(cuts) == 1
+    npix = (15119 - 1260) * (660 - 375)
+    assert cuts[0]["mean"] == pytest.approx(1 / (npix * 25.0))
+
+
+def test_dark_cuts_fuv_restricted_to_inner(spark):
+    """FUV histogram stats use the Inner region only (ref :395-399): a
+    corner event feeding Bottom+Left must not contribute region rows to
+    the cuts."""
+    df = spark.createDataFrame(
+        [("c1", "FUVA", 100.0, 58000.0, [10, 10], [1100.0, 2000.0],
+          [300.0, 500.0], [1.0, 2.0])],
+        "ROOTNAME STRING, SEGMENT STRING, EXPTIME DOUBLE, EXPSTART DOUBLE, "
+        "PHA ARRAY<LONG>, XCORR ARRAY<DOUBLE>, YCORR ARRAY<DOUBLE>, TIME ARRAY<DOUBLE>",
+    )
+    out = dark_rate_monitor(df)
+    regions = {r.region for r in out["quantile_cuts"].collect()}
+    assert regions == {"Inner"}
+    # while the rate series itself still carries all fed regions
+    assert {r.region for r in out["results"].collect()} == {"Bottom", "Left", "Inner"}
