@@ -535,3 +535,77 @@ def q50_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------- #
+# q53 — repetition-based quality signals (Gopher-style)                       #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q53_repetition_quality",
+    operators=("TXT2", "A12", "U3"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+words AS (SELECT doc_id, unnest(toks) AS w FROM tl),
+wstats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+  FROM words GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS b
+  FROM tl
+),
+bcounts AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bstats AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_c
+           FROM bcounts GROUP BY doc_id)
+SELECT w.doc_id, w.n_tokens,
+       round(1 - w.n_distinct / CAST(w.n_tokens AS DOUBLE), 6) AS dup_word_frac,
+       round(b.top_c / CAST(b.n_bg AS DOUBLE), 6) AS top_bigram_frac
+FROM wstats w LEFT JOIN bstats b USING (doc_id)
+""",
+)
+def q53_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document — the Gopher-rule
+    family a training-data pipeline filters on: duplicate-word fraction and
+    the fraction of all bigrams taken by the single most frequent bigram
+    (high values = boilerplate/spam).  Extends the reference's quality
+    scoring (q35) with the repetition dimension.
+
+    Scale shape: both signals aggregate exploded tokens keyed by doc_id
+    with full partial aggregation; nothing is quadratic in document length
+    and no UDF runs.  Output is one row per document — the natural input
+    to a downstream `WHERE dup_word_frac < t1 AND top_bigram_frac < t2`
+    keep-filter.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    words = tl.select("doc_id", F.explode("toks").alias("w"))
+    wstats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    n = F.size("toks")
+    bigrams = tl.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("toks"), F.lit(2), F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("b"),
+    )
+    bcounts = bigrams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    bstats = bcounts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bg"), F.max("c").alias("top_c")
+    )
+    return wstats.join(bstats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round(1 - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6)
+         .alias("dup_word_frac"),
+        F.round(F.col("top_c") / F.col("n_bg").cast("double"), 6)
+         .alias("top_bigram_frac"),
+    )
