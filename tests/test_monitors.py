@@ -488,3 +488,61 @@ def test_dark_cuts_fuv_restricted_to_inner(spark):
     assert regions == {"Inner"}
     # while the rate series itself still carries all fed regions
     assert {r.region for r in out["results"].collect()} == {"Bottom", "Left", "Inner"}
+
+
+def test_acq_v2v3_breakpoint_trend(spark):
+    """Trend semantics (ref acq_monitors.py:228-250): per-FGS line fit of
+    NEGATED slews vs Besselian-year time, only since the last breakpoint
+    (2020.150 -> MJD 59013); slope/offsets reported from the fit."""
+    def mk(root, mjd, sx, sy):
+        return (root, "ACQ/IMAGE", sx, sy, mjd, "IMAGING", 3000.0, "Open",
+                600.0, "Success", "NO", "1.001", "PSA", "MIRRORA", "F1", 0)
+
+    import math
+    c = math.cos(math.radians(45.0))
+    # V2SLEW = (sx+sy)*c ; pick sy=0 so V2SLEW = sx*c, V3SLEW = sx*c
+    rows = [
+        mk("old", 58000.0, 1.0, 0.0),     # before breakpoint - excluded
+        mk("n1", 59100.0, 0.2, 0.0),
+        mk("n2", 59465.25, 0.4, 0.0),     # ~1 byear later
+    ]
+    acq = spark.createDataFrame(rows, (
+        "ROOTNAME STRING, EXPTYPE STRING, ACQSLEWX DOUBLE, ACQSLEWY DOUBLE, "
+        "EXPSTART DOUBLE, OBSTYPE STRING, NEVENTS DOUBLE, SHUTTER STRING, "
+        "LAMPEVNT DOUBLE, ACQSTAT STRING, EXTENDED STRING, LINENUM STRING, "
+        "APERTURE STRING, OPT_ELEM STRING, FGS STRING, CENWAVE LONG"
+    ))
+    out = acq_image_v2v3_monitor(acq)
+    assert out["data"].count() == 3        # quality filter keeps all three
+    t = out["trends"].collect()
+    assert len(t) == 1 and t[0].n == 2     # breakpoint window drops 'old'
+    dt = (59465.25 - 59100.0) / 365.242198781   # byear span
+    expected_slope = -(0.4 - 0.2) * c / dt      # negated slew fit
+    assert t[0].V2_slope == pytest.approx(expected_slope, rel=1e-6)
+    assert t[0].V2_fit_start == pytest.approx(-0.2 * c, rel=1e-6)
+    assert t[0].V2_fit_end == pytest.approx(-0.4 * c, rel=1e-6)
+    # V3 equals V2 here (sy = 0)
+    assert t[0].V3_slope == pytest.approx(t[0].V2_slope, rel=1e-9)
+
+
+def test_v2v3_notification_format(spark):
+    from cosmo_spark.monitors.notify import v2v3_notification
+
+    trends = spark.createDataFrame(
+        [("F1", 2, -0.0191, -0.061, -0.164, 0.01, 0.002, 0.012)],
+        "FGS STRING, n LONG, V2_slope DOUBLE, V2_fit_start DOUBLE, "
+        "V2_fit_end DOUBLE, V3_slope DOUBLE, V3_fit_start DOUBLE, V3_fit_end DOUBLE",
+    )
+    text = v2v3_notification(trends, date="2019-07-31")
+    assert "V2V3 Offset Monitor 2019-07-31 Results" in text
+    assert "Slope: -0.0191 arcseconds/year" in text
+    assert "Offset (from fit) at time of first data point: -0.061 arcseconds" in text
+
+
+def test_outlier_notification(spark):
+    from cosmo_spark.monitors.notify import outlier_notification
+
+    df = spark.createDataFrame([("r1",), ("r2",)], "ROOTNAME STRING")
+    text = outlier_notification(df, "AcqImage Monitor")
+    assert text.splitlines()[0] == "AcqImage Monitor: 2 outlier(s)"
+    assert "  r1" in text and "  r2" in text
