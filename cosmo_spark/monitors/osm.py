@@ -132,20 +132,41 @@ def osm_shift_monitor(
 
 @_monitor(["osm"])
 def osm_drift_monitor(osm: DataFrame) -> dict[str, DataFrame]:
-    """ref: cosmo/monitors/osm_drift_monitors.py:21-77: shifts relative to
-    the first flash, per-second drift rates, describe by LIFE_ADJ."""
+    """ref: cosmo/monitors/osm_drift_monitors.py:17-46: BOTH shift axes
+    relative to the first flash (REL_SHIFT_DISP / REL_SHIFT_XDISP), all
+    array columns truncated to [1:], per-second drift rates SHIFT1_DRIFT /
+    SHIFT2_DRIFT, time-since-move columns for OSM1 and OSM2, and the track
+    stats describe BOTH drifts per LIFE_ADJ (:70-78).
+
+    Division guard: the reference divides by TIME unguarded (a zero would
+    produce inf); here a zero interval yields NULL and is excluded from the
+    describe — documented deviation."""
+    rest = lambda c: F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
     base = osm.filter(F.size("SHIFT_DISP") > 1).select(
-        "ROOTNAME", "LIFE_ADJ", "OPT_ELEM", "EXPSTART", "TSINCEOSM1",
-        rel_to_first("SHIFT_DISP").alias("REL_SHIFT"),           # P13 :21-27
-        F.slice("TIME", 2, F.greatest(F.size("TIME") - 1, F.lit(0))).alias("T_REST"),
+        "ROOTNAME", "LIFE_ADJ", "OPT_ELEM", "EXPSTART",
+        "TSINCEOSM1", "TSINCEOSM2",
+        rel_to_first("SHIFT_DISP").alias("REL_SHIFT_DISP"),      # P13 :21-24
+        rel_to_first("SHIFT_XDISP").alias("REL_SHIFT_XDISP"),
+        rest("TIME").alias("T_REST"),                            # :26-28
+        rest("SEGMENT").alias("SEGMENT"),
     )
-    long = explode_zip(base, ["REL_SHIFT", "T_REST"], index_col="flash_idx")
-    long = long.withColumn(
-        "SHIFT1_DRIFT",
-        F.when(F.col("T_REST") > 0, F.col("REL_SHIFT") / F.col("T_REST")),  # :36-37
-    ).withColumn("REL_TSINCE", F.col("T_REST") + F.col("TSINCEOSM1"))       # :40
+    long = explode_zip(
+        base, ["REL_SHIFT_DISP", "REL_SHIFT_XDISP", "T_REST", "SEGMENT"],
+        index_col="flash_idx",
+    )
+    t = F.col("T_REST")
+    long = (
+        long.withColumn(
+            "SHIFT1_DRIFT", F.when(t > 0, F.col("REL_SHIFT_DISP") / t)   # :36
+        )
+        .withColumn(
+            "SHIFT2_DRIFT", F.when(t > 0, F.col("REL_SHIFT_XDISP") / t)  # :37
+        )
+        .withColumn("REL_TSINCEOSM1", t + F.col("TSINCEOSM1"))           # :38
+        .withColumn("REL_TSINCEOSM2", t + F.col("TSINCEOSM2"))           # :39
+    )
     results = describe_by(
         long.filter(F.col("SHIFT1_DRIFT").isNotNull()),
-        ["LIFE_ADJ"], ["SHIFT1_DRIFT"],
+        ["LIFE_ADJ"], ["SHIFT1_DRIFT", "SHIFT2_DRIFT"],
     )
     return {"data": long, "results": results, "outliers": long.limit(0)}

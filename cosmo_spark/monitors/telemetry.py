@@ -24,8 +24,22 @@ def _monitor(required):
 
 
 @_monitor(["telemetry"])
-def telemetry_monitor(telemetry: DataFrame) -> dict[str, DataFrame]:
+def telemetry_monitor(
+    telemetry: DataFrame, last_days: float | None = 365.25
+) -> dict[str, DataFrame]:
+    """``last_days`` mirrors the reference's default monitor window: begin
+    365.25 days before the last datapoint of each telemetry file (ref:
+    telemetry_monitors.py:33, per-file default begindate).  The per-mnemonic
+    max is a tiny broadcast aggregate, not a window; pass None for the full
+    history."""
     data = telemetry.withColumn("ts", mjd_to_ts("MJD"))
+    if last_days is not None:
+        bounds = data.groupBy("mnemonic").agg(F.max("MJD").alias("__mjd_max"))
+        data = (
+            data.join(F.broadcast(bounds), "mnemonic")
+            .filter(F.col("MJD") >= F.col("__mjd_max") - F.lit(last_days))
+            .drop("__mjd_max")
+        )
     bands = data.groupBy("mnemonic").agg(
         F.percentile(F.col("Data"), 0.005).alias("band_lo"),   # :165-170
         F.percentile(F.col("Data"), 0.995).alias("band_hi"),

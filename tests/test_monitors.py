@@ -82,7 +82,8 @@ def test_acq_peak_monitor(acq):
 def osm(spark):
     schema = (
         "ROOTNAME STRING, DETECTOR STRING, LIFE_ADJ LONG, OPT_ELEM STRING, "
-        "CENWAVE LONG, EXPSTART DOUBLE, TSINCEOSM1 DOUBLE, TIME ARRAY<DOUBLE>, "
+        "CENWAVE LONG, EXPSTART DOUBLE, TSINCEOSM1 DOUBLE, TSINCEOSM2 DOUBLE, "
+        "TIME ARRAY<DOUBLE>, "
         "SHIFT_DISP ARRAY<DOUBLE>, SHIFT_XDISP ARRAY<DOUBLE>, SEGMENT ARRAY<STRING>, "
         "LAMPTAB_SEGMENT ARRAY<STRING>, FP_PIXEL_SHIFT ARRAY<DOUBLE>, "
         "XC_RANGE ARRAY<DOUBLE>, SEARCH_OFFSET ARRAY<DOUBLE>"
@@ -90,7 +91,7 @@ def osm(spark):
     rows = [
         # 2 flashes x (FUVA, FUVB): positional pairing must give
         # flash0: 1.0-0.6=0.4, flash1: 2.0-1.0=1.0
-        ("lb1", "FUV", 3, "G130M", 1291, 58000.0, 1000.0,
+        ("lb1", "FUV", 3, "G130M", 1291, 58000.0, 1000.0, 2000.0,
          [4.3, 4.3, 2404.3, 2404.3],
          [1.0, 0.6, 2.0, 1.0],
          [0.1, 0.1, 0.2, 0.2],
@@ -98,7 +99,7 @@ def osm(spark):
          ["FUVA", "FUVB"], [3.5, 4.5],
          [50.0], [0.0]),
         # empty-array row must be dropped (P7)
-        ("lb2", "FUV", 3, "G130M", 1291, 58001.0, 1000.0,
+        ("lb2", "FUV", 3, "G130M", 1291, 58001.0, 1000.0, 2000.0,
          [], [], [], [], ["FUVA", "FUVB"], [3.5, 4.5], [50.0], [0.0]),
     ]
     return spark.createDataFrame(rows, schema)
@@ -119,9 +120,19 @@ def test_osm_shift_monitor(osm):
 def test_osm_drift_monitor(osm):
     out = osm_drift_monitor(osm)
     rows = sorted(out["data"].collect(), key=lambda r: r.flash_idx)
-    # REL_SHIFT = SHIFT[1:] - SHIFT[0] = [-0.4, 1.0, 0.0]; rates /T_REST
-    assert [r.REL_SHIFT for r in rows] == [pytest.approx(-0.4), 1.0, 0.0]
+    # REL_SHIFT_DISP = SHIFT[1:] - SHIFT[0] = [-0.4, 1.0, 0.0]; rates /T_REST
+    assert [r.REL_SHIFT_DISP for r in rows] == [pytest.approx(-0.4), 1.0, 0.0]
     assert rows[1].SHIFT1_DRIFT == pytest.approx(1.0 / 2404.3)
+    # the cross-dispersion axis rides the same explode (ref :23-24, :37)
+    assert [r.REL_SHIFT_XDISP for r in rows] == [
+        pytest.approx(0.0), pytest.approx(0.1), pytest.approx(0.1)]
+    assert rows[1].SHIFT2_DRIFT == pytest.approx(0.1 / 2404.3)
+    assert rows[1].REL_TSINCEOSM2 == pytest.approx(2404.3 + 2000.0)
+    assert rows[1].SEGMENT == "FUVA"
+    # describe covers both drift axes per LIFE_ADJ (ref :70-78)
+    res = out["results"].columns
+    assert any("SHIFT1_DRIFT" in c for c in res)
+    assert any("SHIFT2_DRIFT" in c for c in res)
 
 
 @pytest.fixture()
@@ -546,3 +557,17 @@ def test_outlier_notification(spark):
     text = outlier_notification(df, "AcqImage Monitor")
     assert text.splitlines()[0] == "AcqImage Monitor: 2 outlier(s)"
     assert "  r1" in text and "  r2" in text
+
+
+def test_telemetry_default_window_trims_old_samples(spark):
+    """Default window = last 365.25 days per mnemonic (ref
+    telemetry_monitors.py:33); the band stats must exclude ancient rows."""
+    rows = [("LMMCETMP", 57000.0, 99.0)] + [
+        ("LMMCETMP", 58000.0 + i, float(i)) for i in range(11)
+    ]
+    t = spark.createDataFrame(rows, "mnemonic STRING, MJD DOUBLE, Data DOUBLE")
+    out = telemetry_monitor(t)
+    b = out["results"].collect()[0]
+    assert b["n"] == 11 and b["max"] == 10.0      # 57000-row trimmed
+    full = telemetry_monitor(t, last_days=None)
+    assert full["results"].collect()[0]["n"] == 12
