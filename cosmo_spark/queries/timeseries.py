@@ -557,3 +557,58 @@ def q52_solar_flux_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smoothed.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"), "flux", "flux_smooth"
     )
+
+
+# --------------------------------------------------------------------------- #
+# q54 — built-in session windows (gap-merged), the streaming-native twin      #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q54_session_window",
+    operators=("ST4", "W6", "A11"),
+    oracle="""
+WITH flag AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def q54_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window`` — the
+    streaming-capable twin of q47's lag/cumsum islands: the same groupBy
+    runs unchanged under ``readStream`` with a watermark, where the state
+    store merges windows incrementally (q47's unbounded window form cannot
+    stream).  Session = events within 30 min of the session's end; window
+    end = last event + gap, matching the oracle's islands formulation with
+    a ``diff >= gap`` break.
+
+    Scale: one shuffle on user_id; sessions merge inside
+    ``session_window``'s aggregation buffer — no per-user window sort of
+    the whole history like q47's form.
+    """
+    e = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss")
+             .alias("session_end"),
+            "n_events",
+        )
+    )

@@ -92,3 +92,39 @@ def test_windowed_rates_streaming(spark, tmp_path):
     rows = spark.sql("SELECT * FROM rates_test").collect()
     got = {(r.event_type, r.window_start.second): r.n for r in rows}
     assert got == {("click", 0): 2, ("view", 25): 1}
+
+
+def test_session_window_streams(spark, tmp_path):
+    """The q54 session_window groupBy runs unchanged as a stream: with a
+    watermark and append mode, sessions closed by the watermark emit."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    write_json(src / "e1.json", [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z"},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00.000Z"},   # same session
+        {"user_id": 1, "ts": "2024-01-01T02:00:00.000Z"},   # new session
+        {"user_id": 2, "ts": "2024-01-01T00:00:00.000Z"},
+        # late-horizon event: advances the watermark far enough to close
+        # every session above
+        {"user_id": 9, "ts": "2024-01-02T00:00:00.000Z"},
+    ])
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").json(str(src))
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        sessions.writeStream.format("memory").queryName("sess_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_test").collect()
+    got = {(r.user_id, r.session_window.start.isoformat()): r.n_events for r in rows}
+    # user 1's first session merged two events; the 02:00 event and user 2's
+    # singleton closed as their own sessions
+    assert got[(1, "2024-01-01T00:00:00")] == 2
+    assert got[(1, "2024-01-01T02:00:00")] == 1
+    assert got[(2, "2024-01-01T00:00:00")] == 1
