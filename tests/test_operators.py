@@ -176,3 +176,15 @@ def test_windows_ops(spark):
     # centered width-4: row0 -> rows[-2..1] = (1+3)/2; row1 -> (1+3+10)/3
     assert box[0].smoothed == pytest.approx(2.0)
     assert box[1].smoothed == pytest.approx(14.0 / 3)
+
+
+def test_quantile_cuts_approx_mode(spark):
+    """exact=False swaps in bounded-state approx_percentile; on a small
+    frame both modes agree to t-digest accuracy."""
+    from cosmo_spark.operators.histogram import quantile_cuts
+
+    df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    exact = quantile_cuts(df, "v").collect()[0]
+    approx = quantile_cuts(df, "v", exact=False).collect()[0]
+    assert abs(exact["p95"] - approx["p95"]) <= 1.0
+    assert abs(exact["median"] - approx["median"]) <= 1.0
