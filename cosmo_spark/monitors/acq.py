@@ -143,13 +143,14 @@ def acq_image_v2v3_monitor(acq: DataFrame) -> dict[str, DataFrame]:
 
 @_monitor(["acq"])
 def acq_peak_monitor(acq: DataFrame, exptype: str = "ACQ/PEAKD") -> dict[str, DataFrame]:
-    """ref: cosmo/monitors/acq_monitors.py:355-516 (AcqPeakdMonitor /
-    AcqPeakxdMonitor): slew describe per (OPT_ELEM, CENWAVE); outliers at
-    |slew| >= 1 pixel."""
+    """ref: cosmo/monitors/acq_monitors.py:485-507 (SpecAcqBaseMonitor →
+    AcqPeakdMonitor / AcqPeakxdMonitor): the offset column is the negated
+    slew (:542 plots -slew), the track stat is the slew std per FGS
+    (:497-502), and outliers are |slew| >= 1 arcsecond (:504-507)."""
     slew = "ACQSLEWX" if exptype == "ACQ/PEAKD" else "ACQSLEWY"
     data = acq.filter(F.col("EXPTYPE") == exptype).withColumn(
-        "slew", -F.col(slew)                            # sign flip :382
+        "slew", -F.col(slew)                            # offset = -slew :542
     )
-    results = describe_by(data, ["OPT_ELEM", "CENWAVE"], ["slew"])
-    outliers = data.filter(F.abs(F.col("slew")) >= 1)   # :505-507
+    results = describe_by(data, ["FGS"], ["slew"])      # per-FGS std :497-502
+    outliers = data.filter(F.abs(F.col("slew")) >= 1)   # :504-507
     return {"data": data, "results": results, "outliers": outliers}
