@@ -49,6 +49,7 @@ def build_datasource():
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     BLOCK, CARD = 2880, 80
@@ -242,6 +243,43 @@ def build_datasource():
             parts.append("".join(cur).strip())
         return parts
 
+    class FitsStreamReader(SimpleDataSourceStreamReader):
+        """Incremental exposure discovery (SURVEY ST1): offset = the set of
+        already-emitted file names, checkpointed by the engine — the
+        reference's ingest-log diff (cosmo/sms/ingest_sms.py:253-270
+        ``is_new``) as exactly-once delivery.  Same contract as the
+        cosmo-sms stream reader."""
+
+        def __init__(self, options, ddl):
+            self.batch = FitsReader(options, ddl)
+
+        def _files(self):
+            try:
+                return [p.path for p in self.batch.partitions()]
+            except FileNotFoundError:
+                return []
+
+        def initialOffset(self):
+            return {"seen": []}
+
+        def read(self, start):
+            seen = set(start["seen"])
+            new = [p for p in self._files() if _os.path.basename(p) not in seen]
+            rows = []
+            for p in new:
+                rows.extend(self.batch.read(FitsFilePartition(p)))
+            end = {"seen": sorted(seen | {_os.path.basename(p) for p in new})}
+            return iter(rows), end
+
+        def readBetweenOffsets(self, start, end):
+            delta = set(end["seen"]) - set(start["seen"])
+            by_name = {_os.path.basename(p): p for p in self._files()}
+            rows = []
+            for name in sorted(delta):
+                if name in by_name:
+                    rows.extend(self.batch.read(FitsFilePartition(by_name[name])))
+            return iter(rows)
+
     class FitsDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -259,6 +297,9 @@ def build_datasource():
 
         def reader(self, schema):
             return FitsReader(self.options, self.options.get("ddl"))
+
+        def simpleStreamReader(self, schema):
+            return FitsStreamReader(self.options, self.options.get("ddl"))
 
     return FitsDataSource
 

@@ -154,3 +154,34 @@ def test_mini_codec_roundtrip_types(tmp_path):
     assert row[4] == [1.0, 2.0]
     assert row[5] == [1, 2] and row[6] == [1, 2]
     assert row[7] == ["ab", "cd"]
+
+
+def test_fits_streaming_incremental(registered, tmp_path):
+    """Streaming reader: only newly arrived exposures emit per batch; the
+    seen-file offset is engine-checkpointed (parquet sink supports
+    checkpoint recovery across restarts; memory sink does not)."""
+    src = tmp_path / "stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    write_exposure(src / "a.fits", rootname="lb000001")
+
+    def run_batch():
+        stream = (
+            registered.readStream.format("cosmo-fits")
+            .options(**OPTS).load(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {r.ROOTNAME for r in registered.read.parquet(sink).collect()}
+
+    assert run_batch() == {"lb000001"}
+    write_exposure(src / "b.fits", rootname="lb000002")
+    # second run resumes from the checkpoint: only the new file emits
+    assert run_batch() == {"lb000001", "lb000002"}
+    # no new files -> no new rows
+    assert run_batch() == {"lb000001", "lb000002"}
