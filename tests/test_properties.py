@@ -115,3 +115,82 @@ def test_merge_versioned_properties(spark, base, updates):
     again = merge_versioned(merged, udf, "k", "ver")
     state2 = {r.k: (r.ver, r.payload) for r in again.collect()}
     assert state2 == state
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-1000, 1000).map(float)),
+        min_size=1, max_size=12,
+    ),
+    st.integers(2, 5),
+)
+@settings(**_SETTINGS)
+def test_box1d_smooth_matches_bruteforce(spark, values, box):
+    """box1d_smooth == the astropy Box1DKernel formula computed in Python:
+    weighted sum of valid neighbors over their weight mass, for any null
+    pattern, any edge, odd or even width."""
+    from cosmo_spark.operators.windows import box1d_smooth
+
+    if box % 2 == 1:
+        offsets = [(i - box // 2, 1.0) for i in range(box)]
+    else:
+        half = box // 2
+        offsets = ([(-half, 0.5)]
+                   + [(i, 1.0) for i in range(-half + 1, half)]
+                   + [(half, 0.5)])
+
+    def expected(i):
+        num = den = 0.0
+        for off, wt in offsets:
+            j = i + off
+            if 0 <= j < len(values) and values[j] is not None:
+                num += wt * values[j]
+                den += wt
+        return None if den == 0 else num / den
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i INT, x DOUBLE"
+    )
+    got = {r.i: r.s for r in box1d_smooth(df, "i", "x", box=box, out_col="s").collect()}
+    for i in range(len(values)):
+        e = expected(i)
+        if e is None:
+            assert got[i] is None
+        else:
+            assert got[i] is not None and abs(got[i] - e) < 1e-9
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                           exclude_characters="<>&'\""),
+                    max_size=8,
+                ),
+                st.integers(-1000, 1000),
+            ),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_xlsx_roundtrip_property(tmp_path_factory, rows):
+    """write_xlsx -> read_xlsx is lossless up to stringification, for any
+    cell grid with gaps (rows are padded to the widest row)."""
+    from cosmo_spark.sources.xlsx_io import read_xlsx, write_xlsx
+
+    p = str(tmp_path_factory.mktemp("xlsx") / "t.xlsx")
+    write_xlsx(p, rows)
+    got = read_xlsx(p)
+    width = max(len(r) for r in rows)
+    for r_in, r_out in zip(rows, got):
+        padded = list(r_in) + [None] * (width - len(r_in))
+        for v_in, v_out in zip(padded, r_out):
+            if v_in is None:
+                assert v_out is None
+            else:
+                assert v_out == str(v_in)
