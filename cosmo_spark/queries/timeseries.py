@@ -612,3 +612,71 @@ def q54_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q56 — running per-key mean/std (batch twin of the stateful stream)          #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q56_running_stats",
+    operators=("W2", "A2", "ST5"),
+    oracle="""
+WITH e AS (
+  SELECT event_type, ts, event_id, CAST(round(value * 100) AS BIGINT) AS v2
+  FROM events WHERE user_id < 20
+), w AS (
+  SELECT event_type, event_id,
+         count(*) OVER win AS n,
+         CAST(sum(v2) OVER win AS DOUBLE) AS s,
+         CAST(sum(v2 * v2) OVER win AS DOUBLE) AS ss
+  FROM e
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, event_id, n,
+       s / (100.0 * n) AS running_mean,
+       CASE WHEN n > 1 THEN
+         sqrt(greatest((ss - s * s / n) / (n - 1), 0.0)) / 100.0 END AS running_std
+FROM w
+""",
+)
+def q56_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running mean/std over event time — the batch twin of the
+    ``applyInPandasWithState`` Welford monitor (streaming/stateful.py): the
+    same numbers the stateful stream carries in its state dict, here as
+    cumulative window aggregates.
+
+    Bit-parity discipline (docs/PARITY.md rules 3/7): values are converted
+    to exact integer hundredths BEFORE the window, so cumulative sums are
+    exact in any evaluation order (DuckDB windows may use segment trees);
+    the mean/variance then come from single IEEE divisions of identical
+    operands on both engines — no rounding needed or wanted.  Sums are cast
+    to double before squaring: s² overflows int64 at this row count while
+    s itself is still exactly representable in float64.
+    """
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "event_type", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v2"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("v2").over(w).cast("double")
+    ss = F.sum(F.col("v2") * F.col("v2")).over(w).cast("double")
+    var = (ss - s * s / n) / (n - F.lit(1))
+    return e.select(
+        "event_type",
+        "event_id",
+        n.alias("n"),
+        (s / (F.lit(100.0) * n)).alias("running_mean"),
+        F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(100.0))
+         .alias("running_std"),
+    )

@@ -68,3 +68,60 @@ def test_running_stats_across_batches(spark, tmp_path):
     assert a2.outlier         # 120 is far outside the running distribution
     b = snaps["B"]
     assert b.n == 1 and b.std is None and not b.outlier
+
+
+def test_stream_final_state_matches_q56_batch_twin(spark, tmp_path):
+    """Cross-validation: the stateful stream's final per-key Welford
+    snapshot equals the last row of the q56 batch running-stats window on
+    the same data (up to float tolerance — Welford vs sum-of-squares)."""
+    import json as _json
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        ("A", i, 10.0 + (i % 5)) for i in range(20)
+    ] + [("B", i, 100.0 - 3 * i) for i in range(7)]
+    src = tmp_path / "tl"
+    src.mkdir()
+    with open(src / "d.json", "w") as f:
+        for k, i, v in rows:
+            f.write(_json.dumps({"mnemonic": k, "seq": i, "Data": v}) + "\n")
+
+    stream = spark.readStream.schema("mnemonic STRING, seq LONG, Data DOUBLE").json(str(src))
+    q = (
+        running_stats(stream).writeStream.format("memory").queryName("rs_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # last snapshot per key
+    snap = {r.mnemonic: r for r in spark.sql(
+        "SELECT * FROM rs_twin").collect()}
+
+    batch = spark.createDataFrame(rows, "mnemonic STRING, seq LONG, Data DOUBLE")
+    w = Window.partitionBy("mnemonic").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, 0)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("Data").over(w)
+    ss = F.sum(F.col("Data") * F.col("Data")).over(w)
+    # greatest(n-1, 1) avoids the n=1 division (ANSI mode errors on it);
+    # only the last row per key is compared, where n > 1
+    stats = batch.select(
+        "mnemonic", "seq", n.alias("n"),
+        (s / n).alias("mean"),
+        F.sqrt(F.greatest(
+            (ss - s * s / n) / F.greatest(n - F.lit(1), F.lit(1)), F.lit(0.0)
+        )).alias("std"),
+    )
+    last = {
+        r.mnemonic: r for r in stats.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("mnemonic").orderBy(F.col("seq").desc()))
+        ).filter("rn = 1").collect()
+    }
+    for k in ("A", "B"):
+        assert snap[k].n == last[k].n
+        assert snap[k].mean == pytest.approx(last[k].mean, rel=1e-9)
+        assert snap[k].std == pytest.approx(last[k].std, rel=1e-9)
