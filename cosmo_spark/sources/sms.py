@@ -151,3 +151,21 @@ def find_new(catalog: DataFrame, ingest_log: DataFrame | None) -> DataFrame:
     return catalog.join(
         ingest_log.select("FILEID").distinct(), "FILEID", "left_anti"
     )
+
+
+def enrich_with_sms_tsince(exposures: DataFrame, sms: DataFrame) -> DataFrame:
+    """Join TSINCEOSM1/TSINCEOSM2 from the SMS schedule onto exposure rows
+    (ref: OSMDataModel, cosmo/monitors/data_models.py:156-182).
+
+    The SMS table stores rootnames WITHOUT the trailing 'q' that the
+    exposure files carry, so the join key is ``SMS.ROOTNAME || 'q'`` — the
+    same fuzzy-key-normalization family as the lamptab rtrim join (J6).
+    The merge is INNER, matching the reference's documented behavior: an
+    exposure with no SMS entry (ingest lag) drops out of the monitored set.
+    The SMS side is a schedule table (small), so it broadcasts.
+    """
+    tsince = sms.select(
+        F.concat(F.col("ROOTNAME"), F.lit("q")).alias("ROOTNAME"),
+        "TSINCEOSM1", "TSINCEOSM2",
+    ).dropDuplicates(["ROOTNAME"])
+    return exposures.join(F.broadcast(tsince), "ROOTNAME")

@@ -148,3 +148,21 @@ def test_exposure_merge_fileid_guard(spark, tmp_path):
     # older update is a no-op
     again = merge_versioned(merged, b4, "EXPOSURE", "FILEID").collect()
     assert again[0].FILEID == "181137c2"
+
+
+def test_enrich_with_sms_tsince(spark):
+    """SMS rootnames lack the trailing 'q' (ref data_models.py:174-175);
+    the enrichment appends it and inner-joins — unmatched exposures drop."""
+    from cosmo_spark.sources.sms import enrich_with_sms_tsince
+
+    exposures = spark.createDataFrame(
+        [("ld1ce4dmq", 1.0), ("lzzzzzzzq", 2.0)], "ROOTNAME STRING, X DOUBLE"
+    )
+    sms = spark.createDataFrame(
+        [("ld1ce4dm", 100.0, 200.0)],
+        "ROOTNAME STRING, TSINCEOSM1 DOUBLE, TSINCEOSM2 DOUBLE",
+    )
+    out = enrich_with_sms_tsince(exposures, sms).collect()
+    assert len(out) == 1  # no SMS entry -> dropped (ingest-lag behavior)
+    assert out[0].ROOTNAME == "ld1ce4dmq"
+    assert out[0].TSINCEOSM1 == 100.0 and out[0].TSINCEOSM2 == 200.0
