@@ -609,3 +609,39 @@ def q53_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("top_c") / F.col("n_bg").cast("double"), 6)
          .alias("top_bigram_frac"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q57 — opaque-binary metadata extraction (multimodal column pattern)         #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q57_binary_metadata",
+    operators=("MM1", "P11"),
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       length(text) AS n_chars,
+       octet_length(encode(text)) = length(text) AS is_ascii,
+       hex(encode(left(text, 8))) AS header_hex
+FROM documents
+""",
+)
+def q57_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload — the multimodal-column
+    pattern (sources/multimodal.py carries media the same way: bytes +
+    metadata, decode behind mapInPandas).  Here the payload is the UTF-8
+    encoding of the document text so the oracle can reproduce it: byte
+    length vs char length (multi-byte detection) and a hex header prefix —
+    the magic-number sniff a media pipeline runs before routing blobs to
+    decoders.  All JVM-side expressions; nothing leaves codegen.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.octet_length(t).cast("long").alias("n_bytes"),
+        F.length(t).cast("long").alias("n_chars"),
+        (F.octet_length(t) == F.length(t)).alias("is_ascii"),
+        F.hex(F.encode(F.substring(t, 1, 8), "UTF-8")).alias("header_hex"),
+    )
