@@ -130,3 +130,13 @@ def append_table(df: DataFrame, path: str) -> None:
     (ref: model.ingest(), docs/source/api.rst:101-125).  Keyed upserts go
     through operators.merge instead."""
     df.write.mode("append").parquet(path)
+
+
+def attach_prop_typ(df: DataFrame, ancillary: DataFrame) -> DataFrame:
+    """Attach the PROP_TYP label from the ancillary CSV table by ROOTNAME
+    (ref: cosmo/monitor_helpers.py:147-159 ``get_prop_typ`` — dedupe on
+    ROOTNAME, left join; the reference applies it in every monitor's
+    get_data as a hover label).  Broadcast left join; rows without an
+    ancillary entry keep a null label."""
+    dim = ancillary.select("ROOTNAME", "PROP_TYP").dropDuplicates(["ROOTNAME"])
+    return df.join(F.broadcast(dim), "ROOTNAME", "left")

@@ -121,3 +121,15 @@ def test_runner_cli_end_to_end(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     written = os.listdir(out_dir)
     assert any(d.startswith("acq_image_") for d in written), written
+
+
+def test_attach_prop_typ(spark):
+    from cosmo_spark.sources.files import attach_prop_typ
+
+    df = spark.createDataFrame([("r1",), ("r2",)], "ROOTNAME STRING")
+    anc = spark.createDataFrame(
+        [("r1", "CAL"), ("r1", "CAL"), ("r9", "GO")],
+        "ROOTNAME STRING, PROP_TYP STRING",
+    )
+    got = {r.ROOTNAME: r.PROP_TYP for r in attach_prop_typ(df, anc).collect()}
+    assert got == {"r1": "CAL", "r2": None}  # dedupe + left join (ref :151-157)
