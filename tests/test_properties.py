@@ -194,3 +194,51 @@ def test_xlsx_roundtrip_property(tmp_path_factory, rows):
                 assert v_out is None
             else:
                 assert v_out == str(v_in)
+
+
+@given(
+    st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                       width=64, min_value=-1e12, max_value=1e12),
+             min_size=1, max_size=8),
+    st.lists(st.integers(-2**31, 2**31 - 1), min_size=1, max_size=8),
+    st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                            exclude_characters="'"),
+                     min_size=0, max_size=6),
+             min_size=1, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_fits_codec_roundtrip_property(tmp_path_factory, doubles, ints, strings):
+    """write_fits -> the datasource's internal reader is lossless for any
+    BINTABLE column mix (float64 exact, int32 exact, fixed-width strings
+    up to trailing-space semantics)."""
+    import numpy as np
+
+    from cosmo_spark.sources.fits_datasource import build_datasource
+    from cosmo_spark.sources.fits_io import write_fits
+
+    n = min(len(doubles), len(ints), len(strings))
+    doubles, ints, strings = doubles[:n], ints[:n], strings[:n]
+    p = str(tmp_path_factory.mktemp("fits") / "t.fits")
+    write_fits(p, [
+        {"header": {"ROOTNAME": "prop"}},
+        {"header": {}, "columns": {
+            "D": np.array(doubles, dtype=np.float64),
+            "J": np.array(ints, dtype=np.int32),
+            "S": np.array([s.encode() for s in strings], dtype="S8"),
+        }},
+    ])
+    src = build_datasource()
+    ds = src(options={"path": p, "ddl": "x STRING"})
+    reader = ds.reader("x STRING")
+    reader.header_request = {"0": ["ROOTNAME"]}
+    reader.table_request = {"1": ["D", "J", "S"]}
+    reader.header_defaults = {}
+    reader.columns = ["ROOTNAME", "D", "J", "S"]
+    [part] = reader.partitions()
+    [row] = list(reader.read(part))
+    assert row[0] == "prop"
+    assert row[1] == doubles          # float64 bit-exact
+    assert row[2] == ints
+    # numpy S-dtype drops trailing NULs; reader also rstrips spaces
+    assert row[3] == [s.rstrip() if s.strip() else "" for s in
+                      (x[:8] for x in strings)]
