@@ -645,3 +645,57 @@ def q57_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.octet_length(t) == F.length(t)).alias("is_ascii"),
         F.hex(F.encode(F.substring(t, 1, 8), "UTF-8")).alias("header_hex"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q58 — corpus-frequency rarity scoring (CCNet-style quality signal)          #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q58_rare_word_score",
+    operators=("TXT2", "A11", "J1"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+words AS (SELECT doc_id, unnest(toks) AS w FROM tl),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM words GROUP BY w),
+scored AS (
+  SELECT words.doc_id, vocab.cf FROM words JOIN vocab USING (w)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cf < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       sum(CASE WHEN cf < 5 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+         AS rare_frac,
+       CAST(sum(cf) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mean_corpus_freq
+FROM scored GROUP BY doc_id
+""",
+)
+def q58_rare_word_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative word-frequency scoring — the CCNet-style quality
+    signal family: documents dominated by corpus-rare tokens are noise/
+    garble candidates, documents of only ultra-common tokens are
+    boilerplate.  Two passes over the token explode: corpus vocabulary
+    counts, then a token→vocab join aggregated per document.
+
+    All statistics are exact-integer sums divided once, so the oracle
+    matches bit-for-bit in any aggregation order (PARITY rule 3) — a log-
+    probability variant would hinge on cross-engine ``ln`` ulp behavior.
+
+    Scale: the vocabulary aggregation and the token join both shuffle on
+    the word key with full partial aggregation; at 100 TB the vocab table
+    is Zipf-bounded (≪ corpus) and the join is the standard dictionary
+    pattern (broadcast when it fits, shuffle otherwise — Catalyst decides
+    from stats).
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    scored = words.join(vocab, "w")
+    rare = F.sum(F.when(F.col("cf") < 5, 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        rare.alias("n_rare"),
+        (rare / n.cast("double")).alias("rare_frac"),
+        (F.sum("cf") / n.cast("double")).alias("mean_corpus_freq"),
+    )
