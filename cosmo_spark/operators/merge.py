@@ -93,23 +93,34 @@ def merge_into_partitioned(
 
     The affected-partition set never materializes on the driver: the
     current-table read is restricted by a broadcast left-semi join on the
-    partition column, which dynamic partition pruning turns into an
-    executor-side skip of untouched directories — O(1) driver cost at any
-    partition count.
+    partition column, which dynamic partition pruning (DPP — enabled by
+    default via ``spark.sql.optimizer.dynamicPartitionPruning.enabled``;
+    without it the semi-join still bounds the merge input but the scan
+    lists every directory) turns into an executor-side skip of untouched
+    directories — O(1) driver cost at any partition count.
+
+    ``updates`` is persisted for the duration of the merge: it feeds three
+    consumers (the isEmpty probe, the affected-partition distinct, and the
+    merge itself), and an expensive update lineage must not recompute per
+    action.
     """
-    if updates.isEmpty():  # bounded probe (limit 1), not an O(rows) action
-        return
-    if os.path.exists(path):
-        affected = updates.select(partition_col).distinct()
-        current = spark.read.parquet(path).join(
-            F.broadcast(affected), partition_col, "left_semi"
-        )
-        merged = merge_versioned(current, updates, key_cols, version_col)
-    else:
-        merged = merge_versioned(None, updates, key_cols, version_col)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    updates = updates.persist()
     try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        if updates.isEmpty():  # bounded probe (limit 1), not an O(rows) action
+            return
+        if os.path.exists(path):
+            affected = updates.select(partition_col).distinct()
+            current = spark.read.parquet(path).join(
+                F.broadcast(affected), partition_col, "left_semi"
+            )
+            merged = merge_versioned(current, updates, key_cols, version_col)
+        else:
+            merged = merge_versioned(None, updates, key_cols, version_col)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        updates.unpersist()

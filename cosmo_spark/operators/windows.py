@@ -89,8 +89,12 @@ def box1d_smooth(
     [.125, .25, .25, .25, .125]); odd widths are ``box`` equal taps.
     astropy's default nan_treatment='interpolate' + normalize_kernel=True
     divides the weighted sum of *valid* neighbors by the weight mass of
-    those neighbors, which also renormalizes at the series edges — nulls
-    (sentinel gaps) and out-of-series taps simply drop out.
+    those neighbors — null values (sentinel gaps) drop out of the mass.
+    Series edges follow astropy's default boundary='fill' with
+    fill_value=0: a tap past the series edge contributes value 0 at FULL
+    weight (the zero padding counts in the kernel mass), so the first/last
+    box//2 points are pulled toward zero exactly as the reference's
+    convolve() output is.
     """
     if box % 2 == 1:
         offsets = [(i - box // 2, 1.0) for i in range(box)]
@@ -103,14 +107,21 @@ def box1d_smooth(
         )
     w = Window.partitionBy(*group_cols).orderBy(order_col)
     v = F.col(value_col)
+    one = F.lit(1)
     num, den = F.lit(0.0), F.lit(0.0)
     for off, wt in offsets:
         if off == 0:
-            x = v
+            x, exists = v, one
         elif off < 0:
             x = F.lag(v, -off).over(w)
+            exists = F.lag(one, -off).over(w)
         else:
             x = F.lead(v, off).over(w)
+            exists = F.lead(one, off).over(w)
         num = num + F.lit(wt) * F.coalesce(x, F.lit(0.0))
-        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        # zero-fill boundary: a tap past the series edge keeps its weight
+        # (value 0); only an in-series null is renormalized out of the mass
+        den = den + F.when(
+            exists.isNotNull() & x.isNull(), F.lit(0.0)
+        ).otherwise(F.lit(wt))
     return df.withColumn(out_col, F.when(den > 0, num / den))

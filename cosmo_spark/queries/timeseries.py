@@ -332,7 +332,7 @@ def q49_stream_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged.  Windows are epoch-aligned and the session is pinned to UTC,
     so window_start equals floor(epoch/21600)*21600 on both engines.
     """
-    from cosmo_spark.sources.tables import _normalize_nanos
+    from cosmo_spark.sources.tables import _normalize_ts
     from cosmo_spark.streaming.rates import windowed_rates
 
     tune_session(spark)
@@ -343,7 +343,7 @@ def q49_stream_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     rates = windowed_rates(
-        _normalize_nanos(stream), time_col="ts", window="6 hours",
+        _normalize_ts(stream), time_col="ts", window="6 hours",
         watermark="2 minutes", group_cols=("event_type",),
         rate_divisor=21600.0,
     )
@@ -506,18 +506,23 @@ WITH daily AS (
   WHERE d >= TIMESTAMP '2024-01-08' AND d <= TIMESTAMP '2024-03-01'
 ), taps AS (
   SELECT d, flux,
-         lag(flux, 2)  OVER w AS l2, lag(flux, 1)  OVER w AS l1,
-         lead(flux, 1) OVER w AS n1, lead(flux, 2) OVER w AS n2
+         lag(flux, 2)  OVER w AS l2, lag(1, 2)  OVER w AS e_l2,
+         lag(flux, 1)  OVER w AS l1, lag(1, 1)  OVER w AS e_l1,
+         lead(flux, 1) OVER w AS n1, lead(1, 1) OVER w AS e_n1,
+         lead(flux, 2) OVER w AS n2, lead(1, 2) OVER w AS e_n2
   FROM clean WINDOW w AS (ORDER BY d)
 )
 SELECT strftime(d, '%Y-%m-%d') AS day, flux,
+       -- zero-fill edges: a tap past the series boundary keeps its weight
+       -- (value 0); only an in-series NULL gap drops out of the mass
        (0.5 * coalesce(l2, 0) + coalesce(l1, 0) + coalesce(flux, 0)
           + coalesce(n1, 0) + 0.5 * coalesce(n2, 0))
-       / (CASE WHEN l2 IS NULL THEN 0 ELSE 0.5 END
-          + CASE WHEN l1 IS NULL THEN 0 ELSE 1 END
+       / (CASE WHEN e_l2 IS NOT NULL AND l2 IS NULL THEN 0 ELSE 0.5 END
+          + CASE WHEN e_l1 IS NOT NULL AND l1 IS NULL THEN 0 ELSE 1 END
           + CASE WHEN flux IS NULL THEN 0 ELSE 1 END
-          + CASE WHEN n1 IS NULL THEN 0 ELSE 1 END
-          + CASE WHEN n2 IS NULL THEN 0 ELSE 0.5 END) AS flux_smooth
+          + CASE WHEN e_n1 IS NOT NULL AND n1 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN e_n2 IS NOT NULL AND n2 IS NULL THEN 0 ELSE 0.5 END)
+       AS flux_smooth
 FROM taps
 """,
 )
@@ -526,8 +531,9 @@ def q52_solar_flux_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosmo/monitors/dark_monitors.py:101-129) over a synthetic feed derived
     from the events table: -1 sentinel -> null, date trim BEFORE smoothing,
     then the exact astropy Box1DKernel(4) convolution (5 taps with
-    half-weight endpoints, nulls and edges renormalized out of the weight
-    mass) via operators.windows.box1d_smooth.
+    half-weight endpoints; NULL gaps renormalized out of the weight mass,
+    series edges zero-filled at full weight per astropy's default
+    boundary='fill', fill_value=0) via operators.windows.box1d_smooth.
 
     The daily flux is an integer count cast to double, so the smoothing
     arithmetic is bit-identical across engines without rounding.  The real

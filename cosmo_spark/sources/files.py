@@ -91,14 +91,17 @@ def read_mnemonic_descriptions(spark: SparkSession, path: str) -> DataFrame:
         rows = read_xlsx(path)
         if not rows:
             raise ValueError(f"empty worksheet in {path}")
-        header = [str(h) if h is not None else "" for h in rows[0]]
-        data = [tuple((r + [None] * len(header))[: len(header)]) for r in rows[1:]]
+        # columns are positional (first two = mnemonic, description), so the
+        # header cells never enter a DDL string or column resolution — sheet
+        # headers with backticks/dots can't corrupt the schema
+        n = len(rows[0])
+        data = [tuple((r + [None] * n)[:n]) for r in rows[1:]]
         df = spark.createDataFrame(
-            data, ", ".join(f"`{h}` STRING" for h in header)
+            data, ", ".join(f"c{i} STRING" for i in range(n))
         )
         return df.select(
-            F.col(header[0]).alias("Mnemonic"),
-            F.col(header[1]).alias("Description"),
+            F.col("c0").alias("Mnemonic"),
+            F.col("c1").alias("Description"),
         )
     return spark.read.csv(path, header=True, schema="Mnemonic STRING, Description STRING")
 

@@ -164,7 +164,9 @@ def build_datasource():
 
         if isinstance(v, np.ndarray):
             if v.dtype.kind == "S":
-                v = v.astype(str)
+                # FITS 'A' fields are space-padded; astropy returns stripped
+                # chararrays, so strip here too for identical reader output
+                v = np.char.rstrip(v.astype(str))
             return v.tolist()
         if isinstance(v, bytes):
             return v.decode("ascii", "replace").rstrip()

@@ -45,8 +45,9 @@ def solar_flux(
     smoothing (ref :101-129).  Returns (month, f107, f107_smooth).
 
     Trim happens BEFORE smoothing, as in the reference (``df.loc[datemin:
-    datemax]`` precedes the convolve), so the smoothed series renormalizes
-    at the trimmed edges.
+    datemax]`` precedes the convolve), so the trimmed boundaries are the
+    series edges the convolution zero-fills (astropy boundary='fill',
+    fill_value=0 — the padding counts in the kernel mass).
 
     Scale note: the solar series is ~1 row/month — it exists to be
     broadcast-joined under monitors as an overlay dimension, never

@@ -24,24 +24,36 @@ DIMENSIONS = {"region", "nation", "supplier", "part", "customer"}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _normalize_nanos(df)
+    return _normalize_ts(df)
 
 
-def _normalize_nanos(df: DataFrame) -> DataFrame:
-    """Convert nanosecond-timestamp columns (read as long via
-    ``spark.sql.legacy.parquet.nanosAsLong``) to microsecond timestamps.
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` event-time column to session-zoned TIMESTAMP.
 
-    Integer ``div`` keeps full precision (ns-since-epoch overflows double);
-    truncation matches DuckDB's ns->us conversion.
+    The generator has shipped two physical encodings across rounds:
+
+    - TIMESTAMP(NANOS), which the vanilla parquet reader rejects; read as
+      long via ``spark.sql.legacy.parquet.nanosAsLong`` and converted here
+      with integer ``div`` (ns-since-epoch overflows double; truncation
+      matches DuckDB's ns->us conversion).
+    - timestamp[us] without timezone, which Spark reads as TIMESTAMP_NTZ;
+      cast to TIMESTAMP so time functions (``unix_micros``, ``window``,
+      RANGE frames) resolve.  The session timezone is pinned to UTC by
+      ``tune_session`` inside every query entry point, so the cast is a
+      pure re-tag of the same instant — identical to DuckDB's naive-as-UTC
+      epoch math.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, LongType):
-            df = df.withColumn(
-                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
-            )
+        if field.name == "ts":
+            if isinstance(field.dataType, LongType):
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                )
+            elif isinstance(field.dataType, TimestampNTZType):
+                df = df.withColumn(field.name, F.col(field.name).cast(TimestampType()))
     return df
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _COL = re.compile(r"([A-Z]+)(\d+)")
@@ -107,7 +108,7 @@ def write_xlsx(path: str, rows: list[list]) -> None:
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         f'count="{len(strings)}" uniqueCount="{len(strings)}">'
-        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "".join(f"<si><t>{escape(s)}</t></si>" for s in strings)
         + "</sst>"
     )
     workbook = (

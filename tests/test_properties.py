@@ -127,8 +127,9 @@ def test_merge_versioned_properties(spark, base, updates):
 @settings(**_SETTINGS)
 def test_box1d_smooth_matches_bruteforce(spark, values, box):
     """box1d_smooth == the astropy Box1DKernel formula computed in Python:
-    weighted sum of valid neighbors over their weight mass, for any null
-    pattern, any edge, odd or even width."""
+    weighted sum over weight mass with NULL gaps renormalized away and
+    series edges zero-filled at full weight (boundary='fill', fill_value=0),
+    for any null pattern, any edge, odd or even width."""
     from cosmo_spark.operators.windows import box1d_smooth
 
     if box % 2 == 1:
@@ -143,8 +144,12 @@ def test_box1d_smooth_matches_bruteforce(spark, values, box):
         num = den = 0.0
         for off, wt in offsets:
             j = i + off
-            if 0 <= j < len(values) and values[j] is not None:
-                num += wt * values[j]
+            if 0 <= j < len(values):
+                if values[j] is not None:   # in-series value
+                    num += wt * values[j]
+                    den += wt
+                # in-series null: NaN-interpolated out of the mass
+            else:                           # past the edge: zero-fill
                 den += wt
         return None if den == 0 else num / den
 

@@ -46,15 +46,17 @@ def test_solar_flux_sentinel_and_trim(spark, noaa_file):
     by = {m: r for m, r in zip(months, rows)}
     assert by["2023-03"].f107 is None  # -1 sentinel -> null
     # Box1DKernel(4) taps [.5,1,1,1,.5]; at 2023-04 (trimmed series
-    # [200, null, 220, 240]): valid taps are lag2(200)*.5 + x(220) + lead1(240)
-    # over weight mass .5+1+1 = 2.5  (lag1 is the null gap, lead2 is past the
-    # trimmed edge — both renormalized away, astropy nan_treatment semantics)
-    expected = (0.5 * 200.0 + 220.0 + 240.0) / 2.5
+    # [200, null, 220, 240]): lag2(200)*.5 + x(220) + lead1(240), lag1 is
+    # the null gap (renormalized away, nan_treatment='interpolate'), lead2
+    # is past the trimmed edge — zero-filled at full weight .5 (astropy
+    # boundary='fill', fill_value=0), so the mass is .5+1+1+.5 = 3.0
+    expected = (0.5 * 200.0 + 220.0 + 240.0) / 3.0
     assert by["2023-04"].f107_smooth == pytest.approx(expected)
     # null row still gets a smoothed value (interpolation over the gap):
-    # taps at Mar are lag1(Feb)*1 + lead1(Apr)*1 + lead2(May)*.5
+    # taps at Mar are lag1(Feb)*1 + lead1(Apr)*1 + lead2(May)*.5, plus the
+    # zero-filled lag2 edge tap at weight .5 — mass .5+1+1+.5 = 3.0
     assert by["2023-03"].f107_smooth == pytest.approx(
-        (200.0 + 220.0 + 0.5 * 240.0) / 2.5
+        (200.0 + 220.0 + 0.5 * 240.0) / 3.0
     )
 
 
@@ -64,7 +66,7 @@ def test_box1d_smooth_odd_width_plain_mean(spark):
     )
     out = {r.i: r.s for r in box1d_smooth(df, "i", "x", box=3, out_col="s").collect()}
     assert out[2] == pytest.approx(3.0)          # (2+3+4)/3
-    assert out[0] == pytest.approx((1 + 2) / 2)  # edge renormalized
+    assert out[0] == pytest.approx((0 + 1 + 2) / 3)  # edge zero-filled
 
 
 def test_dark_monitor_solar_overlay(spark, noaa_file):
