@@ -362,3 +362,138 @@ def embedding_near_dups(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def srp_lsh_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: Sequence[Sequence[int]],
+    *,
+    bands: int,
+    bits_per_band: int,
+    threshold: float,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via signed-random-projection LSH —
+    content-based blocking (no label needed), the 100 TB replacement for
+    ``embedding_near_dups``'s quadratic-within-block join.
+
+    ``planes`` is ``bands * bits_per_band`` rows of ±1 literals (caller owns
+    determinism so a SQL oracle can replay the identical banding).  Each
+    vector gets one sign bit per plane; the bits split into ``bands`` codes
+    of ``bits_per_band`` bits, and only vectors agreeing on a whole band
+    code ever meet in the join, where the exact cosine verifies candidates.
+
+    Scale geometry: collision probability per bit is 1 - θ/π, so a band
+    only fires for genuinely aligned vectors once ``bits_per_band`` is deep
+    enough — at the default 8×16 (q55), a random pair collides with
+    p ≈ 0.5^16 per band (~1e-4 of all pairs become candidates) while a
+    cos-0.95 pair still collides in some band with p ≈ 0.80.  Few-bit bands
+    (e.g. 6 bits = 64 codes) are a scale trap: they bound the *number* of
+    buckets, not their size, and bucket population grows as n/2^bits with a
+    quadratic join inside.
+
+    ``max_bucket`` is the loud guard for adversarial/degenerate corpora
+    (e.g. millions of identical vectors land in one bucket no matter the
+    geometry): bucket populations are counted on the signature table —
+    partial agg, same shuffle key as the join — and any bucket over the
+    limit fails the job with the offending size in the error, the
+    ``duplicate_clusters`` non-convergence discipline.  The count table
+    (≤ bands·2^bits rows) is broadcast back onto the join input, so the
+    guard costs one small aggregation, never a second pass over vectors.
+
+    The plane matrix enters the plan as ONE nested-array literal and the
+    signature is ``transform(planes, p -> sign(dot(v, p)))`` — a constant-
+    size expression tree no matter how many planes.  (The tempting
+    alternative — unrolling one expression chain per plane — compiles a
+    4096-node tree at 8×16 and stalls Catalyst/codegen for a minute.)  The
+    dot is the elementwise ``zip_with``/``aggregate`` fold of
+    functions.vectors.dot, ascending-index summation, the exact shape the
+    q32/q33 oracles already hash-match against DuckDB's
+    ``list_sum(list_transform(list_zip(..)))``.
+    """
+    from cosmo_spark.functions.vectors import as_double, dot, l2_norm
+
+    if len(planes) != bands * bits_per_band:
+        raise ValueError(
+            f"need {bands * bits_per_band} planes for {bands}x{bits_per_band} "
+            f"banding, got {len(planes)}"
+        )
+    e = df.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    planes_lit = F.lit([[float(v) for v in plane] for plane in planes])
+    # __sig lands in its own projection: transform() is not collapse-cheap,
+    # so Catalyst keeps it evaluated once per row even though 8 band slices
+    # reference it downstream
+    sigged = e.select(
+        "__id", "__v",
+        l2_norm("__v").alias("__n"),  # once per vector, below the join
+        F.transform(
+            planes_lit,
+            lambda p: F.when(dot(F.col("__v"), p) > 0, 1).otherwise(0),
+        ).alias("__sig"),
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.aggregate(
+                F.slice("__sig", b * bits_per_band + 1, bits_per_band),
+                F.lit(0),
+                lambda acc, x: acc * 2 + x,
+            ).alias("code"),
+        )
+        for b in range(bands)
+    ])
+    banded = (
+        sigged.select("__id", "__v", "__n", F.explode(band_structs).alias("bc"))
+        .select("__id", "__v", "__n",
+                F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+        # explicit exchange on the join key: without it Catalyst collapses
+        # the projection into both join sides and every signature dot is
+        # re-evaluated per PAIR instead of per vector; with it signatures
+        # materialize once and AQE reuses the exchange for both sides.
+        # bands·2^bits distinct keys (524k at 8×16) ≫ any realistic task
+        # count, so this does NOT cap shuffle parallelism the way a
+        # few-bit geometry would.
+        .repartition("band", "code")
+    )
+    if max_bucket is not None:
+        # partial agg on the already-partitioned key, then a broadcast join
+        # back; assert_true raises executor-side with the offending count
+        sizes = banded.groupBy("band", "code").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        guard = sizes.filter(
+            F.assert_true(
+                F.col("__bucket_n") <= max_bucket,
+                F.concat(
+                    F.lit("srp_lsh_near_dups: bucket (band="), F.col("band"),
+                    F.lit(", code="), F.col("code"), F.lit(") holds "),
+                    F.col("__bucket_n"),
+                    F.lit(f" > max_bucket={max_bucket} vectors — quadratic "
+                          "blow-up; deepen bits_per_band or pre-split the "
+                          "degenerate group"),
+                ),
+            ).isNull()
+        ).drop("__bucket_n")
+        banded = banded.join(F.broadcast(guard), ["band", "code"])
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (dot(F.col("a.__v"), F.col("b.__v"))
+             / (F.col("a.__n") * F.col("b.__n"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    # a pair can collide in several bands; one row per pair
+    return pairs.groupBy("id_a", "id_b").agg(F.max("sim").alias("cos_sim"))

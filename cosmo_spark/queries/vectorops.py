@@ -16,7 +16,7 @@ from cosmo_spark.sources.tables import load_table
 from cosmo_spark.functions.arrays import array_max, array_mean, array_std, rel_to_first
 from cosmo_spark.functions.vectors import as_double
 from cosmo_spark.operators.similarity import cosine_topk
-from cosmo_spark.operators.dedup import embedding_near_dups
+from cosmo_spark.operators.dedup import embedding_near_dups, srp_lsh_near_dups
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -149,7 +149,17 @@ def q33_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q55 — random-hyperplane (SRP) LSH near-dup: content-based blocking          #
 # --------------------------------------------------------------------------- #
 
-def _srp_planes(n_planes: int = 24, dim: int = 64) -> list[list[int]]:
+_SRP_BANDS = 8
+_SRP_BITS = 16  # 2^16 codes/band: a random pair collides at ~0.5^16 per band,
+                # so candidate volume stays ~1e-4 of all pairs at any corpus
+                # size; a cos-0.95 pair still bands together with p≈0.80.
+                # Few-bit bands (the old 4×6) bound the number of buckets,
+                # not their size — a quadratic trap at 100 TB.
+
+
+def _srp_planes(
+    n_planes: int = _SRP_BANDS * _SRP_BITS, dim: int = 64
+) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from a fixed LCG — a literal artifact
     shared verbatim with the oracle, like the q44 centroids."""
     x, out = 12345, []
@@ -162,32 +172,13 @@ def _srp_planes(n_planes: int = 24, dim: int = 64) -> list[list[int]]:
     return out
 
 
-_SRP_BANDS = 4
-_SRP_BITS = 6   # 64 codes/band bounds bucket sizes; recall ~0.95 at cos 0.95
-
-
-def _plus_indices() -> list[list[int]]:
-    """1-based indices where each ±1 plane is +1.  With ±1 planes,
-    dot(e, plane) = 2 * sum(e[plus]) - sum(e) — a codegen-friendly chain of
-    element lookups instead of an interpreted higher-order fold; both
-    engines sum the plus elements in ascending-index order so the sign is
-    bit-identical."""
-    return [
-        [i + 1 for i, v in enumerate(p) if v == 1] for p in _srp_planes()
-    ]
-
-
-def _srp_duckdb() -> list[str]:
-    """DuckDB expression list: one signature bit per plane for vector ``e``
-    (requires a ``tot`` column = list_sum(e) in scope)."""
-    bits = []
-    for plus in _plus_indices():
-        idx = "[" + ", ".join(str(i) for i in plus) + "]"
-        bits.append(
-            f"CASE WHEN 2 * list_sum(list_transform({idx}, i -> e[i])) - tot > 0 "
-            "THEN 1 ELSE 0 END"
-        )
-    return bits
+def _planes_sql() -> str:
+    """The plane matrix as one DuckDB nested-list literal — the same single
+    artifact the Spark side ships as a nested array literal."""
+    return "[" + ", ".join(
+        "[" + ", ".join(f"{float(v):.1f}" for v in p) + "]"
+        for p in _srp_planes()
+    ) + "]"
 
 
 def _band_code_sql(band: int) -> str:
@@ -203,10 +194,10 @@ WITH v AS (
 ), sig AS (
   SELECT vec_id, e,
          sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
-         [{", ".join(f"b{i}" for i in range(_SRP_BANDS * _SRP_BITS))}] AS bits
-  FROM (SELECT vec_id, e,
-        {", ".join(f"{b} AS b{i}" for i, b in enumerate(_srp_duckdb()))}
-        FROM (SELECT vec_id, e, list_sum(e) AS tot FROM v))
+         list_transform({_planes_sql()},
+           p -> CASE WHEN list_sum(list_transform(list_zip(e, p),
+                          z -> z[1] * z[2])) > 0 THEN 1 ELSE 0 END) AS bits
+  FROM v
 ), banded AS (
   SELECT vec_id, e, nrm, band,
          CASE {" ".join(f"WHEN band = {b} THEN {_band_code_sql(b)}" for b in range(_SRP_BANDS))} END AS code
@@ -227,72 +218,23 @@ FROM pairs WHERE sim >= 0.40 GROUP BY id_a, id_b
 def q55_srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates via signed-random-projection LSH — the
     content-based blocking that replaces q33's label blocking at 100 TB:
-    24 literal ±1 hyperplanes give each vector a 24-bit signature split
-    into 4 bands of 6 bits (the q39 MinHash banding shape); only vectors
-    agreeing on a whole band ever meet in the join, and the exact cosine
+    128 literal ±1 hyperplanes give each vector a 128-bit signature split
+    into 8 bands of 16 bits (operators.dedup.srp_lsh_near_dups — geometry,
+    bucket-size guard, and scale notes live there); only vectors agreeing
+    on a whole band code ever meet in the join, and the exact cosine
     verifies candidates.  At a realistic dup threshold (cos 0.95) band
-    recall is ~0.95; the synthetic corpus tops out at cos ~0.51, so the
+    recall is ~0.80; the synthetic corpus tops out at cos ~0.51, so the
     demonstration threshold is 0.40 — the pipeline (and its oracle) is
-    threshold-agnostic.
+    threshold- and geometry-agnostic.
 
-    Scale: the only join keys are (band, code) — 64 codes per band bound
-    bucket sizes; norms are bound once per vector BELOW the join (per-pair
-    work is a single dot product, the q32 lesson); the final groupBy
-    dedupes band collisions of the same pair.
+    max_bucket=10_000 arms the loud degenerate-corpus guard — far above any
+    bucket this corpus can produce, tripped only by pathological mass
+    collisions (tests/test_operators.py exercises the trip).
     """
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
+    e = _t(spark, sf_dir, "embeddings")
+    out = srp_lsh_near_dups(
+        e, "embedding", "vec_id", _srp_planes(),
+        bands=_SRP_BANDS, bits_per_band=_SRP_BITS,
+        threshold=0.40, max_bucket=10_000,
     )
-    from cosmo_spark.functions.vectors import dot as vdot, l2_norm
-
-    tot = F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x)
-    bits = []
-    for plus in _plus_indices():
-        plus_sum = None
-        for i in plus:  # ascending-index left-to-right chain, as the oracle
-            term = F.element_at("e", i)
-            plus_sum = term if plus_sum is None else plus_sum + term
-        dot = F.lit(2.0) * plus_sum - tot
-        bits.append(F.when(dot > 0, 1).otherwise(0))
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            sum(
-                (bits[b * _SRP_BITS + j] * (1 << (_SRP_BITS - 1 - j))
-                 for j in range(_SRP_BITS)),
-                start=F.lit(0),
-            ).alias("code"),
-        )
-        for b in range(_SRP_BANDS)
-    ])
-    banded = (
-        e.withColumn("nrm", l2_norm("e"))   # once per vector, below the join
-        .select("vec_id", "e", "nrm", F.explode(bands).alias("bc"))
-        .select("vec_id", "e", "nrm",
-                F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
-        # explicit exchange on the join key: without it Catalyst collapses
-        # the projection into both join sides and the 24 signature dots +
-        # norm are re-evaluated per PAIR instead of per vector; with it the
-        # signatures materialize once and AQE reuses the exchange for both
-        # sides of the self-join
-        .repartition("band", "code")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            (vdot(F.col("a.e"), F.col("b.e"))
-             / (F.col("a.nrm") * F.col("b.nrm"))).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.40)
-    )
-    return pairs.groupBy("id_a", "id_b").agg(
-        F.round(F.max("sim"), 6).alias("cos_sim")
-    )
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))

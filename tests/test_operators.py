@@ -188,3 +188,54 @@ def test_quantile_cuts_approx_mode(spark):
     approx = quantile_cuts(df, "v", exact=False).collect()[0]
     assert abs(exact["p95"] - approx["p95"]) <= 1.0
     assert abs(exact["median"] - approx["median"]) <= 1.0
+
+
+def test_srp_lsh_near_dups_identical_vectors(spark):
+    """Identical vectors collide in every band; all C(n,2) pairs come back
+    with cos_sim 1.0, deduped across bands."""
+    from cosmo_spark.operators.dedup import srp_lsh_near_dups
+    from cosmo_spark.queries.vectorops import _srp_planes, _SRP_BANDS, _SRP_BITS
+
+    vec = [0.5] * 64
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(4)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    out = srp_lsh_near_dups(
+        df, "embedding", "vec_id", _srp_planes(),
+        bands=_SRP_BANDS, bits_per_band=_SRP_BITS,
+        threshold=0.9, max_bucket=100,
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert all(abs(r.cos_sim - 1.0) < 1e-9 for r in out)
+
+
+def test_srp_lsh_bucket_guard_trips(spark):
+    """A degenerate corpus (mass-identical vectors) overflows its bucket and
+    the guard fails the job loudly instead of letting the within-bucket
+    self-join go quadratic."""
+    from cosmo_spark.operators.dedup import srp_lsh_near_dups
+    from cosmo_spark.queries.vectorops import _srp_planes, _SRP_BANDS, _SRP_BITS
+
+    vec = [1.0] * 64
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(50)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    out = srp_lsh_near_dups(
+        df, "embedding", "vec_id", _srp_planes(),
+        bands=_SRP_BANDS, bits_per_band=_SRP_BITS,
+        threshold=0.9, max_bucket=10,
+    )
+    with pytest.raises(Exception, match="max_bucket"):
+        out.collect()
+
+
+def test_srp_lsh_plane_count_validated(spark):
+    from cosmo_spark.operators.dedup import srp_lsh_near_dups
+
+    df = spark.createDataFrame([(1, [1.0] * 4)], "vec_id INT, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="planes"):
+        srp_lsh_near_dups(
+            df, "embedding", "vec_id", [[1, -1, 1, -1]],
+            bands=2, bits_per_band=4, threshold=0.5,
+        )
