@@ -90,3 +90,40 @@ def salted_broadcast_join(
     return salted_big.join(
         F.broadcast(replicated), [on, "__salt"]
     ).drop("__salt")
+
+
+def hot_cold_dict_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str,
+    freq_col: str,
+    hot_k: int = 10_000,
+) -> DataFrame:
+    """Equi-join a Zipf-skewed fact table against a dictionary keyed by
+    ``on``, where ``dim[freq_col]`` carries each key's fact-side frequency
+    (a vocabulary with corpus counts, a user table with event counts).
+
+    Zipf skew breaks both standard strategies: the hottest keys (stopwords,
+    power users) overload single reducers in a shuffle join, while the full
+    dictionary of a web-scale corpus (billions of tail tokens) cannot be
+    broadcast.  The structural fix is a hot/cold split along the frequency
+    ranking itself:
+
+    - the ``hot_k`` most frequent keys — which cover the overwhelming
+      majority of fact rows under Zipf — are TakeOrdered'd into a tiny
+      table and broadcast, so hot rows resolve map-side with no shuffle;
+    - the remaining fact rows (broadcast anti-join, also map-side) carry
+      only tail keys, whose per-key cardinality is low by construction, and
+      take the ordinary shuffle join without skew.
+
+    The two branches partition the key space, so the union is exactly the
+    plain join's result.  Costs one extra map pass over ``big`` and a
+    TakeOrdered over the dictionary; buys bounded reducers at any corpus
+    size.
+    """
+    hot = F.broadcast(
+        dim.orderBy(F.col(freq_col).desc(), F.col(on)).limit(hot_k)
+    )
+    hot_rows = big.join(hot, on)
+    cold = big.join(hot.select(on), on, "left_anti").join(dim, on)
+    return hot_rows.unionByName(cold)

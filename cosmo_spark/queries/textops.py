@@ -681,16 +681,20 @@ def q58_rare_word_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit in any aggregation order (PARITY rule 3) — a log-
     probability variant would hinge on cross-engine ``ln`` ulp behavior.
 
-    Scale: the vocabulary aggregation and the token join both shuffle on
-    the word key with full partial aggregation; at 100 TB the vocab table
-    is Zipf-bounded (≪ corpus) and the join is the standard dictionary
-    pattern (broadcast when it fits, shuffle otherwise — Catalyst decides
-    from stats).
+    Scale: the vocabulary aggregation shuffles on the word key with full
+    partial aggregation; the token→vocab join inherits Zipf skew (the
+    top-10 tokens of any natural corpus appear in nearly every document),
+    so it routes through operators.skew.hot_cold_dict_join — the hottest
+    vocab keys broadcast and resolve map-side, only the low-cardinality
+    tail shuffle-joins.  A whole-vocab broadcast is NOT the answer at
+    100 TB: a web corpus's tail vocabulary is itself corpus-scale.
     """
+    from cosmo_spark.operators.skew import hot_cold_dict_join
+
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
-    scored = words.join(vocab, "w")
+    scored = hot_cold_dict_join(words, vocab, on="w", freq_col="cf")
     rare = F.sum(F.when(F.col("cf") < 5, 1).otherwise(0))
     n = F.count(F.lit(1))
     return scored.groupBy("doc_id").agg(

@@ -114,3 +114,13 @@ def test_q44_ivf_corpus_join_broadcast_probes(spark, qs):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q58_vocab_join_hot_keys_broadcast(spark, qs):
+    """q58's token->vocab dictionary join is Zipf-skewed; the hot-key branch
+    must be a broadcast hash join (map-side), never a plain shuffle join
+    carrying stopword keys into single reducers."""
+    df = qs["q58_rare_word_score"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan  # the cold-tail split is in the plan

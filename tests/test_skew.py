@@ -52,3 +52,35 @@ def test_salted_broadcast_join_matches_direct(spark, skewed):
     direct = skewed.join(dim, "k").groupBy("k", "label").count()
     salted = salted_broadcast_join(skewed, dim, "k").groupBy("k", "label").count()
     assert {tuple(r) for r in direct.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_hot_cold_dict_join_matches_plain_join(spark, skewed):
+    """The hot/cold split must return exactly the plain join's rows for any
+    hot_k — including hot_k smaller and larger than the key count."""
+    from cosmo_spark.operators.skew import hot_cold_dict_join
+
+    dim = skewed.groupBy(F.col("k").alias("k")).agg(
+        F.count(F.lit(1)).alias("freq"), F.max("v").alias("attr")
+    )
+    plain = sorted(
+        tuple(r) for r in skewed.join(dim, "k").collect()
+    )
+    for hot_k in (1, 5, 10_000):
+        split = sorted(
+            tuple(r)
+            for r in hot_cold_dict_join(
+                skewed, dim, on="k", freq_col="freq", hot_k=hot_k
+            ).select(*skewed.join(dim, "k").columns).collect()
+        )
+        assert split == plain, hot_k
+
+
+def test_hot_cold_dict_join_hot_branch_broadcasts(spark, skewed):
+    from cosmo_spark.operators.skew import hot_cold_dict_join
+    from cosmo_spark.plans.explain import physical_plan
+
+    dim = skewed.groupBy("k").agg(F.count(F.lit(1)).alias("freq"))
+    plan = physical_plan(
+        hot_cold_dict_join(skewed, dim, on="k", freq_col="freq", hot_k=3)
+    )
+    assert "BroadcastHashJoin" in plan
