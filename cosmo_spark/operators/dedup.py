@@ -461,7 +461,12 @@ def srp_lsh_near_dups(
     )
     if max_bucket is not None:
         # partial agg on the already-partitioned key, then a broadcast join
-        # back; assert_true raises executor-side with the offending count
+        # back; assert_true raises executor-side with the offending count.
+        # NOTE broadcast ceiling: `sizes` can carry up to bands * 2^bits
+        # rows (524k at 8x16, a few MB) — fine today, but bits_per_band
+        # growth is capped by the broadcast threshold; swap the broadcast
+        # for a left-semi join on (band, code) if the geometry ever deepens
+        # past ~20 bits/band.
         sizes = banded.groupBy("band", "code").agg(
             F.count(F.lit(1)).alias("__bucket_n")
         )

@@ -117,13 +117,24 @@ def hot_cold_dict_join(
       take the ordinary shuffle join without skew.
 
     The two branches partition the key space, so the union is exactly the
-    plain join's result.  Costs one extra map pass over ``big`` and a
-    TakeOrdered over the dictionary; buys bounded reducers at any corpus
-    size.
+    plain join's result — including when ``dim`` carries duplicate keys: the
+    hot set is chosen over *distinct* keys (a raw ``limit(hot_k)`` over rows
+    could split one key's rows across the boundary, and the cold anti-join
+    would then silently drop that key's non-hot copies).  Costs one extra
+    map pass over ``big`` and a TakeOrdered over the key set; buys bounded
+    reducers at any corpus size.
     """
-    hot = F.broadcast(
-        dim.orderBy(F.col(freq_col).desc(), F.col(on)).limit(hot_k)
+    hot_keys = F.broadcast(
+        dim.groupBy(on)
+        .agg(F.max(freq_col).alias("__hot_freq"))
+        .orderBy(F.col("__hot_freq").desc(), F.col(on))
+        .limit(hot_k)
+        .select(on)
     )
-    hot_rows = big.join(hot, on)
-    cold = big.join(hot.select(on), on, "left_anti").join(dim, on)
+    hot_dim = F.broadcast(dim.join(hot_keys, on, "left_semi"))
+    # hot keys are matchless on the cold side by construction — anti-join
+    # them out of the dictionary too, shrinking the cold join's build side
+    cold_dim = dim.join(hot_keys, on, "left_anti")
+    hot_rows = big.join(hot_dim, on)
+    cold = big.join(hot_keys, on, "left_anti").join(cold_dim, on)
     return hot_rows.unionByName(cold)

@@ -688,12 +688,18 @@ def q58_rare_word_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab keys broadcast and resolve map-side, only the low-cardinality
     tail shuffle-joins.  A whole-vocab broadcast is NOT the answer at
     100 TB: a web corpus's tail vocabulary is itself corpus-scale.
+
+    ``vocab`` is persisted: it feeds three consumers inside the hot/cold
+    join (hot-key TakeOrdered, the anti-join key set, the cold join), and
+    without an explicit persist its corpus-scale aggregation would be
+    recomputed per branch unless Catalyst happens to reuse the exchange.
+    Cleanup is left to the ContextCleaner once the plan is released.
     """
     from cosmo_spark.operators.skew import hot_cold_dict_join
 
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cf")).persist()
     scored = hot_cold_dict_join(words, vocab, on="w", freq_col="cf")
     rare = F.sum(F.when(F.col("cf") < 5, 1).otherwise(0))
     n = F.count(F.lit(1))

@@ -517,11 +517,13 @@ SELECT strftime(d, '%Y-%m-%d') AS day, flux,
        -- (value 0); only an in-series NULL gap drops out of the mass
        (0.5 * coalesce(l2, 0) + coalesce(l1, 0) + coalesce(flux, 0)
           + coalesce(n1, 0) + 0.5 * coalesce(n2, 0))
-       / (CASE WHEN e_l2 IS NOT NULL AND l2 IS NULL THEN 0 ELSE 0.5 END
+       -- NULLIF mirrors the Spark side's den > 0 guard: if the entire
+       -- kernel support is in-series NULLs the result is NULL, not 0/0
+       / NULLIF(CASE WHEN e_l2 IS NOT NULL AND l2 IS NULL THEN 0 ELSE 0.5 END
           + CASE WHEN e_l1 IS NOT NULL AND l1 IS NULL THEN 0 ELSE 1 END
           + CASE WHEN flux IS NULL THEN 0 ELSE 1 END
           + CASE WHEN e_n1 IS NOT NULL AND n1 IS NULL THEN 0 ELSE 1 END
-          + CASE WHEN e_n2 IS NOT NULL AND n2 IS NULL THEN 0 ELSE 0.5 END)
+          + CASE WHEN e_n2 IS NOT NULL AND n2 IS NULL THEN 0 ELSE 0.5 END, 0)
        AS flux_smooth
 FROM taps
 """,

@@ -37,14 +37,17 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
       with integer ``div`` (ns-since-epoch overflows double; truncation
       matches DuckDB's ns->us conversion).
     - timestamp[us] without timezone, which Spark reads as TIMESTAMP_NTZ;
-      cast to TIMESTAMP so time functions (``unix_micros``, ``window``,
-      RANGE frames) resolve.  The session timezone is pinned to UTC by
-      ``tune_session`` inside every query entry point, so the cast is a
-      pure re-tag of the same instant — identical to DuckDB's naive-as-UTC
-      epoch math.
+      converted to TIMESTAMP so time functions (``unix_micros``, ``window``,
+      RANGE frames) resolve.  The conversion is timezone-INDEPENDENT:
+      ``timestampdiff(MICROSECOND, epoch, ts)`` is pure wall-clock
+      arithmetic on the NTZ value (naive-as-UTC, identical to DuckDB's
+      epoch math), then ``timestamp_micros`` re-tags the instant.  A plain
+      ``cast(ts AS TIMESTAMP)`` would re-interpret the wall-clock in the
+      *session* timezone at execution time, silently shifting instants for
+      any caller that hasn't pinned the session to UTC.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
         if field.name == "ts":
@@ -53,7 +56,13 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
                     field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
                 )
             elif isinstance(field.dataType, TimestampNTZType):
-                df = df.withColumn(field.name, F.col(field.name).cast(TimestampType()))
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(
+                        f"timestampdiff(MICROSECOND, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {field.name})"
+                    )),
+                )
     return df
 
 
