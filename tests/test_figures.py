@@ -1,0 +1,93 @@
+"""Figure sink tests — the write_figure half of the reference's presentation
+layer (ref: docs/source/api.rst:326-330; dark_monitors.py:373-384)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmo_spark.monitors.figures import write_figure, write_monitor_figures
+
+
+@pytest.fixture()
+def trend(spark):
+    return spark.createDataFrame(
+        [(float(i), 10.0 + i, 20.0 - i) for i in range(30)],
+        "t DOUBLE, rate_a DOUBLE, rate_b DOUBLE",
+    )
+
+
+def test_write_figure_line(tmp_path, trend):
+    path = write_figure(trend, "Dark Rate Monitor", str(tmp_path))
+    assert path.endswith("dark_rate_monitor.html")
+    text = open(path, encoding="utf-8").read()
+    assert text.startswith("<!doctype html>")
+    assert "<svg" in text and "polyline" in text
+    assert "Dark Rate Monitor" in text
+    # both numeric series plotted + legend present for >=2 series
+    assert "rate_a" in text and "rate_b" in text
+    assert 'class="legend"' in text
+    # data table rides along for accessibility
+    assert "<table>" in text
+
+
+def test_write_figure_bar_and_explicit_axes(tmp_path, trend):
+    path = write_figure(
+        trend, "hist", str(tmp_path), x="t", y="rate_a", kind="bar"
+    )
+    text = open(path, encoding="utf-8").read()
+    assert "<rect" in text and "polyline" not in text
+    # single series: no legend box, the title names it
+    assert 'class="legend"' not in text
+
+
+def test_write_figure_string_x_and_nulls(tmp_path, spark):
+    df = spark.createDataFrame(
+        [("FUVA", 1.0), ("FUVB", None), ("NUVA", 3.0)],
+        "segment STRING, v DOUBLE",
+    )
+    path = write_figure(df, "per segment", str(tmp_path))
+    text = open(path, encoding="utf-8").read()
+    assert "FUVA" in text and "NUVA" in text  # ordinal x labels rendered
+
+
+def test_write_figure_rejects_fact_tables(tmp_path, spark):
+    big = spark.range(200).select(
+        F.col("id").cast("double").alias("x"), F.rand(seed=1).alias("y")
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        write_figure(big, "too big", str(tmp_path), max_rows=100)
+
+
+def test_write_figure_empty_frame(tmp_path, spark):
+    df = spark.createDataFrame([], "t DOUBLE, v DOUBLE")
+    path = write_figure(df, "empty", str(tmp_path))
+    assert "no data" in open(path, encoding="utf-8").read()
+
+
+def test_write_monitor_figures_one_html_per_monitor(tmp_path, spark):
+    """run_monitors -> write_monitor_figures mirrors the reference's monitor()
+    loop: one self-contained html per monitor class (ref: run_monitors.py:58-76)."""
+    from cosmo_spark.monitors import run_monitors
+
+    dark = spark.createDataFrame(
+        [
+            ("d1", "FUVA", 100.0, 58000.0, [10, 10, 10], [2000.0] * 3,
+             [500.0] * 3, [1.0, 2.0, 3.0]),
+        ],
+        "ROOTNAME STRING, SEGMENT STRING, EXPTIME DOUBLE, EXPSTART DOUBLE, "
+        "PHA ARRAY<LONG>, XCORR ARRAY<DOUBLE>, YCORR ARRAY<DOUBLE>, "
+        "TIME ARRAY<DOUBLE>",
+    )
+    telemetry = spark.createDataFrame(
+        [("LDCAMBHT", 58000.0 + i, float(i % 5)) for i in range(20)],
+        "mnemonic STRING, MJD DOUBLE, Data DOUBLE",
+    )
+    results = run_monitors("daily", {"dark": dark, "telemetry": telemetry})
+    assert set(results) == {"dark_rate", "telemetry"}
+    paths = write_monitor_figures(results, str(tmp_path))
+    assert set(paths) == {"dark_rate", "telemetry"}
+    for mon, p in paths.items():
+        text = open(p, encoding="utf-8").read()
+        assert text.startswith("<!doctype html>"), mon
+        assert "<svg" in text or "no data" in text, mon
