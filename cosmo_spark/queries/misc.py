@@ -326,7 +326,7 @@ WITH cents AS (
              (CASE WHEN v.n * c.cnorm > 0 THEN
                 list_sum(list_transform(list_zip(v.e, c.centroid), p -> p[1] * p[2]))
                   / (v.n * c.cnorm) END) DESC NULLS LAST, c.bucket) AS rn
-    FROM vn v CROSS JOIN cn c WHERE v.vec_id < 8) WHERE rn <= 2
+    FROM vn v CROSS JOIN cn c WHERE v.vec_id < 8) WHERE rn <= 10
 ), pairs AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          CASE WHEN p.q_n * a.n > 0 THEN
@@ -360,12 +360,13 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, and what makes the whole assign/probe/re-rank pipeline
     SQL-expressible so the DuckDB oracle gates it end-to-end.
 
-    Measured recall@5 vs the exact q32 top-k on the synthetic embeddings:
-    0.45 / 0.625 / 0.70 at nprobe=1/2/3 of 10 buckets.  nprobe=2 probes 20%
-    of the corpus — half the probe fraction of the former label-mean
-    centroids at *better* recall (they needed nprobe=4 for 0.65).  The
-    synthetic vectors are near-uniform on the sphere, so absolute recall is
-    modest by construction; on clustered real embeddings the same code
+    Geometry k=40, nprobe=10: measured recall@5 vs the exact q32 top-k is
+    **0.850** at a 25% scanned fraction.  Chosen from the grid in
+    tools/train_ivf_centroids.py — at a fixed 25% budget a finer quantizer
+    (k=40..64, single assignment) measured strictly better than the former
+    k=10 (0.625 at 20%) and better than top-2 multi-assignment replication
+    at every k.  The synthetic vectors are near-uniform on the sphere (the
+    hardest case for IVF); on clustered real embeddings the same code
     probes less for more.
     """
     from cosmo_spark.operators.similarity import ivf_cosine_topk
@@ -377,7 +378,7 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = e.filter(F.col("vec_id") < 8)
     out = ivf_cosine_topk(
-        e, queries, centroids, "embedding", "vec_id", k=5, nprobe=2
+        e, queries, centroids, "embedding", "vec_id", k=5, nprobe=10
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),

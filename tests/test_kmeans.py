@@ -75,16 +75,16 @@ def test_kmeans_seed_sample_bound(spark):
 
 def test_ivf_centroid_artifact_recall(spark):
     """Regression gate on the shipped q44 centroid artifact: recall@5 of the
-    nprobe=2 IVF path vs exact top-k on the sf0.001 embeddings must stay
-    above the floor measured at artifact-training time (guards against a
-    silently degraded regeneration of queries/ivf_centroids.py)."""
+    k=40 / nprobe=10 IVF path (25% scanned fraction) vs exact top-k must
+    stay above the floor measured at artifact-training time — 0.850; floor
+    0.8 allows retraining jitter (guards against a silently degraded
+    regeneration of queries/ivf_centroids.py)."""
     from pyspark.sql import functions as F
 
     from cosmo_spark.operators.similarity import cosine_topk, ivf_cosine_topk
     from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
 
-    # sf0.01 is the training corpus of the artifact (recall there measured
-    # 0.625 at nprobe=2; floor at 0.5 allows retraining jitter)
+    # sf0.01 is the training corpus of the artifact
     e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     cents = spark.createDataFrame(
         [(i, c) for i, c in enumerate(IVF_CENTROIDS)],
@@ -92,7 +92,7 @@ def test_ivf_centroid_artifact_recall(spark):
     )
     q = e.filter(F.col("vec_id") < 8)
     approx = {(r.query_id, r.neighbor_id) for r in
-              ivf_cosine_topk(e, q, cents, "embedding", "vec_id", k=5, nprobe=2).collect()}
+              ivf_cosine_topk(e, q, cents, "embedding", "vec_id", k=5, nprobe=10).collect()}
     exact = {(r.query_id, r.neighbor_id) for r in
              cosine_topk(e, q, "embedding", "vec_id", k=5).collect()}
-    assert len(approx & exact) / len(exact) >= 0.5
+    assert len(approx & exact) / len(exact) >= 0.8

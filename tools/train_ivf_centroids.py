@@ -1,10 +1,22 @@
 """Regenerate cosmo_spark/queries/ivf_centroids.py.
 
 Deterministic offline training of the q44 IVF coarse quantizer: k-means
-(k=10, 4 Lloyd iterations, farthest-point seeding from a bounded hash
+(k=40, 10 Lloyd iterations, farthest-point seeding from a bounded hash
 sample — operators/kmeans.py) over the sf0.01 embeddings table, centroids
 rounded to 6 decimals so the literal artifact is compact and identical on
 the Spark and DuckDB sides.
+
+k=40 chosen by measured recall@5 vs the exact q32 top-k at a fixed 25%
+scanned-fraction budget (nprobe/k, single assignment) on the synthetic
+near-uniform-sphere embeddings:
+
+    k=10 nprobe=2  (20%): 0.625      k=40 nprobe=10 (25%): 0.850
+    k=16 nprobe=4  (25%): 0.600      k=48 nprobe=12 (25%): 0.875
+    k=32 nprobe=8  (25%): 0.775      k=64 nprobe=16 (25%): 0.900
+
+A finer quantizer beats multi-assignment replication (nassign=2 at the
+same scanned budget measured consistently lower) — on near-uniform data
+the win comes from ranking more, smaller buckets per query.
 
 Usage: python tools/train_ivf_centroids.py [sf_dir]
 """
@@ -26,14 +38,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         .getOrCreate()
     )
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = kmeans_centroids(e, "embedding", "vec_id", k=10, iterations=4)
+    cents = kmeans_centroids(e, "embedding", "vec_id", k=40, iterations=10)
     rows = sorted(cents.collect(), key=lambda r: r.bucket)
     out = [[round(float(x), 6) for x in r.centroid] for r in rows]
 
     lines = ['"""Offline-trained IVF coarse-quantizer centroids for q44.', ""]
     lines += [
         "Trained once by ``tools/train_ivf_centroids.py`` (deterministic k-means,",
-        "k=10, 4 Lloyd iterations, farthest-point seeding from a bounded hash",
+        "k=40, 10 Lloyd iterations, farthest-point seeding from a bounded hash",
         "sample) on the sf0.01 embeddings table, rounded to 6 decimals.  Shipping",
         "centroids as a literal artifact is the production IVF pattern: the coarse",
         "quantizer is trained offline on a sample and versioned with the code; the",
