@@ -185,3 +185,56 @@ def test_fits_streaming_incremental(registered, tmp_path):
     assert run_batch() == {"lb000001", "lb000002"}
     # no new files -> no new rows
     assert run_batch() == {"lb000001", "lb000002"}
+
+
+def test_fits_to_dark_monitor_e2e(registered, tmp_path):
+    """The full reference lifecycle in one pipeline — ingest corrtag-shaped
+    FITS exposures through format('cosmo-fits'), analyze with the dark-rate
+    monitor, render the figure sink (ref: run_monitors.py:58-76 ingest ->
+    analyze -> write_figure): proves the DataSource is a real ingest path,
+    not just a standalone reader."""
+    from cosmo_spark.monitors.dark import dark_rate_monitor
+    from cosmo_spark.monitors.figures import write_figure
+
+    def write_dark(path, rootname, expstart=58000.0):
+        write_fits(str(path), [
+            {"header": {"ROOTNAME": rootname, "DETECTOR": "FUV",
+                        "SEGMENT": "FUVA"}},
+            {"header": {"EXPTIME": 100.0, "EXPSTART": expstart},
+             "columns": {
+                 "TIME": np.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+                 # 3 in-band events in the FUVA Inner region; one out-of-band
+                 # (PHA 1), one out-of-region (XCORR 100)
+                 "XCORR": np.array([2000.0, 2000.0, 2000.0, 2000.0, 100.0]),
+                 "YCORR": np.array([500.0] * 5),
+                 "PHA": np.array([10, 10, 10, 1, 10], dtype=np.int32),
+             }},
+        ])
+
+    write_dark(tmp_path / "d1_corrtag.fits", "ld000001")
+    write_dark(tmp_path / "d2_corrtag.fits", "ld000002", expstart=0.0)  # P8 guard
+
+    ddl = ("ROOTNAME STRING, SEGMENT STRING, EXPTIME DOUBLE, EXPSTART DOUBLE, "
+           "TIME ARRAY<DOUBLE>, XCORR ARRAY<DOUBLE>, YCORR ARRAY<DOUBLE>, "
+           "PHA ARRAY<LONG>")
+    df = (
+        registered.read.format("cosmo-fits")
+        .option("ddl", ddl)
+        .option("header_request",
+                '{"0": ["ROOTNAME", "SEGMENT"], "1": ["EXPTIME", "EXPSTART"]}')
+        .option("table_request", '{"1": ["TIME", "XCORR", "YCORR", "PHA"]}')
+        .load(str(tmp_path))
+    )
+    out = dark_rate_monitor(df)
+    rates = out["results"].collect()
+    # only ld000001 survives the EXPSTART guard; its 3 in-band in-region
+    # events land in one Inner-region 25 s bin
+    assert len(rates) == 1
+    r = rates[0]
+    assert (r.ROOTNAME, r.SEGMENT, r.region) == ("ld000001", "FUVA", "Inner")
+    npix = (15119 - 1260) * (660 - 375)
+    assert r.n_events == 3
+    assert r.dark_rate == pytest.approx(3 / (npix * 25.0))
+    # the figure sink closes the loop: one self-contained html per monitor
+    path = write_figure(out["results"], "dark_rate_e2e", str(tmp_path))
+    assert open(path, encoding="utf-8").read().startswith("<!doctype html>")
