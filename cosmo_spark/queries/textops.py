@@ -709,3 +709,193 @@ def q58_rare_word_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rare / n.cast("double")).alias("rare_frac"),
         (F.sum("cf") / n.cast("double")).alias("mean_corpus_freq"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q59 — benchmark decontamination (train/eval n-gram overlap)                  #
+# --------------------------------------------------------------------------- #
+
+#: DuckDB twin of the per-token poly-hash array
+_DUCK_TOK_HASHES = (
+    "list_transform(t, tok -> " + _DUCK_POLY.format(X="tok") + ")"
+)
+
+#: gram-combining base/modulus shared by both q59 sides: a 3-gram's hash is
+#: the base-1000003 fold of its three token hashes mod 1e9+7
+_GRAM_BASE, _GRAM_MOD = 1_000_003, 1_000_000_007
+
+@register(
+    "q59_decontaminate",
+    operators=("TXT5", "J3", "A12"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+th AS (SELECT doc_id, {_DUCK_TOK_HASHES} AS hs FROM tl),
+grams AS (
+  SELECT doc_id,
+         ((hs[i] * {_GRAM_BASE} + hs[i+1]) % {_GRAM_MOD} * {_GRAM_BASE}
+           + hs[i+2]) % {_GRAM_MOD} AS h
+  FROM th, unnest(range(1, greatest(len(hs) - 1, 1))) AS r(i)
+),
+ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 97 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM tr JOIN ev USING (h) GROUP BY doc_id
+""",
+)
+def q59_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any token
+    3-gram with a held-out evaluation set (here the deterministic pseudo-
+    split ``doc_id % 97 = 0``): the standard pre-training hygiene pass that
+    keeps eval benchmarks out of the corpus (the n-gram-overlap method of
+    the GPT-3/PaLM appendix lineage).
+
+    Scale shape: each TOKEN is char-poly-hashed exactly once, and a gram's
+    hash is two multiply-adds over its three token hashes — hashing gram
+    *strings* would re-fold every character 3x and build the join key by
+    string concat (measured 3x slower end-to-end).  The shuffle carries one
+    BIGINT per gram, never text; the eval side is DISTINCT-collapsed and
+    broadcast — a benchmark suite is bounded (thousands of documents), so
+    the contamination check rides the corpus scan map-side with no
+    corpus-wide shuffle.  Only the per-document distinct-gram dedup
+    shuffles, keyed (doc_id, hash), partial-aggregated.  At a truly huge
+    eval set the broadcast degrades to an ordinary hash join on ``h`` —
+    same plan shape, still no text movement.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    th = tl.select(
+        "doc_id", F.transform("t", lambda tok: poly_hash(tok)).alias("hs")
+    )
+    grams = th.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("hs") >= 3,
+                # NB: Spark [] subscripts are 0-based (the DuckDB twin's are
+                # 1-based) — both enumerate the same token triples in order
+                F.expr(
+                    f"transform(sequence(0, size(hs) - 3), i -> "
+                    f"((hs[i] * {_GRAM_BASE} + hs[i+1]) % {_GRAM_MOD} "
+                    f"* {_GRAM_BASE} + hs[i+2]) % {_GRAM_MOD})"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("h"),
+    )
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    tr = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "h").distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q60 — quality-filter funnel (C4/Gopher-style cascade with per-stage counts) #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q60_filter_funnel",
+    operators=("TXT2", "A4", "U2"),
+    oracle=f"""
+WITH tl AS (
+  SELECT doc_id, lang, {_DUCK_TOKS} AS t, text FROM documents
+), f AS (
+  SELECT lang, len(t) AS n,
+    CASE WHEN len(t) > 0 THEN
+      list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t)
+    END AS mtl,
+    CASE WHEN len(t) > 0 THEN
+      len(list_filter(t, x -> list_contains(
+        ['the','a','of','and','to','in','is','it'], x)))
+        / CAST(len(t) AS DOUBLE)
+    END AS swr,
+    CASE WHEN len(t) > 0 THEN
+      1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+    END AS dwf
+  FROM tl
+), agg AS (
+  SELECT count(*) AS total,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS s1,
+    sum(CASE WHEN lang = 'en' AND n BETWEEN 30 AND 1000
+        THEN 1 ELSE 0 END) AS s2,
+    sum(CASE WHEN lang = 'en' AND n BETWEEN 30 AND 1000
+         AND mtl BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS s3,
+    sum(CASE WHEN lang = 'en' AND n BETWEEN 30 AND 1000
+         AND mtl BETWEEN 3 AND 10 AND swr >= 0.05 THEN 1 ELSE 0 END) AS s4,
+    sum(CASE WHEN lang = 'en' AND n BETWEEN 30 AND 1000
+         AND mtl BETWEEN 3 AND 10 AND swr >= 0.05 AND dwf < 0.5
+        THEN 1 ELSE 0 END) AS s5
+  FROM f
+)
+SELECT stage_idx, stage, n_in, n_pass,
+       round(CASE WHEN n_in > 0 THEN n_pass / CAST(n_in AS DOUBLE) END, 6)
+         AS pass_rate
+FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'lang_en' AS stage,
+         CAST(total AS BIGINT) AS n_in, CAST(s1 AS BIGINT) AS n_pass FROM agg
+  UNION ALL SELECT 2, 'length_30_1000', CAST(s1 AS BIGINT), CAST(s2 AS BIGINT) FROM agg
+  UNION ALL SELECT 3, 'mean_token_len_3_10', CAST(s2 AS BIGINT), CAST(s3 AS BIGINT) FROM agg
+  UNION ALL SELECT 4, 'stopword_ratio_ge_005', CAST(s3 AS BIGINT), CAST(s4 AS BIGINT) FROM agg
+  UNION ALL SELECT 5, 'dup_word_frac_lt_05', CAST(s4 AS BIGINT), CAST(s5 AS BIGINT) FROM agg
+)
+""",
+)
+def q60_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training quality cascade as ONE funnel query — language
+    gate, Gopher-style length band, mean-token-length band, stopword floor,
+    repetition (duplicate-word-fraction) cap — emitting per-stage in/pass
+    counts, the acceptance report every corpus build publishes.
+
+    Scale shape: one scan computes every per-document signal as column
+    expressions; a single aggregate reduces them to cumulative stage counts
+    (conditional sums are map-side partial-aggregated, so the shuffle
+    carries 6 longs per partition), and the 5-row funnel is an unpivot of
+    that one row.  No joins, no second scan, no per-stage passes — adding a
+    stage costs one more conditional sum, not another job.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = d.select("doc_id", "lang", toks.alias("t"))
+    n = F.size("t")
+    mtl = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform("t", lambda x: F.length(x).cast("double")),
+            F.lit(0.0), lambda a, x: a + x,
+        ) / n,
+    )
+    swr = stopword_ratio(F.col("t"), STOPWORDS["en"])
+    dwf = F.when(n > 0, 1.0 - F.size(F.array_distinct("t")).cast("double") / n)
+    c1 = F.col("lang") == "en"
+    c2 = c1 & n.between(30, 1000)
+    c3 = c2 & mtl.between(3, 10)
+    c4 = c3 & (swr >= 0.05)
+    c5 = c4 & (dwf < 0.5)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"s{i}")
+            for i, c in enumerate((c1, c2, c3, c4, c5), start=1)
+        ],
+    )
+    funnel = agg.selectExpr(
+        "stack(5, "
+        "1L, 'lang_en', CAST(total AS LONG), CAST(s1 AS LONG), "
+        "2L, 'length_30_1000', CAST(s1 AS LONG), CAST(s2 AS LONG), "
+        "3L, 'mean_token_len_3_10', CAST(s2 AS LONG), CAST(s3 AS LONG), "
+        "4L, 'stopword_ratio_ge_005', CAST(s3 AS LONG), CAST(s4 AS LONG), "
+        "5L, 'dup_word_frac_lt_05', CAST(s4 AS LONG), CAST(s5 AS LONG)"
+        ") AS (stage_idx, stage, n_in, n_pass)"
+    )
+    return funnel.select(
+        "stage_idx", "stage", "n_in", "n_pass",
+        F.round(
+            F.when(F.col("n_in") > 0,
+                   F.col("n_pass").cast("double") / F.col("n_in")),
+            6,
+        ).alias("pass_rate"),
+    )
