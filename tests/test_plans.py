@@ -124,3 +124,25 @@ def test_q58_vocab_join_hot_keys_broadcast(spark, qs):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan  # the cold-tail split is in the plan
+
+
+def test_q58_vocab_persisted_not_recomputed(spark, qs):
+    """The vocab aggregation feeds three consumers inside the hot/cold join;
+    the persist must surface as InMemoryTableScan nodes so the corpus-scale
+    aggregation is not re-planned per branch."""
+    df = qs["q58_rare_word_score"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan
+
+
+def test_q59_eval_grams_broadcast_no_text_in_shuffle(spark, qs):
+    """q59's eval n-gram set must broadcast (contamination check rides the
+    corpus scan map-side) and no exchange may carry the text column — only
+    gram hashes move."""
+    df = qs["q59_decontaminate"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line

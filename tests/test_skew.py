@@ -84,3 +84,27 @@ def test_hot_cold_dict_join_hot_branch_broadcasts(spark, skewed):
         hot_cold_dict_join(skewed, dim, on="k", freq_col="freq", hot_k=3)
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_hot_cold_dict_join_duplicate_dim_keys(spark, skewed):
+    """A dictionary with duplicate keys must not lose rows at the hot_k
+    boundary: the hot set is chosen over DISTINCT keys, so one key's rows
+    can never be split between the hot and cold branches (a raw row-level
+    limit could strand a key's extra rows on the cold side, where the
+    anti-join would drop them)."""
+    from cosmo_spark.operators.skew import hot_cold_dict_join
+
+    # two rows per key — with row-level hot_k=3 selection, key "hot" (or the
+    # boundary key) would contribute rows to both branches and lose one
+    dim = spark.createDataFrame(
+        [("hot", 900, "H1"), ("hot", 900, "H2"),
+         ("k1", 1, "A1"), ("k1", 1, "A2"),
+         ("k2", 1, "B1"), ("k2", 1, "B2")],
+        "k STRING, freq INT, label STRING",
+    )
+    direct = skewed.join(dim, "k")
+    for hot_k in (1, 2, 3):
+        split = hot_cold_dict_join(skewed, dim, on="k", freq_col="freq",
+                                   hot_k=hot_k)
+        assert sorted(map(tuple, split.collect())) == \
+            sorted(map(tuple, direct.collect())), f"hot_k={hot_k}"
