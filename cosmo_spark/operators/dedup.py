@@ -423,7 +423,16 @@ def srp_lsh_near_dups(
     e = df.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     )
-    planes_lit = F.lit([[float(v) for v in plane] for plane in planes])
+    # build the plane literal as ONE SQL expression string: F.lit() on a
+    # nested python list issues a py4j call per element (~8300 at 8x16 —
+    # measured 4-6 s of pure driver-side plan construction); the parser
+    # ingests the same literal in milliseconds
+    planes_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(v)}D" for v in plane) + ")"
+            for plane in planes
+        ) + ")"
+    )
     # __sig lands in its own projection: transform() is not collapse-cheap,
     # so Catalyst keeps it evaluated once per row even though 8 band slices
     # reference it downstream
@@ -458,6 +467,13 @@ def srp_lsh_near_dups(
         # count, so this does NOT cap shuffle parallelism the way a
         # few-bit geometry would.
         .repartition("band", "code")
+        # persist: three consumers read this table (the bucket-size guard
+        # aggregation and both self-join sides) and the broadcast-guard
+        # rewrite defeats plain exchange reuse between them — measured 3x
+        # signature recompute (7.3s -> 3.5s at sf0.1) without the persist.
+        # Same multi-consumer discipline as merge.py / q58's vocab; cleanup
+        # falls to the ContextCleaner when the plan is released.
+        .persist()
     )
     if max_bucket is not None:
         # partial agg on the already-partitioned key, then a broadcast join

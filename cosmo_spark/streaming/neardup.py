@@ -59,7 +59,14 @@ def stream_srp_near_dup(
     from cosmo_spark.functions.vectors import as_double, dot
 
     bits = len(planes)
-    planes_lit = F.lit([[float(v) for v in p] for p in planes])
+    # one SQL-parsed literal, not a py4j call per element (see the batch
+    # operator's plane-literal note in operators/dedup.py)
+    planes_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(v)}D" for v in p) + ")"
+            for p in planes
+        ) + ")"
+    )
     sig = F.transform(
         planes_lit, lambda p: F.when(dot(F.col("__v"), p) > 0, 1).otherwise(0)
     )
