@@ -238,3 +238,84 @@ def q55_srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.40, max_bucket=10_000,
     )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# --------------------------------------------------------------------------- #
+# q61 — int8 embedding quantization (storage path for vector pipelines)       #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q61_int8_quantize",
+    operators=("A10", "P11"),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, e, scale,
+         CASE WHEN scale > 0 THEN
+           list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(qv, x -> x + 128)),
+         (a, b) -> (a * 31 + b) % 1000000007) AS qhash,
+       round(CASE WHEN scale > 0 THEN
+         list_max(list_transform(list_zip(qv, e),
+                                 p -> abs(p[1] * scale - p[2])))
+       ELSE 0.0 END, 9) AS max_abs_err
+FROM q
+""",
+)
+def q61_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    storage/bandwidth path for vector corpora (4x smaller at rest, int8
+    SIMD dot products downstream): per-vector scale = max|x|/127, code =
+    floor(x/scale + 0.5) (explicit half-up so Spark and DuckDB agree —
+    their round() builtins disagree on tie handling), and the max absolute
+    reconstruction error as the quality bound.
+
+    The quantized array itself is parity-checked via the deterministic
+    polynomial fold of its (code+128) values — same discipline as the
+    dedup hashes: the compare never ships arrays, just one BIGINT.
+
+    Scale shape: pure per-row higher-order expressions — no shuffle, no
+    UDF, whole-stage codegen; at 100 TB this is a map-only rewrite job
+    bounded by parquet read/write bandwidth.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    scale = array_max(F.transform(v, F.abs)) / 127.0
+    base = e.select("vec_id", v.alias("e"), scale.alias("scale"))
+    qv = F.when(
+        F.col("scale") > 0,
+        F.transform("e", lambda x: F.floor(x / F.col("scale") + 0.5)),
+    ).otherwise(F.transform("e", lambda x: F.lit(0).cast("long")))
+    q = base.withColumn("qv", qv)
+    qhash = F.aggregate(
+        F.transform("qv", lambda x: x + 128),
+        F.lit(0).cast("long"),
+        lambda a, b: (a * 31 + b) % 1000000007,
+    )
+    err = F.when(
+        F.col("scale") > 0,
+        array_max(
+            F.zip_with("qv", "e", lambda q_, x: F.abs(q_ * F.col("scale") - x))
+        ),
+    ).otherwise(F.lit(0.0))
+    # err must bind to the RAW scale: computed in its own projection, because
+    # in a combined select the lateral-column-alias rule would resolve its
+    # `scale` reference to the rounded output alias (a 1e-8 parity drift)
+    q = q.withColumn("__err", err)
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        qhash.alias("qhash"),
+        F.round("__err", 9).alias("max_abs_err"),
+    )
