@@ -899,3 +899,73 @@ def q60_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pass_rate"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q62 — document chunking (fixed window / stride, the embedding-prep reshape) #
+# --------------------------------------------------------------------------- #
+
+_CHUNK_W, _CHUNK_S = 32, 24  # window, stride (8-token overlap)
+
+@register(
+    "q62_chunk_documents",
+    operators=("U3", "TXT3"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+th AS (SELECT doc_id, {_DUCK_TOK_HASHES} AS hs FROM tl WHERE len(t) > 0),
+chunks AS (
+  SELECT doc_id, k AS chunk_idx, k * {_CHUNK_S} AS start,
+         least({_CHUNK_W}, len(hs) - k * {_CHUNK_S}) AS chunk_len,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           hs[k * {_CHUNK_S} + 1 : k * {_CHUNK_S} + {_CHUNK_W}]),
+           (a, b) -> (a * 31 + b) % 1000000007) AS chunk_hash
+  FROM th, unnest(range(0, (len(hs) - 1) // {_CHUNK_S} + 1)) AS r(k)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start,
+       CAST(chunk_len AS BIGINT) AS chunk_len, chunk_hash
+FROM chunks
+""",
+)
+def q62_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window / stride document chunking — the reshape every
+    embedding / retrieval pipeline runs before batch inference: token
+    windows of {w} with stride {s} (tail chunks shorter), one row per
+    chunk, content-addressed by the polynomial fold of its token hashes
+    (chunk-level caching / dedup key downstream).
+
+    Scale shape: per-row explode of a computed start sequence — no
+    shuffle at all; chunk count is data-proportional and the explode
+    multiplies rows BEFORE any exchange, so downstream batch-inference
+    partitioning sees uniformly sized units.  Token hashes are computed
+    once per token and sliced per chunk (the q59 discipline — never
+    re-fold characters per chunk).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    th = tl.filter(F.size("t") > 0).select(
+        "doc_id", F.transform("t", lambda tok: poly_hash(tok)).alias("hs")
+    )
+    w, s = _CHUNK_W, _CHUNK_S
+    return (
+        th.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, CAST(floor((size(hs) - 1) / {s}) AS INT))")
+            ).alias("chunk_idx"),
+            "hs",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * s).cast("long").alias("start"),
+            F.least(
+                F.lit(w), F.size("hs") - F.col("chunk_idx") * s
+            ).cast("long").alias("chunk_len"),
+            F.aggregate(
+                F.expr(f"slice(hs, chunk_idx * {s} + 1, {w})"),
+                F.lit(0).cast("long"),
+                lambda a, b: (a * 31 + b) % 1000000007,
+            ).alias("chunk_hash"),
+        )
+    )
