@@ -68,6 +68,16 @@ def assign_buckets(
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
     ``centroids`` must have (bucket, centroid) columns; it is broadcast.
+
+    The argmax is a ``max_by`` aggregation, not a per-vector Window: after
+    the broadcast cross join, all k candidate rows of a vector sit in the
+    same partition, so partial aggregation collapses them to ONE row per
+    vector map-side — the exchange carries n rows instead of the n·k a
+    row_number window would shuffle (with the full vectors riding along,
+    that factor is the whole corpus k times over at 100 TB).  Tie semantics
+    match the former window exactly: highest similarity, then lowest
+    bucket; a zero-norm vector (similarity undefined for every centroid)
+    keeps the lowest bucket id rather than dropping.
     """
     from cosmo_spark.functions.vectors import dot, l2_norm
 
@@ -83,11 +93,19 @@ def assign_buckets(
     scored = v.crossJoin(F.broadcast(c)).withColumn(
         "__sim", F.when(denom > 0, dot("__v", "__c") / denom)
     )
-    w = Window.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("bucket").asc())
+    # order key (sim desc, bucket asc) as a maximized struct; NULL sims sort
+    # below every real similarity via the -2 sentinel (cosine >= -1)
+    order_key = F.struct(
+        F.coalesce(F.col("__sim"), F.lit(-2.0)).alias("s"),
+        (-F.col("bucket")).alias("nb"),
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("__id").alias(id_col), F.col("__v").alias(vec_col), "bucket")
+        scored.groupBy("__id")
+        .agg(
+            F.max_by(F.col("bucket"), order_key).alias("bucket"),
+            F.first("__v").alias(vec_col),
+        )
+        .select(F.col("__id").alias(id_col), vec_col, "bucket")
     )
 
 
