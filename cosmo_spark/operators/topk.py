@@ -10,7 +10,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def latest_per_key(
@@ -22,13 +21,20 @@ def latest_per_key(
     caller expected to include a unique tiebreaker (never rely on row order
     in a distributed engine).
 
-    One shuffle on the key; AQE splits skewed keys.
+    ``max_by`` over the packed row, not a row_number window: partial
+    aggregation resolves the per-key winner map-side, so the exchange
+    carries one candidate row per (partition, key) instead of every
+    version of every row — at 100 TB the difference between shuffling the
+    table and shuffling roughly the distinct key set.  The maximized
+    struct orders lexicographically over ``order_cols``, exactly the old
+    window's ``ORDER BY ... DESC`` tuple comparison.
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order_key = F.struct(*[F.col(c) for c in order_cols])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*key_cols)
+        .agg(F.max_by(payload, order_key).alias("__row"))
+        .select("__row.*")
     )
