@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from cosmo_spark.queries import register
 from cosmo_spark.session import tune_session
@@ -114,16 +113,27 @@ FROM (
 )
 def q40_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-row-to-target lookup (ref: find_closest_date argmin,
-    cosmo/monitors/telemetry_monitors.py:172-176) as a per-group top-1
-    window with a deterministic id tiebreak."""
+    cosmo/monitors/telemetry_monitors.py:172-176) as a per-group ``min_by``
+    with a deterministic id tiebreak — partial aggregation resolves each
+    group's argmin map-side (the latest_per_key discipline), so the
+    exchange carries one candidate per (partition, user) instead of every
+    event riding through a row_number window."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     target = F.unix_micros(F.lit("2024-01-15 12:00:00").cast("timestamp")) / 1e6
     dist = F.abs(F.unix_micros("ts") / 1e6 - target)
-    w = Window.partitionBy("user_id").orderBy(dist.asc(), F.col("event_id").asc())
+    order_key = F.struct(dist.alias("d"), F.col("event_id").alias("e"))
+    winner = F.min_by(
+        F.struct(F.col("event_id").alias("event_id"), dist.alias("dist")),
+        order_key,
+    )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", F.round(dist, 3).alias("dist_sec"))
+        e.groupBy("user_id")
+        .agg(winner.alias("__w"))
+        .select(
+            "user_id",
+            F.col("__w.event_id").alias("event_id"),
+            F.round("__w.dist", 3).alias("dist_sec"),
+        )
     )
 
 
