@@ -52,11 +52,34 @@ def cosine_topk(
     scored = pairs.withColumn(
         "cos_sim", F.when(denom > 0, dot("q_vec", "c_vec") / denom)
     )
-    w = Window.partitionBy("query_id").orderBy(
+    return _grouped_topk(scored, k)
+
+
+def _grouped_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k over (query_id, neighbor_id, cos_sim) rows.
+
+    A single window partitioned by query_id funnels EVERY scored pair into
+    one reducer per query — with a handful of queries that is a handful of
+    reducers ranking the whole corpus.  Phase 1 ranks within (query_id,
+    input partition), spreading the same shuffle volume across
+    queries x partitions reducers and keeping at most k rows per group;
+    phase 2 ranks the surviving queries x partitions x k rows — driver-
+    trivial.  The union of per-partition top-ks contains the global top-k,
+    so results are identical, tiebreaks included.
+    """
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    local = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w_global))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -155,11 +178,6 @@ def ivf_cosine_topk(
     scored = pairs.withColumn(
         "cos_sim", F.when(s_denom > 0, dot("q_vec", vec_col) / s_denom)
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    # same two-phase re-rank as the exact path: probed candidates rank
+    # locally per (query, partition) before the per-query reduction
+    return _grouped_topk(scored, k)
