@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="directory of <table>.parquet inputs (acq, osm, ...)")
     ap.add_argument("--out", help="output directory for result CSVs "
                                   "(required with --cadence)")
+    ap.add_argument("--figures", action="store_true",
+                    help="also render one HTML figure per monitor into "
+                         "<out>/figures (the reference's write_figure step)")
     ap.add_argument("--master", default=None, help="Spark master override")
     args = ap.parse_args(argv)
     if not args.cadence and not args.ingest:
@@ -71,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
             dest = os.path.join(args.out, f"{monitor_name}_{frame_name}")
             write_results_csv(df, dest)
             print(f"wrote {dest}")
+    if args.figures:
+        from cosmo_spark.monitors.figures import write_monitor_figures
+
+        for mon, path in write_monitor_figures(
+            results, os.path.join(args.out, "figures")
+        ).items():
+            print(f"wrote {path}")
     return 0
 
 

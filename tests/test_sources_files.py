@@ -115,12 +115,14 @@ def test_runner_cli_end_to_end(spark, tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "cosmo_spark.runner", "--cadence", "monthly",
          "--data-dir", str(data_dir), "--out", str(out_dir),
-         "--master", "local[2]"],
+         "--figures", "--master", "local[2]"],
         capture_output=True, text=True, cwd="/root/repo", timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     written = os.listdir(out_dir)
     assert any(d.startswith("acq_image_") for d in written), written
+    figures = os.listdir(out_dir / "figures")
+    assert any(f.endswith(".html") for f in figures), figures
 
 
 def test_attach_prop_typ(spark):
