@@ -546,24 +546,32 @@ def q50_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("TXT2", "A12", "U3"),
     oracle=f"""
 WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
-words AS (SELECT doc_id, unnest(toks) AS w FROM tl),
-wstats AS (
-  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
-  FROM words GROUP BY doc_id
-),
-bg AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(toks)),
-                               i -> toks[i] || ' ' || toks[i + 1])) AS b
+runs AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         CASE WHEN len(toks) >= 2 THEN
+           list_reduce(
+             list_prepend(
+               struct_pack(p := '', r := CAST(0 AS BIGINT),
+                           b := CAST(0 AS BIGINT)),
+               list_transform(
+                 list_sort(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1])),
+                 s -> struct_pack(p := s, r := CAST(1 AS BIGINT),
+                                  b := CAST(1 AS BIGINT)))),
+             (acc, x) -> CASE WHEN x.p = acc.p THEN
+                 struct_pack(p := x.p, r := acc.r + 1,
+                             b := greatest(acc.b, acc.r + 1))
+               ELSE struct_pack(p := x.p, r := CAST(1 AS BIGINT),
+                                b := greatest(acc.b, CAST(1 AS BIGINT))) END
+           ).b
+         END AS top_c
   FROM tl
-),
-bcounts AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
-bstats AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_c
-           FROM bcounts GROUP BY doc_id)
-SELECT w.doc_id, w.n_tokens,
-       round(1 - w.n_distinct / CAST(w.n_tokens AS DOUBLE), 6) AS dup_word_frac,
-       round(b.top_c / CAST(b.n_bg AS DOUBLE), 6) AS top_bigram_frac
-FROM wstats w LEFT JOIN bstats b USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       round(1 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS dup_word_frac,
+       round(top_c / CAST(n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac
+FROM runs
 """,
 )
 def q53_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,40 +581,64 @@ def q53_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high values = boilerplate/spam).  Extends the reference's quality
     scoring (q35) with the repetition dimension.
 
-    Scale shape: both signals aggregate exploded tokens keyed by doc_id
-    with full partial aggregation; nothing is quadratic in document length
-    and no UDF runs.  Output is one row per document — the natural input
-    to a downstream `WHERE dup_word_frac < t1 AND top_bigram_frac < t2`
-    keep-filter.
+    Scale shape: ZERO shuffles — both signals are per-document, so they
+    compute row-local with higher-order functions: duplicate-word fraction
+    via ``array_distinct``, and the modal-bigram count as the longest
+    equal-run of the SORTED bigram array (one ``aggregate`` fold over
+    struct state).  The former explode → groupBy → countDistinct → join
+    formulation shuffled the corpus four times to compute quantities each
+    row already owned; this is a map-only scan, O(L log L) per document,
+    whole-stage codegen.  Output is one row per document — the natural
+    input to a downstream ``WHERE dup_word_frac < t1 AND top_bigram_frac
+    < t2`` keep-filter.
     """
     d = _t(spark, sf_dir, "documents")
     tl = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    words = tl.select("doc_id", F.explode("toks").alias("w"))
-    wstats = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("w").alias("n_distinct"),
-    )
     n = F.size("toks")
-    bigrams = tl.select(
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("toks"), F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    init = F.struct(
+        F.lit("").alias("p"),
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    top_c = F.when(
+        n >= 2,
+        F.aggregate(
+            F.array_sort(bigrams),
+            init,
+            lambda acc, x: F.when(
+                x == acc["p"],
+                F.struct(
+                    x.alias("p"),
+                    (acc["r"] + 1).alias("r"),
+                    F.greatest(acc["b"], acc["r"] + 1).alias("b"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("p"),
+                    F.lit(1).cast("long").alias("r"),
+                    F.greatest(acc["b"], F.lit(1).cast("long")).alias("b"),
+                )
+            ),
+            lambda acc: acc["b"],
+        ),
+    )
+    calc = tl.select(
         "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
-                F.slice(F.col("toks"), F.lit(2), F.greatest(n - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("b"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        top_c.alias("top_c"),
     )
-    bcounts = bigrams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    bstats = bcounts.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bg"), F.max("c").alias("top_c")
-    )
-    return wstats.join(bstats, "doc_id", "left").select(
+    return calc.select(
         "doc_id",
         "n_tokens",
         F.round(1 - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6)
          .alias("dup_word_frac"),
-        F.round(F.col("top_c") / F.col("n_bg").cast("double"), 6)
+        F.round(F.col("top_c") / (F.col("n_tokens") - 1).cast("double"), 6)
          .alias("top_bigram_frac"),
     )
 
