@@ -247,3 +247,79 @@ def test_fits_codec_roundtrip_property(tmp_path_factory, doubles, ints, strings)
     # numpy S-dtype drops trailing NULs; reader also rstrips spaces
     assert row[3] == [s.rstrip() if s.strip() else "" for s in
                       (x[:8] for x in strings)]
+
+
+@given(st.lists(st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+                min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_q53_modal_bigram_fold_matches_bruteforce(spark, docs):
+    """The sorted-run-length aggregate fold must equal the brute-force modal
+    bigram count for arbitrary token lists (incl. all-equal, empty, and
+    single-token documents)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, [str(t) for t in toks]) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id INT, toks ARRAY<STRING>")
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("toks"), F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    init = F.struct(
+        F.lit("").alias("p"), F.lit(0).cast("long").alias("r"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    top_c = F.when(
+        n >= 2,
+        F.aggregate(
+            F.array_sort(bigrams), init,
+            lambda acc, x: F.when(
+                x == acc["p"],
+                F.struct(x.alias("p"), (acc["r"] + 1).alias("r"),
+                         F.greatest(acc["b"], acc["r"] + 1).alias("b")),
+            ).otherwise(
+                F.struct(x.alias("p"), F.lit(1).cast("long").alias("r"),
+                         F.greatest(acc["b"], F.lit(1).cast("long")).alias("b"))
+            ),
+            lambda acc: acc["b"],
+        ),
+    )
+    got = {r.doc_id: r.c for r in df.select("doc_id", top_c.alias("c")).collect()}
+    for i, toks in enumerate(docs):
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want = max(Counter(grams).values()) if grams else None
+        assert got[i] == want, (i, toks)
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30),
+              st.floats(-1, 1, allow_nan=False)),
+    min_size=1, max_size=40), st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_grouped_topk_matches_single_window(spark, rows, k):
+    """Two-phase local/global top-k must equal the brute-force per-query
+    ranking for arbitrary (query, neighbor, sim) sets — tiebreaks included."""
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.operators.similarity import _grouped_topk
+
+    # dedupe (query, neighbor) to keep the brute force well-defined
+    seen = {}
+    for q, nb, s in rows:
+        seen[(q, nb)] = s
+    rows = [(q, nb, s) for (q, nb), s in seen.items()]
+    df = spark.createDataFrame(
+        rows, "query_id INT, neighbor_id INT, cos_sim DOUBLE"
+    ).repartition(4)  # several input partitions so phase 1 actually splits
+    got = sorted(map(tuple, _grouped_topk(df, k).collect()))
+    want = []
+    by_q: dict[int, list] = {}
+    for q, nb, s in rows:
+        by_q.setdefault(q, []).append((nb, s))
+    for q, items in by_q.items():
+        ranked = sorted(items, key=lambda t: (-t[1], t[0]))[:k]
+        want += [(q, nb, s, i + 1) for i, (nb, s) in enumerate(ranked)]
+    assert got == sorted(want)
