@@ -1001,3 +1001,106 @@ def q62_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q63 — corpus mixing: deterministic exact-token-budget source sampling       #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q63_source_mixing",
+    operators=("TXT6", "W2", "A4"),
+    oracle=f"""
+WITH tl AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS n,
+         {_DUCK_POLY.format(X='text')} AS h
+  FROM documents
+), b AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN CAST(sum(n) AS BIGINT) // 2
+              ELSE CAST(sum(n) AS BIGINT) // 4 END AS budget
+  FROM tl GROUP BY source
+), ord AS (
+  SELECT tl.source, tl.n, b.budget,
+         sum(tl.n) OVER (PARTITION BY tl.source
+                         ORDER BY tl.h % 256, tl.h, tl.doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tl JOIN b USING (source)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS tokens,
+       CAST(any_value(budget) AS BIGINT) AS budget,
+       round(sum(n) / CAST(any_value(budget) AS DOUBLE), 6) AS utilization
+FROM ord WHERE cum <= budget GROUP BY source
+""",
+)
+def q63_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing to exact per-source token budgets — the
+    "data mixture" step of a pre-training build (web 50%, the rest 25%,
+    here derived from the source index): each source contributes documents,
+    in content-hash order, until its token budget is exhausted.
+    Hash-ordered selection makes the mixture reproducible across runs and
+    stable under incremental ingest (the q46 discipline), and an exact
+    budget beats rate sampling when the recipe is specified in tokens.
+
+    Scale shape — the naive form (one ordered cumsum per source) serializes
+    each source through a single reducer, exactly the q13-class trap at
+    corpus scale.  This implementation is the two-level variant: documents
+    hash into 256 sub-buckets per source, a per-(source, bucket) partial
+    sum reduces corpus-scale data to 256 rows per source, the tiny bucket
+    table takes the ordered cumsum (a driver-sized window), and only the
+    single BOUNDARY bucket's documents — 1/256th of a source — need the
+    exact within-bucket ordered cumsum.  Full buckets are selected
+    wholesale by a broadcast semi-join.  Selection order is
+    (bucket, hash, doc_id), so the result is identical to the naive global
+    cumsum the oracle runs.
+    """
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n"),
+        poly_hash(F.col("text")).alias("h"),
+    ).withColumn("bucket", F.col("h") % 256)
+    budgets = base.groupBy("source").agg(F.sum("n").alias("tot")).select(
+        "source", "tot",
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0,
+            F.expr("tot div 2"),
+        ).otherwise(F.expr("tot div 4")).alias("budget"),
+    )
+    bstats = base.groupBy("source", "bucket").agg(F.sum("n").alias("bt"))
+    w = Window.partitionBy("source").orderBy("bucket")
+    bcum = (
+        bstats.withColumn("cum", F.sum("bt").over(w))
+        .join(F.broadcast(budgets.select("source", "budget")), "source")
+    )
+    full = bcum.filter(F.col("cum") <= F.col("budget")).select("source", "bucket")
+    boundary = bcum.filter(
+        (F.col("cum") > F.col("budget"))
+        & (F.col("cum") - F.col("bt") < F.col("budget"))
+    ).select(
+        "source", "bucket",
+        (F.col("budget") - (F.col("cum") - F.col("bt"))).alias("remaining"),
+    )
+    sel_full = base.join(F.broadcast(full), ["source", "bucket"], "left_semi")
+    w2 = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+    sel_bnd = (
+        base.join(F.broadcast(boundary), ["source", "bucket"])
+        .withColumn("__cum", F.sum("n").over(w2))
+        .filter(F.col("__cum") <= F.col("remaining"))
+        .select(*base.columns)
+    )
+    selected = sel_full.unionByName(sel_bnd)
+    return (
+        selected.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("tokens"))
+        .join(F.broadcast(budgets.select("source", "budget")), "source")
+        .select(
+            "source", "n_docs", "tokens", "budget",
+            F.round(F.col("tokens") / F.col("budget").cast("double"), 6)
+             .alias("utilization"),
+        )
+    )
