@@ -1,16 +1,16 @@
 """Benchmark harness: runs the full query catalog and prints ONE JSON line.
 
-    {"metric": "catalog_wall_sec", "value": <sum of per-query mins>,
+    {"metric": "catalog_wall_sec", "value": <best full-pass wall seconds>,
      "unit": "sec", "queries": {"q01_...": min_sec, ...},
-     "queries_median": {...}, "repeats": 3, "wall_sec_total": <elapsed>,
-     "sf": 0.1}
+     "queries_median": {...}, "sum_of_mins": <sec>, "repeats": 3,
+     "wall_sec_total": <elapsed>, "sf": 0.1}
 
-Each query runs ``SPARK_GRAFT_REPEATS`` (default 3) full catalog passes;
-``queries`` carries the per-query MIN across passes and ``value`` is the sum
-of those mins — the steady-state number, robust to the documented up-to-2x
-shared-host variance that single-pass timings carry (a +62% swing on an
-identical plan was observed between rounds).  ``queries_median`` rides along
-so a min that's an outlier itself is visible.
+Each query runs ``SPARK_GRAFT_REPEATS`` (default 3) full catalog passes.
+``value`` stays an actually-measured wall time — the FASTEST complete pass —
+so it remains comparable with earlier single-pass rounds; the per-query
+``queries`` map carries MINIMUMS across passes (robust to the documented
+up-to-2x shared-host variance; a +62% swing on an identical plan was
+observed between rounds), with medians and the sum-of-mins alongside.
 
 Env:
     SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
@@ -58,14 +58,17 @@ def main() -> None:
     qs["q01_pricing_summary"].spark_fn(spark, sf_dir).collect()
 
     samples: dict[str, list[float]] = {name: [] for name in qs}
+    pass_walls: list[float] = []
     t_all = time.time()
     for _ in range(repeats):
+        t_pass = time.time()
         for name, q in qs.items():
             t0 = time.time()
             df = q.spark_fn(spark, sf_dir)
             # force full execution + materialization like the driver's collect
             df.collect()
             samples[name].append(time.time() - t0)
+        pass_walls.append(time.time() - t_pass)
     wall = round(time.time() - t_all, 3)
 
     mins = {name: round(min(s), 3) for name, s in samples.items()}
@@ -73,10 +76,11 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "catalog_wall_sec",
-        "value": round(sum(mins.values()), 3),
+        "value": round(min(pass_walls), 3),
         "unit": "sec",
         "queries": mins,
         "queries_median": medians,
+        "sum_of_mins": round(sum(mins.values()), 3),
         "repeats": repeats,
         "wall_sec_total": wall,
         "sf": sf,

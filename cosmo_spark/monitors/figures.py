@@ -89,6 +89,10 @@ def write_figure(
     cols = df.columns
     if x is None:
         x = cols[0]
+    # sort by x driver-side: aggregate frames end in shuffles, so collect
+    # order is nondeterministic — unsorted rows would draw a zigzag polyline
+    # and label the extent with arbitrary rows (None x sorts first)
+    rows.sort(key=lambda r: (r[x] is not None, r[x]))
     numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)}
     if y is None:
         ys = [c for c in cols if c != x and c in numeric][:4]
@@ -98,6 +102,11 @@ def write_figure(
         raise ValueError(
             f"write_figure({name!r}): {len(ys)} series > {len(_SERIES_COLORS)}; "
             "fold extra series upstream (small multiples / 'other')"
+        )
+    if kind == "bar" and len(ys) > 1:
+        raise ValueError(
+            f"write_figure({name!r}): bar figures render ONE series; got "
+            f"{ys} — pass y explicitly or use kind='line'"
         )
 
     os.makedirs(output, exist_ok=True)
@@ -177,11 +186,12 @@ def _svg_chart(rows, x: str, ys: list[str], kind: str) -> str:
             f'<text x="{_ML - 6}" y="{gy + 4:.1f}" text-anchor="end" '
             f'class="tick">{gv:.4g}</text>'
         )
-    # x extent labels
+    # x extent labels (rows arrive sorted by x)
     parts.append(
-        f'<text x="{_ML}" y="{_H - 12}" class="tick">{_fmt(raw_x[0])}</text>'
+        f'<text x="{_ML}" y="{_H - 12}" class="tick">'
+        f"{html.escape(_fmt(raw_x[0]))}</text>"
         f'<text x="{_W - _MR}" y="{_H - 12}" text-anchor="end" class="tick">'
-        f"{_fmt(raw_x[-1])}</text>"
+        f"{html.escape(_fmt(raw_x[-1]))}</text>"
     )
     if kind == "bar":
         c = ys[0]

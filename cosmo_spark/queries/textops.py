@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 from cosmo_spark.queries import register
 from cosmo_spark.session import tune_session
 from cosmo_spark.sources.tables import load_table
-from cosmo_spark.functions.text import STOPWORDS, poly_hash, stopword_ratio, tokenize
+from cosmo_spark.functions.text import (
+    STOPWORDS,
+    poly_hash,
+    stopword_ratio,
+    token_hashes,
+    tokenize,
+)
 from cosmo_spark.operators.dedup import (
     exact_dedup,
     minhash_candidates,
@@ -796,7 +802,7 @@ def q59_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
     th = tl.select(
-        "doc_id", F.transform("t", lambda tok: poly_hash(tok)).alias("hs")
+        "doc_id", token_hashes("t").alias("hs")
     )
     grams = th.select(
         "doc_id",
@@ -976,7 +982,7 @@ def q62_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
     th = tl.filter(F.size("t") > 0).select(
-        "doc_id", F.transform("t", lambda tok: poly_hash(tok)).alias("hs")
+        "doc_id", token_hashes("t").alias("hs")
     )
     w, s = _CHUNK_W, _CHUNK_S
     return (
@@ -1059,11 +1065,15 @@ def q63_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = _t(spark, sf_dir, "documents")
+    # persist: four consumers (budgets, bucket stats, full-bucket and
+    # boundary-bucket selections) would otherwise re-scan the corpus and
+    # re-run the per-character text hashing — the dominant per-row cost —
+    # once each (the q55/q58 multi-consumer discipline)
     base = d.select(
         "doc_id", "source",
         F.size(tokenize(F.col("text"))).cast("long").alias("n"),
         poly_hash(F.col("text")).alias("h"),
-    ).withColumn("bucket", F.col("h") % 256)
+    ).withColumn("bucket", F.col("h") % 256).persist()
     budgets = base.groupBy("source").agg(F.sum("n").alias("tot")).select(
         "source", "tot",
         F.when(
