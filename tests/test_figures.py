@@ -91,3 +91,26 @@ def test_write_monitor_figures_one_html_per_monitor(tmp_path, spark):
         text = open(p, encoding="utf-8").read()
         assert text.startswith("<!doctype html>"), mon
         assert "<svg" in text or "no data" in text, mon
+
+
+def test_write_figure_sorts_rows_by_x(tmp_path, spark):
+    """Aggregate frames arrive in nondeterministic post-shuffle order; the
+    sink must sort by x or the polyline zigzags and the extent labels lie."""
+    import re
+
+    rows = [(float(x), float(x) * 2) for x in (7, 1, 9, 3, 5, 0, 8)]
+    df = spark.createDataFrame(rows, "t DOUBLE, v DOUBLE")
+    path = write_figure(df, "scrambled", str(tmp_path))
+    text = open(path, encoding="utf-8").read()
+    pts = re.search(r'points="([^"]+)"', text).group(1)
+    xs = [float(p.split(",")[0]) for p in pts.split()]
+    assert xs == sorted(xs)
+    # extent labels are the true min/max, not arbitrary rows
+    ticks = re.findall(r'class="tick">([^<]+)</text>', text)
+    assert "0" in ticks[-2] and "9" in ticks[-1]
+
+
+def test_write_figure_bar_rejects_multi_series(tmp_path, spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "t DOUBLE, a DOUBLE, b DOUBLE")
+    with pytest.raises(ValueError, match="ONE series"):
+        write_figure(df, "multi bar", str(tmp_path), kind="bar")
