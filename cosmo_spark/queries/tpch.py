@@ -415,22 +415,20 @@ FROM (
 )
 def q10_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-version-per-group (ref: SMS max-version filter,
-    cosmo/sms/ingest_sms.py:274-280).
+    cosmo/sms/ingest_sms.py:274-280) via operators.topk.latest_per_key.
 
     Deterministic tiebreak on the unique key — never rely on row order.
-    Scale: one shuffle on the group key; AQE handles skew.
+    Scale: the operator's max_by aggregation resolves each key's winner
+    map-side, so the one shuffle carries ~one row per key rather than
+    every order of every customer riding through a row_number window.
     """
+    from cosmo_spark.operators.topk import latest_per_key
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey", "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
-        )
+    latest = latest_per_key(o, "o_custkey", ["o_orderdate", "o_orderkey"])
+    return latest.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
     )
 
 

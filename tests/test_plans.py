@@ -146,3 +146,49 @@ def test_q59_eval_grams_broadcast_no_text_in_shuffle(spark, qs):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line
+
+
+def test_q10_top1_is_partial_aggregate_not_window(spark, qs):
+    """latest_per_key resolves winners map-side: the plan must carry a
+    max_by hash aggregate and NO per-key row_number window."""
+    df = qs["q10_latest_per_key"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "max_by" in plan
+    assert "row_number" not in plan
+
+
+def test_q40_argmin_is_partial_aggregate_not_window(spark, qs):
+    df = qs["q40_nearest_event"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "min_by" in plan
+    assert "row_number" not in plan
+
+
+def test_q32_topk_is_two_phase(spark, qs):
+    """Grouped top-k must rank locally per (query, input partition) before
+    the per-query reduction — two row_number windows, the first keyed by
+    SPARK_PARTITION_ID, so a handful of queries never funnels every scored
+    pair into a handful of reducers."""
+    df = qs["q32_cosine_topk"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert plan.lower().count("row_number") >= 2
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+
+
+def test_q63_no_corpus_scale_window(spark, qs):
+    """Corpus mixing's ordered cumsum must only ever run over the bounded
+    bucket table and the single boundary bucket — the windows in the plan
+    partition by (source) over 256 bucket rows and (source, bucket) over
+    one bucket's docs; no window may partition the raw corpus by source
+    alone on document rows."""
+    import re
+
+    df = qs["q63_source_mixing"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the plan"
+    # doc-level windows order by (h, doc_id); every one of them must also
+    # partition by bucket (the boundary-bucket window over 1/256th of a
+    # source).  Source-only windows are the 256-row bucket cumsums.
+    doc_specs = [s for s in specs if "doc_id" in s]
+    assert doc_specs and all("bucket" in s for s in doc_specs)
