@@ -41,13 +41,19 @@ def merge_versioned(
         unioned = updates
     else:
         unioned = current.withColumn("__is_new", F.lit(0)).unionByName(updates)
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), F.col("__is_new").asc()
+    # max_by over the packed row (the latest_per_key discipline): the winner
+    # per key resolves map-side, so the shuffle carries ~one row per key —
+    # maximizing (version, -is_new) == the old window's ORDER BY version
+    # DESC, is_new ASC (existing row wins an equal-version re-ingest)
+    payload = F.struct(*[F.col(c) for c in unioned.columns])
+    order_key = F.struct(
+        F.col(version_col).alias("v"), (-F.col("__is_new")).alias("keep")
     )
     return (
-        unioned.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__is_new")
+        unioned.groupBy(*key_cols)
+        .agg(F.max_by(payload, order_key).alias("__row"))
+        .select("__row.*")
+        .drop("__is_new")
     )
 
 
