@@ -117,13 +117,20 @@ def dark_rate_monitor(
             .select("ROOTNAME", "TIME_3", "LATITUDE", "LONGITUDE"),
             ["TIME_3", "LATITUDE", "LONGITUDE"],
         ).withColumn("time_bin", F.floor(F.col("TIME_3") / TIME_STEP).cast("long"))
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("ROOTNAME", "time_bin").orderBy("TIME_3")
+        # min_by resolves each bin's first sample map-side (latest_per_key
+        # discipline) — the shuffle carries one row per (ROOTNAME, bin), not
+        # every 1 Hz telemetry sample through a row_number window
+        first_sample = F.min_by(
+            F.struct(F.col("LATITUDE").alias("LATITUDE"),
+                     F.col("LONGITUDE").alias("LONGITUDE")),
+            F.col("TIME_3"),
+        )
         track = (
-            track.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("ROOTNAME", "time_bin", "LATITUDE", "LONGITUDE")
+            track.groupBy("ROOTNAME", "time_bin")
+            .agg(first_sample.alias("__s"))
+            .select("ROOTNAME", "time_bin",
+                    F.col("__s.LATITUDE").alias("LATITUDE"),
+                    F.col("__s.LONGITUDE").alias("LONGITUDE"))
         )
         track = saa_flag(track)
         rates = rates.join(track, ["ROOTNAME", "time_bin"], "left")
