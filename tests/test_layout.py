@@ -49,3 +49,42 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
         spark.sql("DROP DATABASE IF EXISTS layout_test CASCADE")
+
+
+def test_ivf_corpus_bucketed_at_rest_no_corpus_exchange(spark, tmp_path):
+    """The IVF 100 TB contract (operators/similarity.py docstring): assign
+    the corpus once, write it bucketed-by(bucket), and the per-query probe
+    join then runs with NO exchange on the corpus side — the probe set
+    broadcasts into co-located buckets."""
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.operators.kmeans import kmeans_centroids
+    from cosmo_spark.operators.similarity import assign_buckets
+
+    rows = []
+    for i in range(60):
+        v = [0.05] * 8
+        v[i % 4] = 2.0 + (i % 7) * 0.1
+        rows.append((i, v))
+    e = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    cents = kmeans_centroids(e, "embedding", "vec_id", k=4, iterations=2)
+    assigned = assign_buckets(e, cents, "embedding", "vec_id")
+    spark.sql("CREATE DATABASE IF NOT EXISTS layout_test")
+    try:
+        write_bucketed(assigned, "layout_test.ivf_corpus", "bucket",
+                       num_buckets=4)
+        corpus = read_bucketed(spark, "layout_test.ivf_corpus")
+        # materialize the (tiny) probe set so the plan under test is purely
+        # the corpus path: bucketed scan -> broadcast join, nothing else
+        probe_rows = (
+            assigned.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "bucket").collect()
+        )
+        probes = spark.createDataFrame(probe_rows)
+        joined = corpus.join(F.broadcast(probes), "bucket")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # corpus side: scan -> broadcast hash join, no shuffle exchange
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS layout_test.ivf_corpus")
