@@ -1114,3 +1114,86 @@ def q63_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("utilization"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q64 — repeated-span detection (within-corpus substring dedup signal)        #
+# --------------------------------------------------------------------------- #
+
+_SPAN_N = 16  # span length in tokens, stride 1
+
+@register(
+    "q64_repeated_spans",
+    operators=("DD1", "TXT5", "A11"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+th AS (SELECT doc_id, {_DUCK_TOK_HASHES} AS hs FROM tl WHERE len(t) >= {_SPAN_N}),
+spans AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           hs[i : i + {_SPAN_N} - 1]),
+           (a, b) -> (a * 31 + b) % 1000000007) AS h
+  FROM th, unnest(range(1, len(hs) - {_SPAN_N} + 2)) AS r(i)
+),
+dup AS (
+  SELECT h FROM spans GROUP BY h
+  HAVING count(*) > 1 OR count(DISTINCT doc_id) > 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeated,
+       round(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS repeated_frac
+FROM spans LEFT JOIN dup USING (h)
+GROUP BY doc_id
+""",
+)
+def q64_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection — the exact-substring dedup signal of the
+    "Deduplicating Training Data Makes Language Models Better" family: every
+    {n}-token window (stride 1) is content-hashed, a span seen more than
+    once ANYWHERE in the corpus (within a document or across documents)
+    marks its occurrences, and each document reports the fraction of its
+    spans that are corpus-repeated — the input to span-removal or
+    doc-dropping policies.
+
+    Scale shape: per-token hashes computed once (q59/q62 discipline), span
+    hashes are O(L) fold-combines per document, and the only shuffles carry
+    BIGINT span hashes: one partial-aggregated groupBy finds duplicated
+    hashes, one hash join marks occurrences, one groupBy(doc_id) rolls up.
+    The span table is ~L rows per document but never carries text.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = _SPAN_N
+    tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    th = tl.filter(F.size("t") >= n).select(
+        "doc_id", token_hashes("t").alias("hs")
+    )
+    spans = th.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(hs) - {n} + 1), i -> "
+                f"aggregate(slice(hs, i, {n}), 0L, "
+                f"(a, b) -> (a * 31 + b) % 1000000007))"
+            )
+        ).alias("h"),
+    ).persist()  # two consumers: the duplicate-hash set and the mark join
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.countDistinct("doc_id").alias("__d"),
+        )
+        .filter((F.col("__c") > 1) | (F.col("__d") > 1))
+        .select("h", F.lit(1).alias("__dup"))
+    )
+    marked = spans.join(dup, "h", "left")
+    rep = F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+    cnt = F.count(F.lit(1))
+    return marked.groupBy("doc_id").agg(
+        cnt.alias("n_spans"),
+        rep.cast("long").alias("n_repeated"),
+        F.round(rep / cnt.cast("double"), 6).alias("repeated_frac"),
+    )
