@@ -15,6 +15,8 @@ from cosmo_spark.queries import register
 from cosmo_spark.session import tune_session
 from cosmo_spark.sources.tables import load_table
 from cosmo_spark.functions.text import (
+    HASH_BASE,
+    HASH_MOD,
     STOPWORDS,
     poly_hash,
     stopword_ratio,
@@ -1132,21 +1134,18 @@ spans AS (
   SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
            hs[i : i + {_SPAN_N} - 1]),
-           (a, b) -> (a * 31 + b) % 1000000007) AS h
+           (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h
   FROM th, unnest(range(1, len(hs) - {_SPAN_N} + 2)) AS r(i)
 ),
-dup AS (
-  SELECT h FROM spans GROUP BY h
-  HAVING count(*) > 1 OR count(DISTINCT doc_id) > 1
+marked AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY h) AS occ FROM spans
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_repeated,
-       round(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS repeated_frac
-FROM spans LEFT JOIN dup USING (h)
-GROUP BY doc_id
+FROM marked GROUP BY doc_id
 """,
 )
 def q64_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,11 +1158,17 @@ def q64_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-dropping policies.
 
     Scale shape: per-token hashes computed once (q59/q62 discipline), span
-    hashes are O(L) fold-combines per document, and the only shuffles carry
-    BIGINT span hashes: one partial-aggregated groupBy finds duplicated
-    hashes, one hash join marks occurrences, one groupBy(doc_id) rolls up.
-    The span table is ~L rows per document but never carries text.
+    hashes are O(L) fold-combines per document using the shared
+    HASH_BASE/HASH_MOD constants, and exactly TWO shuffles run, both
+    carrying BIGINTs only: a count-over-hash window marks every occurrence
+    of a repeated span in one pass (the partition is a span hash's
+    occurrence list — bounded by true duplication), then groupBy(doc_id)
+    rolls up.  No self-join, no distinct aggregate, no persisted
+    intermediate.  The span table is ~L rows per document but never
+    carries text.
     """
+    from pyspark.sql.window import Window
+
     d = _t(spark, sf_dir, "documents")
     n = _SPAN_N
     tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
@@ -1176,21 +1181,13 @@ def q64_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"transform(sequence(1, size(hs) - {n} + 1), i -> "
                 f"aggregate(slice(hs, i, {n}), 0L, "
-                f"(a, b) -> (a * 31 + b) % 1000000007))"
+                f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
             )
         ).alias("h"),
-    ).persist()  # two consumers: the duplicate-hash set and the mark join
-    dup = (
-        spans.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.countDistinct("doc_id").alias("__d"),
-        )
-        .filter((F.col("__c") > 1) | (F.col("__d") > 1))
-        .select("h", F.lit(1).alias("__dup"))
     )
-    marked = spans.join(dup, "h", "left")
-    rep = F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    marked = spans.withColumn("__occ", occ)
+    rep = F.sum(F.when(F.col("__occ") > 1, 1).otherwise(0))
     cnt = F.count(F.lit(1))
     return marked.groupBy("doc_id").agg(
         cnt.alias("n_spans"),

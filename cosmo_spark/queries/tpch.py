@@ -540,8 +540,11 @@ def q26_version_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("version", F.lit(2))
     )
     unioned = base.unionByName(updates)
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
-    merged = unioned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # max_by top-1 (operators/topk discipline): the supersede resolves
+    # map-side, one shuffle row per key — versions are distinct, so no tie
+    from cosmo_spark.operators.topk import latest_per_key
+
+    merged = latest_per_key(unioned, "o_orderkey", ["version"])
     # per-row integer e4 units summed exactly (order-free), divided once:
     # round(sum(...), 4) on a ~1e10 sum can land on a half-decimal tie and
     # flip between engines (observed at sf0.1)

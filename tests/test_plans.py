@@ -151,10 +151,11 @@ def test_q59_eval_grams_broadcast_no_text_in_shuffle(spark, qs):
 def test_q10_top1_is_partial_aggregate_not_window(spark, qs):
     """latest_per_key resolves winners map-side: the plan must carry a
     max_by hash aggregate and NO per-key row_number window."""
-    df = qs["q10_latest_per_key"].spark_fn(spark, SF)
-    plan = physical_plan(df)
-    assert "max_by" in plan
-    assert "row_number" not in plan
+    for q in ("q10_latest_per_key", "q26_version_merge"):
+        df = qs[q].spark_fn(spark, SF)
+        plan = physical_plan(df)
+        assert "max_by" in plan, q
+        assert "row_number" not in plan, q
 
 
 def test_q40_argmin_is_partial_aggregate_not_window(spark, qs):
