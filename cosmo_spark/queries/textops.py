@@ -1159,16 +1159,17 @@ def q64_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-token hashes computed once (q59/q62 discipline), span
     hashes are O(L) fold-combines per document using the shared
-    HASH_BASE/HASH_MOD constants, and exactly TWO shuffles run, both
-    carrying BIGINTs only: a count-over-hash window marks every occurrence
-    of a repeated span in one pass (the partition is a span hash's
-    occurrence list — bounded by true duplication), then groupBy(doc_id)
-    rolls up.  No self-join, no distinct aggregate, no persisted
-    intermediate.  The span table is ~L rows per document but never
-    carries text.
+    HASH_BASE/HASH_MOD constants, and every shuffle carries BIGINTs only.
+    The occurrence count is an AGGREGATE + JOIN, deliberately NOT a
+    count-over-hash window: mass duplication is this workload's expected
+    input (a boilerplate footer span can appear in a large fraction of all
+    documents), a window would funnel each hot hash's entire occurrence
+    list through one reducer and AQE cannot split windows — but it CAN
+    split skewed join partitions, and the count aggregate partial-combines
+    the hot hash map-side.  ``spans`` is persisted for its two consumers
+    (count + mark join; ContextCleaner reclaims it when the plan is
+    released).
     """
-    from pyspark.sql.window import Window
-
     d = _t(spark, sf_dir, "documents")
     n = _SPAN_N
     tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
@@ -1184,9 +1185,9 @@ def q64_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
             )
         ).alias("h"),
-    )
-    occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    marked = spans.withColumn("__occ", occ)
+    ).persist()
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("__occ"))
+    marked = spans.join(counts, "h")
     rep = F.sum(F.when(F.col("__occ") > 1, 1).otherwise(0))
     cnt = F.count(F.lit(1))
     return marked.groupBy("doc_id").agg(
