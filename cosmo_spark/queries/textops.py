@@ -1195,3 +1195,277 @@ def q64_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.cast("long").alias("n_repeated"),
         F.round(rep / cnt.cast("double"), 6).alias("repeated_frac"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q65 — token entropy (row-local lexical-diversity quality signal)             #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q65_token_entropy",
+    operators=("TXT2", "A10", "P11"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+s AS (SELECT doc_id, list_sort(t) AS s, len(t) AS n FROM tl WHERE len(t) > 0),
+st AS (
+  SELECT doc_id, s, n,
+         list_filter(range(1, n + 1),
+                     i -> CASE WHEN i = 1 THEN TRUE ELSE s[i] <> s[i-1] END)
+           AS starts
+  FROM s
+), c AS (
+  SELECT doc_id, n, len(starts) AS nd,
+         list_transform(range(1, len(starts) + 1),
+           j -> list_append(starts, n + 1)[j + 1]
+                - list_append(starts, n + 1)[j]) AS counts
+  FROM st
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(nd AS BIGINT) AS n_distinct,
+       round(ln(n) - list_sum(list_transform(counts, c -> c * ln(c))) / n, 6)
+         AS entropy,
+       round(nd / CAST(n AS DOUBLE), 6) AS ttr
+FROM c
+""",
+)
+def q65_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (token) Shannon entropy + type-token ratio per document — the
+    lexical-diversity quality signal (low entropy = templated / repetitive
+    text) used alongside the Gopher repetition rules in corpus filtering.
+
+    Entropy is computed ROW-LOCALLY with zero shuffles: sort the token
+    array, find run boundaries with an index-filter HOF, difference
+    consecutive boundaries into run counts, then fold
+    ``ln(n) - sum(c*ln(c))/n`` — algebraically identical to
+    ``-sum(p*ln(p))`` but with one division.  The naive implementation
+    (explode tokens -> groupBy (doc, token) -> count -> entropy agg) ships
+    every TOKEN through two corpus-scale shuffles; this one ships nothing
+    — per-row O(L log L) sort inside whole-stage codegen, so at 100 TB it
+    is a map-only scan bounded by parquet read bandwidth.
+
+    Each intermediate (sorted array, run starts, extended boundary array)
+    is staged as a bound column in its own projection: Catalyst cannot CSE
+    inside lambda bodies, so inline expressions would re-sort per index
+    probe (the q59/q62 discipline).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    srt = tl.select(
+        "doc_id", F.array_sort("t").alias("s"), F.size("t").alias("n")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("s"), i) != F.element_at(F.col("s"), i - 1)
+        ),
+    )
+    st = srt.withColumn("starts", starts)
+    st = st.withColumn(
+        "ext", F.concat("starts", F.array(F.col("n") + 1))
+    )
+    counts = F.transform(
+        F.sequence(F.lit(1), F.size("starts")),
+        lambda j: F.element_at(F.col("ext"), j + 1) - F.element_at(F.col("ext"), j),
+    )
+    st = st.withColumn("counts", counts)
+    ent = F.log(F.col("n")) - F.aggregate(
+        F.col("counts"),
+        F.lit(0.0),
+        lambda a, c: a + c.cast("double") * F.log(c.cast("double")),
+    ) / F.col("n")
+    return st.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("starts").cast("long").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(F.size("starts").cast("double") / F.col("n"), 6).alias("ttr"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q66 — cross-source span containment (mirror / syndication detection)        #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q66_source_overlap",
+    operators=("DD1", "A12", "U3"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
+th AS (SELECT doc_id, source, {_DUCK_TOK_HASHES} AS hs FROM tl
+       WHERE len(t) >= {_SPAN_N}),
+spans AS (
+  SELECT DISTINCT source,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           hs[i : i + {_SPAN_N} - 1]),
+           (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h
+  FROM th, unnest(range(1, len(hs) - {_SPAN_N} + 2)) AS r(i)
+),
+per AS (SELECT source, count(*) AS ns FROM spans GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+  FROM spans a JOIN spans b USING (h)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared_spans,
+       round(shared / CAST(least(pa.ns, pb.ns) AS DOUBLE), 6) AS containment
+FROM pairs
+JOIN per pa ON pa.source = pairs.source_a
+JOIN per pb ON pb.source = pairs.source_b
+""",
+)
+def q66_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source span containment — for every pair of sources, how many
+    distinct {n}-token spans they share, normalized by the smaller side's
+    span inventory.  This is the mirror-site / syndicated-boilerplate
+    detector a web-corpus build runs at the DOMAIN level (RefinedWeb /
+    CCNet lineage): a pair with high containment means one source largely
+    republishes the other and should be collapsed before document-level
+    dedup.
+
+    Scale shape: the oracle's self-join on span hash is NOT what runs here
+    — a hot span (a footer shared by every domain) would make the join
+    output quadratic in its occurrence count.  Instead spans collapse to
+    ``(h, sorted set of sources)`` with one keyed shuffle carrying BIGINT
+    hashes; pair expansion happens ROW-LOCALLY over that bounded set
+    (fan-out per span is C(k,2) in DISTINCT sources, not occurrences), and
+    the pair counts partial-aggregate map-side.  With an open-domain corpus
+    (millions of domains) a single universal span still bounds k at the
+    domain count; the guard for that regime is dropping spans above a
+    source-count ceiling — they carry no pair signal — exactly the q55
+    degenerate-bucket discipline.  The per-source span inventory broadcasts
+    (one row per source) onto the pair table.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = _SPAN_N
+    th = (
+        d.select("source", tokenize(F.col("text")).alias("t"))
+        .filter(F.size("t") >= n)
+        .select("source", token_hashes("t").alias("hs"))
+    )
+    spans = (
+        th.select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(hs) - {n} + 1), i -> "
+                    f"aggregate(slice(hs, i, {n}), 0L, "
+                    f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        .persist()  # two consumers: per-source inventory + pair expansion
+    )
+    per = spans.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    bysrc = spans.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pairs = (
+        bysrc.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ss) - 1), i -> "
+                    "transform(sequence(i + 1, size(ss)), j -> "
+                    "struct(ss[i-1] AS a, ss[j-1] AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+    )
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("shared_spans")
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("ns").alias("na"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("ns").alias("nb"))
+    return (
+        agg.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_spans",
+            F.round(
+                F.col("shared_spans")
+                / F.least("na", "nb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q67 — epoch-wise deterministic shuffle into training batches                 #
+# --------------------------------------------------------------------------- #
+
+_EPOCHS, _N_BATCHES = 3, 16
+_CHK_MOD = 99991  # small prime: per-doc terms stay < 1e5 so BIGINT sums
+                  # cannot overflow on either engine at any corpus size
+
+@register(
+    "q67_epoch_batches",
+    operators=("A4", "U2", "TXT4"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, len({_DUCK_TOKS}) AS n FROM documents),
+sh AS (
+  SELECT epoch, doc_id, n,
+         (doc_id * (1000003 + epoch * 7919) + epoch * 104729)
+           % {HASH_MOD} AS h
+  FROM tl, unnest([1, 2, 3]) AS e(epoch)
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(h % {_N_BATCHES} AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(h % {_CHK_MOD}) % {_CHK_MOD} AS BIGINT) AS order_checksum
+FROM sh GROUP BY 1, 2
+""",
+)
+def q67_epoch_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-wise deterministic shuffling into training batches — the data-
+    ordering step of a multi-epoch pre-training run: each epoch permutes
+    the corpus with its own keyed hash (so no two epochs present documents
+    in the same order), documents land in ``h mod {nb}`` batches, and the
+    job emits per-(epoch, batch) document/token counts plus a modular
+    checksum that makes the assignment reproducible across runs and
+    engines.
+
+    Scale shape: the epoch fan-out is a row-local ``explode`` of a
+    3-element literal array (rows multiply BEFORE any exchange), the hash /
+    batch assignment is pure codegen arithmetic, and the only shuffle
+    carries {e}x{nb} groups of partial-aggregated longs — there is no
+    global sort and no window anywhere: a rank-based shuffle would funnel
+    each epoch through ordered reducers, while hash-bucketing gives the
+    same statistical guarantee (disjoint cover, epoch-decorrelated order)
+    embarrassingly parallel.  The checksum folds ``h mod {m}`` so partial
+    sums fit a BIGINT at any corpus size on both engines (DuckDB promotes
+    to HUGEINT, Spark would wrap — keeping terms small sidesteps the
+    divergence).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select("doc_id", F.size(tokenize(F.col("text"))).alias("n"))
+    sh = tl.select(
+        "doc_id",
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("epoch"),
+    ).withColumn(
+        "h",
+        (
+            F.col("doc_id") * (F.lit(1000003) + F.col("epoch") * 7919)
+            + F.col("epoch") * 104729
+        )
+        % HASH_MOD,
+    )
+    return sh.groupBy(
+        F.col("epoch").cast("long").alias("epoch"),
+        (F.col("h") % _N_BATCHES).cast("long").alias("batch_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        (F.sum(F.col("h") % _CHK_MOD) % _CHK_MOD).cast("long")
+            .alias("order_checksum"),
+    )

@@ -319,3 +319,84 @@ def q61_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         qhash.alias("qhash"),
         F.round("__err", 9).alias("max_abs_err"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q68 — per-class centroid outliers (embedding-space label-noise detection)    #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q68_centroid_outliers",
+    operators=("SIM1", "A2", "J2"),
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT label, i AS pos, v[i] AS x
+       FROM e, unnest(range(1, len(v) + 1)) AS r(i)),
+cent AS (SELECT label, pos, avg(x) AS c FROM ex GROUP BY label, pos),
+carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+d AS (
+  SELECT vec_id, e.label AS label,
+         1.0 - list_sum(list_transform(list_zip(e.v, carr.cv), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(carr.cv, x -> x * x)))) AS dist
+  FROM e JOIN carr ON e.label = carr.label
+),
+s AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd FROM d GROUP BY label)
+SELECT vec_id, d.label AS label, round(dist, 6) AS dist,
+       round((dist - mu) / sd, 6) AS z
+FROM d JOIN s ON d.label = s.label
+WHERE sd > 0 AND (dist - mu) / sd > 2.0
+""",
+)
+def q68_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid outliers — flag vectors whose cosine distance to
+    their OWN label's mean embedding is > 2 sigma for that label: the
+    standard embedding-space screen for label noise / corrupt encodes
+    before a corpus ships to training (the "remove examples far from their
+    class centroid" step of dataset-pruning pipelines).
+
+    Scale shape, in three bounded stages: (1) centroids via posexplode ->
+    groupBy (label, dim) — the shuffle after map-side partial aggregation
+    carries labels x dims rows (tiny), never the corpus; the per-label
+    centroid ARRAY is reassembled from that aggregate and broadcast, so
+    per-row cosine distance is codegen HOF math with no second corpus
+    shuffle.  (2) per-label mu/sigma of the distance reduce the corpus
+    again by partial aggregation to one row per label, broadcast back.
+    (3) the z-filter is a map-side predicate.  The distance table (3
+    numeric cols) is persisted for its two consumers (stats + final
+    filter) so the cosine HOF fold runs once per vector — at 100 TB you
+    would swap the persist for a checkpoint-to-parquet of the same 3-column
+    frame; nothing else changes.
+    """
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    carr = cent.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+    ).select("label", F.transform("pc", lambda s: s["c"]).alias("cv"))
+    from cosmo_spark.functions.vectors import cosine_sim
+
+    d = (
+        e.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id", "label",
+            (F.lit(1.0) - cosine_sim("v", "cv")).alias("dist"),
+        )
+        .persist()
+    )
+    stats = d.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sd")
+    return (
+        d.join(F.broadcast(stats), "label")
+        .filter((F.col("sd") > 0) & (z > 2.0))
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+        )
+    )
