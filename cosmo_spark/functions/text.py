@@ -119,3 +119,47 @@ def stopword_ratio(tokens: Column | str, stopwords: list[str]) -> Column:
     sw = F.array(*[F.lit(w) for w in stopwords])
     hits = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(tokens) > 0, hits / F.size(tokens))
+
+def with_lexical_stats(
+    df, tokens_col: str, n_col: str = "n", starts_col: str = "starts",
+    counts_col: str = "counts", entropy_col: str = "entropy",
+):
+    """Stage row-local run-length lexical stats onto ``df``.
+
+    Adds ``n`` (token count), ``starts`` (1-based run-boundary indices of
+    the SORTED token array), ``counts`` (per-distinct-token occurrence
+    counts), and ``entropy`` (unigram Shannon entropy, nats) — all computed
+    with zero shuffles: sort, boundary-filter, difference, fold.  Rows with
+    empty token arrays are dropped (entropy is undefined there).
+
+    Each intermediate is staged as a bound column in its own projection:
+    Catalyst cannot CSE inside lambda bodies, so inline expressions would
+    re-sort the array per index probe (the shingle-staging discipline,
+    see shingle_hashes_from_token_hashes).
+    """
+    out = df.filter(F.size(tokens_col) > 0)
+    out = out.withColumn("__s", F.array_sort(tokens_col)).withColumn(
+        n_col, F.size(tokens_col)
+    )
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col(n_col)),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("__s"), i) != F.element_at(F.col("__s"), i - 1)
+        ),
+    )
+    out = out.withColumn(starts_col, starts)
+    out = out.withColumn(
+        "__ext", F.concat(starts_col, F.array(F.col(n_col) + 1))
+    )
+    counts = F.transform(
+        F.sequence(F.lit(1), F.size(starts_col)),
+        lambda j: F.element_at(F.col("__ext"), j + 1)
+        - F.element_at(F.col("__ext"), j),
+    )
+    out = out.withColumn(counts_col, counts)
+    ent = F.log(F.col(n_col)) - F.aggregate(
+        F.col(counts_col),
+        F.lit(0.0),
+        lambda a, c: a + c.cast("double") * F.log(c.cast("double")),
+    ) / F.col(n_col)
+    return out.withColumn(entropy_col, ent).drop("__s", "__ext")

@@ -22,6 +22,7 @@ from cosmo_spark.functions.text import (
     stopword_ratio,
     token_hashes,
     tokenize,
+    with_lexical_stats,
 )
 from cosmo_spark.operators.dedup import (
     exact_dedup,
@@ -1250,37 +1251,13 @@ def q65_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe (the q59/q62 discipline).
     """
     d = _t(spark, sf_dir, "documents")
-    tl = d.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
-        F.size("t") > 0
-    )
-    srt = tl.select(
-        "doc_id", F.array_sort("t").alias("s"), F.size("t").alias("n")
-    )
-    starts = F.filter(
-        F.sequence(F.lit(1), F.col("n")),
-        lambda i: F.when(i == 1, F.lit(True)).otherwise(
-            F.element_at(F.col("s"), i) != F.element_at(F.col("s"), i - 1)
-        ),
-    )
-    st = srt.withColumn("starts", starts)
-    st = st.withColumn(
-        "ext", F.concat("starts", F.array(F.col("n") + 1))
-    )
-    counts = F.transform(
-        F.sequence(F.lit(1), F.size("starts")),
-        lambda j: F.element_at(F.col("ext"), j + 1) - F.element_at(F.col("ext"), j),
-    )
-    st = st.withColumn("counts", counts)
-    ent = F.log(F.col("n")) - F.aggregate(
-        F.col("counts"),
-        F.lit(0.0),
-        lambda a, c: a + c.cast("double") * F.log(c.cast("double")),
-    ) / F.col("n")
+    tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    st = with_lexical_stats(tl, "t")
     return st.select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
         F.size("starts").cast("long").alias("n_distinct"),
-        F.round(ent, 6).alias("entropy"),
+        F.round("entropy", 6).alias("entropy"),
         F.round(F.size("starts").cast("double") / F.col("n"), 6).alias("ttr"),
     )
 
@@ -1357,12 +1334,20 @@ def q66_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
-        .distinct()
-        .persist()  # two consumers: per-source inventory + pair expansion
     )
-    per = spans.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
-    bysrc = spans.groupBy("h").agg(
-        F.sort_array(F.collect_set("source")).alias("ss")
+    # ONE corpus-scale shuffle: collect_set dedups (source, h) occurrences
+    # map-side, so no separate distinct() exchange is needed.  The collapsed
+    # table (one row per distinct span) is what persists — bounded by the
+    # span vocabulary, not the corpus — and feeds both consumers below.
+    bysrc = (
+        spans.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .persist()
+    )
+    # per-source distinct-span inventory, derived from the collapsed table:
+    # row-local explode of bounded source sets + a sources-sized aggregate
+    per = bysrc.select(F.explode("ss").alias("source")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns")
     )
     pairs = (
         bysrc.filter(F.size("ss") >= 2)

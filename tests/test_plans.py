@@ -193,3 +193,46 @@ def test_q63_no_corpus_scale_window(spark, qs):
     # source).  Source-only windows are the 256-row bucket cumsums.
     doc_specs = [s for s in specs if "doc_id" in s]
     assert doc_specs and all("bucket" in s for s in doc_specs)
+
+
+def test_q65_entropy_is_map_only(spark, qs):
+    """Token entropy must compute row-locally: a plan with any Exchange
+    means the run-length fold regressed to an explode/groupBy shuffle."""
+    df = qs["q65_token_entropy"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_q66_pairs_expand_rowlocal_not_selfjoin(spark, qs):
+    """Cross-source overlap must collapse spans to (h, source set) and
+    expand pairs row-locally — a SortMergeJoin on span hash is the
+    quadratic-on-hot-spans shape the oracle uses but the engine must not."""
+    df = qs["q66_source_overlap"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "collect_set" in plan
+    assert "SortMergeJoin" not in plan
+    # the per-source inventory joins broadcast onto the pair table
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q67_no_window_no_sort(spark, qs):
+    """Epoch batching must stay a pure hash aggregate: no global sort, no
+    rank window — deterministic order comes from the keyed hash."""
+    df = qs["q67_epoch_batches"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "row_number" not in plan
+    # exactly one aggregation exchange (48 groups), partial-aggregated
+    assert plan.count("(Exchange") + plan.count("+- Exchange") == 1
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_q68_centroids_broadcast_corpus_unshuffled(spark, qs):
+    """Centroid arrays and per-label stats must broadcast back onto the
+    embeddings; the corpus itself shuffles only as (label, dim) partial
+    aggregates, never as whole vectors."""
+    df = qs["q68_centroid_outliers"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

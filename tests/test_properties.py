@@ -323,3 +323,75 @@ def test_grouped_topk_matches_single_window(spark, rows, k):
         ranked = sorted(items, key=lambda t: (-t[1], t[0]))[:k]
         want += [(q, nb, s, i + 1) for i, (nb, s) in enumerate(ranked)]
     assert got == sorted(want)
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "e1"]), min_size=0, max_size=25),
+    min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_lexical_stats_matches_bruteforce(spark, docs):
+    """with_lexical_stats' sorted-run-length fold must equal Counter-based
+    entropy/distinct counts for arbitrary token lists (all-equal,
+    single-token, and empty documents included — empty rows are dropped)."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.functions.text import with_lexical_stats
+
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id INT, t ARRAY<STRING>")
+    out = with_lexical_stats(df, "t")
+    got = {
+        r.doc_id: (r.n, len(r.starts), r.entropy)
+        for r in out.select("doc_id", "n", "starts", "entropy").collect()
+    }
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in got
+            continue
+        n, cnt = len(toks), Counter(toks)
+        want_ent = -sum(c / n * math.log(c / n) for c in cnt.values())
+        gn, gd, ge = got[i]
+        assert gn == n and gd == len(cnt)
+        assert abs(ge - want_ent) < 1e-9, (i, toks, ge, want_ent)
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 7)), min_size=0, max_size=40))
+@settings(**_SETTINGS)
+def test_pair_expansion_matches_selfjoin(spark, pairs):
+    """q66's row-local combination expansion over collect_set(source) must
+    produce exactly the pair counts of the oracle's hash self-join."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    rows = sorted(set((f"s{s}", h) for s, h in pairs))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "source STRING, h INT")
+    bysrc = df.groupBy("h").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    got = Counter()
+    expanded = (
+        bysrc.filter(F.size("ss") >= 2)
+        .select(F.explode(F.expr(
+            "flatten(transform(sequence(1, size(ss) - 1), i -> "
+            "transform(sequence(i + 1, size(ss)), j -> "
+            "struct(ss[i-1] AS a, ss[j-1] AS b))))"
+        )).alias("p"))
+        .select("p.a", "p.b")
+        .collect()
+    )
+    for r in expanded:
+        got[(r.a, r.b)] += 1
+    want = Counter()
+    by_h = {}
+    for s, h in rows:
+        by_h.setdefault(h, []).append(s)
+    for h, ss in by_h.items():
+        for a, b in combinations(sorted(set(ss)), 2):
+            want[(a, b)] += 1
+    assert got == want
