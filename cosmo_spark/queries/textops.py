@@ -1454,3 +1454,261 @@ def q67_epoch_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("h") % _CHK_MOD) % _CHK_MOD).cast("long")
             .alias("order_checksum"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q69 — tf-idf keyword extraction (skew-routed dictionary join + local top-k)  #
+# --------------------------------------------------------------------------- #
+
+_TFIDF_K = 3
+
+@register(
+    "q69_tfidf_keywords",
+    operators=("A12", "J2", "O2", "TXT4"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+w AS (SELECT doc_id, tok AS term FROM tl, unnest(t) AS u(tok)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, term, tf * ln(nd / df) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, round(score, 6) AS score
+FROM ranked WHERE rank <= {_TFIDF_K}
+""",
+)
+def q69_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keyword extraction (top-{k} terms) — the
+    classic corpus-statistics feature every search / labeling / topic
+    pipeline derives: term frequency per document x inverse document
+    frequency over the corpus.
+
+    Scale shape: (1) term counts shuffle once keyed (doc, term) with
+    map-side partial aggregation; (2) document frequencies reduce that
+    table to vocabulary size; (3) the tf x idf join is Zipf-skewed by
+    construction — stopwords hit every document — so it routes through
+    ``hot_cold_dict_join`` (the q58 discipline: top-k hot terms broadcast
+    and resolve map-side, the tail shuffles without skew); (4) per-doc
+    top-k is a ROW-LOCAL sort+slice over each document's own (term, score)
+    list after one keyed aggregation — never a corpus-wide rank window
+    (a document's distinct-term count is bounded by its length, so the
+    collected list is bounded).  The corpus size joins as a broadcast
+    1-row scalar, not a driver-side collect.
+    """
+    from cosmo_spark.operators.skew import hot_cold_dict_join
+
+    d = _t(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    words = tl.select("doc_id", F.explode("t").alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # persist: consumed by dfq (vocabulary agg) AND as the fact side of the
+    # hot/cold join (which itself probes it twice: hot semi, cold anti)
+    tf = tf.persist()
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_dim = dfq.crossJoin(F.broadcast(nd)).select(
+        "term", "df", F.log(F.col("nd").cast("double") / F.col("df")).alias("idf")
+    )
+    scored = hot_cold_dict_join(tf, idf_dim, on="term", freq_col="df").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    top = scored.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score")).alias("ns"),
+                        F.col("term").alias("term"),
+                        F.col("score").alias("score"),
+                    )
+                )
+            ),
+            1,
+            _TFIDF_K,
+        ).alias("top")
+    )
+    return top.select(
+        "doc_id", F.posexplode("top").alias("r", "s")
+    ).select(
+        "doc_id",
+        (F.col("r") + 1).cast("long").alias("rank"),
+        F.col("s.term").alias("term"),
+        F.round("s.score", 6).alias("score"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q70 — end-to-end corpus build (dedup -> quality -> decontam -> sample)       #
+# --------------------------------------------------------------------------- #
+
+_Q70_SAMPLE_PCT = 50
+
+@register(
+    "q70_corpus_build",
+    operators=("DD1", "P2", "J3", "A4", "U2"),
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, source, lang, {_DUCK_TOKS} AS t,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+  FROM documents
+), hashed AS (
+  SELECT doc_id, source, lang, t, len(t) AS n,
+         {_DUCK_POLY.replace('{X}', 'norm_text')} AS th,
+         length(norm_text) AS tl_len,
+         {_DUCK_TOK_HASHES} AS hs
+  FROM norm
+), grams AS (
+  SELECT doc_id,
+         ((hs[i] * {_GRAM_BASE} + hs[i+1]) % {_GRAM_MOD} * {_GRAM_BASE}
+           + hs[i+2]) % {_GRAM_MOD} AS h
+  FROM hashed, unnest(range(1, greatest(len(hs) - 1, 1))) AS r(i)
+), ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (h)
+  WHERE g.doc_id % 97 <> 0
+), train AS (SELECT * FROM hashed WHERE doc_id % 97 <> 0),
+winners AS (
+  SELECT th, tl_len, min(doc_id) AS win_id FROM train GROUP BY th, tl_len
+), flags AS (
+  SELECT tr.doc_id, tr.source, tr.n,
+         tr.doc_id = w.win_id AS is_win,
+         tr.lang = 'en' AND tr.n BETWEEN 30 AND 1000
+           AND (CASE WHEN tr.n > 0 THEN
+                 list_sum(list_transform(tr.t, x -> CAST(length(x) AS DOUBLE)))
+                   / tr.n END) BETWEEN 3 AND 10
+           AND (CASE WHEN tr.n > 0 THEN
+                 len(list_filter(tr.t, x -> list_contains(
+                   ['the','a','of','and','to','in','is','it'], x)))
+                   / CAST(tr.n AS DOUBLE) END) >= 0.05
+           AND (CASE WHEN tr.n > 0 THEN
+                 1.0 - CAST(len(list_distinct(tr.t)) AS DOUBLE) / tr.n END)
+               < 0.5 AS qual,
+         c.doc_id IS NOT NULL AS contam,
+         tr.th % 100 < {_Q70_SAMPLE_PCT} AS samp
+  FROM train tr
+  JOIN winners w ON tr.th = w.th AND tr.tl_len = w.tl_len
+  LEFT JOIN contam c ON tr.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN is_win THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN is_win AND coalesce(qual, FALSE)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN is_win AND coalesce(qual, FALSE) AND NOT contam
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN is_win AND coalesce(qual, FALSE) AND NOT contam
+                     AND samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN is_win AND coalesce(qual, FALSE) AND NOT contam
+                     AND samp THEN n ELSE 0 END) AS BIGINT) AS tokens_sampled
+FROM flags GROUP BY source
+""",
+)
+def q70_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training corpus build as ONE query — the composition
+    every stage of this catalog exists for: exact dedup (q20's normalized
+    hash, min-id winner), quality gate (q60's Gopher cascade), benchmark
+    decontamination (q59's 3-gram overlap against the held-out split),
+    and deterministic content-hash sampling (q46's discipline), reported
+    as a per-source funnel of document and token counts.
+
+    Scale shape: per-document signals (normalized hash, token hashes,
+    quality flags, sample bucket) are computed in one pass over the corpus
+    and persisted WITHOUT the raw text (the shuffle-facing frame carries
+    hashes, booleans, and counts only — at 100 TB you would checkpoint
+    this compact frame to parquet instead).  Four keyed exchanges follow,
+    none carrying text: (1) winner-per-(hash, len) aggregate, (2) the
+    winner join back (same key — ReuseExchange collapses the pair),
+    (3) the gram-overlap semi-join against the BROADCAST eval gram set
+    with its distinct-doc collapse, (4) the contamination flag join keyed
+    doc_id.  The funnel itself is conditional sums partial-aggregated to
+    one row per source.  Stage ordering (dedup -> quality -> decontam ->
+    sample) is encoded in the nesting of the conditions, not in separate
+    passes — adding a stage costs one conditional sum.
+    """
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", "lang",
+        tokenize(F.col("text")).alias("t"),
+        normalize_text(F.col("text")).alias("norm"),
+    )
+    base = base.select(
+        "doc_id", "source", "lang", "t",
+        poly_hash(F.col("norm")).alias("th"),
+        F.length("norm").alias("tl_len"),
+    )
+    base = base.withColumn("hs", token_hashes("t")).withColumn(
+        "n", F.size("t")
+    )
+    n = F.col("n")
+    mtl = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform("t", lambda x: F.length(x).cast("double")),
+            F.lit(0.0), lambda a, x: a + x,
+        ) / n,
+    )
+    swr = stopword_ratio(F.col("t"), STOPWORDS["en"])
+    dwf = F.when(n > 0, 1.0 - F.size(F.array_distinct("t")).cast("double") / n)
+    qual = (
+        (F.col("lang") == "en") & n.between(30, 1000) & mtl.between(3, 10)
+        & (swr >= 0.05) & (dwf < 0.5)
+    )
+    # compact fact frame: hashes/booleans/counts only — no text, no arrays
+    facts = base.select(
+        "doc_id", "source", "th", "tl_len", "n",
+        F.coalesce(qual, F.lit(False)).alias("qual"),
+        (F.col("th") % 100 < _Q70_SAMPLE_PCT).alias("samp"),
+    ).filter(F.col("doc_id") % 97 != 0).persist()
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("hs") >= 3,
+                F.expr(
+                    f"transform(sequence(0, size(hs) - 3), i -> "
+                    f"((hs[i] * {_GRAM_BASE} + hs[i+1]) % {_GRAM_MOD} "
+                    f"* {_GRAM_BASE} + hs[i+2]) % {_GRAM_MOD})"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("h"),
+    )
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    contam = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    winners = facts.groupBy("th", "tl_len").agg(
+        F.min("doc_id").alias("win_id")
+    )
+    flags = (
+        facts.join(winners, ["th", "tl_len"])
+        .join(contam, "doc_id", "left")
+        .withColumn("is_win", F.col("doc_id") == F.col("win_id"))
+        .withColumn("contam", F.coalesce(F.col("contam"), F.lit(False)))
+    )
+    keep_u = F.col("is_win")
+    keep_q = keep_u & F.col("qual")
+    keep_c = keep_q & ~F.col("contam")
+    keep_s = keep_c & F.col("samp")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(F.when(keep_u, 1).otherwise(0)).cast("long").alias("n_unique"),
+        F.sum(F.when(keep_q, 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(keep_c, 1).otherwise(0)).cast("long").alias("n_clean"),
+        F.sum(F.when(keep_s, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(keep_s, F.col("n")).otherwise(0)).cast("long")
+            .alias("tokens_sampled"),
+    )

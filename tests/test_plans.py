@@ -236,3 +236,28 @@ def test_q68_centroids_broadcast_corpus_unshuffled(spark, qs):
     plan = physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_q69_idf_join_hot_keys_broadcast_no_rank_window(spark, qs):
+    """tf-idf must route the Zipf-skewed term join through the hot/cold
+    split (broadcast hot dictionary) and rank keywords row-locally —
+    never with a corpus-wide row_number window."""
+    df = qs["q69_tfidf_keywords"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "row_number" not in plan
+    assert "partial_count" in plan
+
+
+def test_q70_no_text_in_any_exchange(spark, qs):
+    """The corpus-build funnel's shuffles must carry hashes/flags/counts
+    only — the raw document text must never cross an exchange."""
+    import re
+
+    df = qs["q70_corpus_build"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    # formatted plan: each Exchange node is followed by an Input [..] line
+    for m in re.finditer(r"\(\d+\) Exchange\n(Input \[[^\n]*)", plan):
+        assert "text#" not in m.group(1), m.group(1)
+    # eval gram set broadcasts; decontam rides a semi-join
+    assert "LeftSemi" in plan
