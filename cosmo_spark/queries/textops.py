@@ -1712,3 +1712,60 @@ def q70_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep_s, F.col("n")).otherwise(0)).cast("long")
             .alias("tokens_sampled"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q71 — bloom-prefiltered decontamination (the beyond-broadcast scale path)    #
+# --------------------------------------------------------------------------- #
+
+from cosmo_spark.queries import REGISTRY as _REGISTRY
+
+@register(
+    "q71_bloom_decontaminate",
+    operators=("J3", "A12", "TXT5"),
+    # byte-identical contract to q59: the bloom prefilter has no false
+    # negatives and survivors are re-checked exactly, so the same oracle
+    # must hash-match — that equivalence IS what this query verifies
+    oracle=_REGISTRY["q59_decontaminate"].oracle,
+)
+def q71_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q59's benchmark decontamination re-planned for the regime where the
+    eval gram set is too large to broadcast: a Bloom BITSET of the eval
+    grams broadcasts instead (fixed m/8 bytes however many members),
+    non-matching training grams drop map-side, and only the surviving
+    sliver pays an exact shuffle semi-join (operators/bloom.py).
+
+    Results are identical to q59 — no false negatives, false positives
+    killed by the exact re-check — which is why this query shares q59's
+    oracle verbatim: the correctness gate proves the scale path equals the
+    broadcast path.  At sf0.01 the bitset is overkill; at a benchmark
+    suite of 10^8 grams it is the only shape that still works.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    th = tl.select("doc_id", token_hashes("t").alias("hs"))
+    grams = th.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("hs") >= 3,
+                F.expr(
+                    f"transform(sequence(0, size(hs) - 3), i -> "
+                    f"((hs[i] * {_GRAM_BASE} + hs[i+1]) % {_GRAM_MOD} "
+                    f"* {_GRAM_BASE} + hs[i+2]) % {_GRAM_MOD})"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("h"),
+    )
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    tr = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "h").distinct()
+    )
+    from cosmo_spark.operators.bloom import bloom_semi_join
+
+    return (
+        bloom_semi_join(tr, ev, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )

@@ -239,3 +239,50 @@ def test_srp_lsh_plane_count_validated(spark):
             df, "embedding", "vec_id", [[1, -1, 1, -1]],
             bands=2, bits_per_band=4, threshold=0.5,
         )
+
+
+class TestBloom:
+    def test_bloom_semi_join_equals_exact(self, spark):
+        """No false negatives + exact re-check => identical to plain
+        left-semi, including on values absent from the filter."""
+        from cosmo_spark.operators.bloom import bloom_semi_join
+
+        big = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS payload")
+        keys = spark.range(0, 5000, 7).selectExpr("id AS k")
+        got = sorted(r.k for r in bloom_semi_join(big, keys, "k").collect())
+        want = sorted(r.k for r in big.join(keys, "k", "left_semi").collect())
+        assert got == want and len(got) > 0
+
+    def test_prefilter_drops_most_nonmembers(self, spark):
+        """The broadcast bitset must reject the overwhelming majority of
+        non-members map-side — that reduction is the whole point."""
+        from pyspark.sql import functions as F
+
+        from cosmo_spark.operators.bloom import bloom_build, might_contain
+
+        n_bits, n_hashes = 1 << 16, 4
+        keys = spark.range(0, 1000).selectExpr("id AS k")
+        bf = bloom_build(keys, "k", n_bits, n_hashes)
+        nonmembers = spark.range(100000, 110000).selectExpr("id AS k")
+        fp = (
+            nonmembers.join(F.broadcast(bf))
+            .filter(might_contain("bf", F.col("k"), n_bits, n_hashes))
+            .count()
+        )
+        # m=65536, n=1000, k=4 -> theoretical fp ~ 0.01%; allow 1%
+        assert fp < 100, fp
+
+    def test_members_always_hit(self, spark):
+        from pyspark.sql import functions as F
+
+        from cosmo_spark.operators.bloom import bloom_build, might_contain
+
+        n_bits, n_hashes = 1 << 14, 4
+        keys = spark.range(0, 2000).selectExpr("id AS k")
+        bf = bloom_build(keys, "k", n_bits, n_hashes)
+        hits = (
+            keys.join(F.broadcast(bf))
+            .filter(might_contain("bf", F.col("k"), n_bits, n_hashes))
+            .count()
+        )
+        assert hits == 2000

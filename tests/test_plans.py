@@ -261,3 +261,15 @@ def test_q70_no_text_in_any_exchange(spark, qs):
         assert "text#" not in m.group(1), m.group(1)
     # eval gram set broadcasts; decontam rides a semi-join
     assert "LeftSemi" in plan
+
+
+def test_q71_bloom_bitset_broadcast_then_exact_semi(spark, qs):
+    """The bloom decontamination must build the bitset with a map-side
+    bit_or aggregate, broadcast it (nested-loop with a 1-row build is the
+    scalar-attach shape), prefilter map-side, then exact-verify with a
+    real semi-join."""
+    df = qs["q71_bloom_decontaminate"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "bit_or" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitset attach
+    assert "LeftSemi" in plan                 # exact re-check survives
