@@ -53,3 +53,116 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def zorder_value(cols: Sequence, bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    column's rank-quantized value.
+
+    Rows close in EVERY dimension land close on the z-curve, so sorting by
+    this key clusters multi-dimensional locality into the same files /
+    row groups — parquet min/max stats then skip most of the table for
+    conjunctive range predicates on any prefix of the dimensions, which
+    one-dimensional sorting only achieves for its leading column.
+
+    Inputs must already be non-negative integers in [0, 2^bits) — callers
+    quantize (rank, epoch-bucket, geo-cell) first.  The interleave is a
+    chain of shift/or expressions — pure codegen, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, c in enumerate(cols):
+            c = F.col(c) if isinstance(c, str) else c
+            bit = F.call_function(
+                "shiftright", c.cast("long"), F.lit(i)
+            ).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.call_function(
+                    "shiftleft", bit, F.lit(i * len(cols) + d)
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    bits: int = 16,
+    num_files: int = 32,
+    mode: str = "overwrite",
+    quantize: str = "minmax",
+) -> None:
+    """Write ``df`` clustered along the z-curve of ``zorder_cols``.
+
+    Each dimension is quantized to [0, 2^bits), the Morton key is
+    range-partitioned into ``num_files`` output files and sorted within
+    each, so every file owns a compact z-range — a small hyper-rectangle
+    of the data space — and parquet footer stats on the ORIGINAL columns
+    become selective for conjunctive range predicates on any subset of
+    the dimensions (1-D sorting only achieves that for its leading
+    column).
+
+    This is the multi-dimensional complement to ``write_bucketed``: use
+    bucketing for recurring equi-joins, z-ordering for conjunctive range
+    scans (time x user, x/y detector coordinates — the dark-monitor
+    region predicates, ref: cosmo/monitors/dark_monitors.py).
+
+    ``quantize="minmax"`` (default) maps values linearly between the
+    per-dimension min/max, attached as a BROADCAST scalar aggregate — one
+    tiny extra pass, everything stays distributed; right for roughly
+    uniform keys (timestamps, sequential ids).  ``quantize="ntile"`` uses
+    exact global ranks instead — distribution-robust for heavily skewed
+    dimensions, but each rank is a global-sort window: acceptable for
+    one-time layout jobs, not for a recurring path.  At 100 TB prefer
+    minmax, or pre-bin skewed dimensions yourself (approxQuantile edges)
+    before calling this.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_bins = 1 << bits
+    tmp = df
+    qcols = []
+    if quantize == "ntile":
+        for c in zorder_cols:
+            qc = f"__q_{c}"
+            tmp = tmp.withColumn(qc, F.ntile(n_bins).over(Window.orderBy(c)) - 1)
+            qcols.append(qc)
+    elif quantize == "minmax":
+        stats = df.agg(
+            *[
+                f(c).alias(f"__{nm}_{c}")
+                for c in zorder_cols
+                for nm, f in (("mn", F.min), ("mx", F.max))
+            ]
+        )
+        tmp = tmp.crossJoin(F.broadcast(stats))
+        for c in zorder_cols:
+            qc = f"__q_{c}"
+            mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+            span = (mx.cast("double") - mn.cast("double")) + 1e-12
+            tmp = tmp.withColumn(
+                qc,
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col(c).cast("double") - mn.cast("double"))
+                        / span * n_bins
+                    ),
+                ),
+            )
+            qcols.append(qc)
+        tmp = tmp.drop(*[f"__{nm}_{c}" for c in zorder_cols for nm in ("mn", "mx")])
+    else:  # pragma: no cover
+        raise ValueError(f"unknown quantize mode: {quantize}")
+    tmp = tmp.withColumn("__z", zorder_value(qcols, bits)).drop(*qcols)
+    (
+        tmp.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
