@@ -109,6 +109,10 @@ def bloom_semi_join(
     every executor is the m/8-byte bitset, and what shuffles is only the
     prefiltered sliver of ``big``.
     """
+    # keys has exactly two consumers (bitset build + exact re-check); without
+    # a persist each would recompute the full filter-side lineage — for the
+    # decontamination case that is a second corpus-wide tokenize+hash pass
+    keys = keys.persist()
     bf = bloom_build(keys, on, n_bits, n_hashes)
     pre = big.join(F.broadcast(bf)).filter(
         might_contain("bf", F.col(on), n_bits, n_hashes)
