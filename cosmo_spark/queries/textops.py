@@ -1769,3 +1769,107 @@ def q71_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# q72 — leakage-audited train/val/test split (group-aware by source)           #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q72_split_leakage",
+    operators=("A4", "A12", "U3", "P11"),
+    oracle=f"""
+WITH tl AS (
+  SELECT doc_id, source,
+         CASE ({_DUCK_POLY.replace('{X}', 'source')}) % 10
+           WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split,
+         {_DUCK_TOKS} AS t
+  FROM documents
+), stats AS (
+  SELECT split, count(DISTINCT source) AS n_sources,
+         count(*) AS n_docs, sum(len(t)) AS n_tokens
+  FROM tl GROUP BY split
+), th AS (
+  SELECT doc_id, split, {_DUCK_TOK_HASHES} AS hs FROM tl
+  WHERE len(t) >= {_SPAN_N}
+), spans AS (
+  SELECT DISTINCT split,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           hs[i : i + {_SPAN_N} - 1]),
+           (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h
+  FROM th, unnest(range(1, len(hs) - {_SPAN_N} + 2)) AS r(i)
+), multi AS (
+  SELECT h FROM spans GROUP BY h HAVING count(*) >= 2
+), leak AS (
+  SELECT split, count(*) AS leaked_spans
+  FROM spans JOIN multi USING (h) GROUP BY split
+)
+SELECT stats.split AS split,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(leaked_spans, 0) AS BIGINT) AS leaked_spans
+FROM stats LEFT JOIN leak ON stats.split = leak.split
+""",
+)
+def q72_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test splitting with a leakage audit — the
+    split is assigned at the SOURCE level (hash of the domain, so near-dups
+    within one domain can never straddle splits: the leakage mode document-
+    level random splits are famous for), and the audit counts, per split,
+    the distinct 16-token spans that also occur in ANOTHER split — the
+    residual cross-domain contamination a held-out set still carries.
+
+    Scale shape: split assignment is a row-local hash (no data moves to
+    decide membership — any worker can re-derive it, which is what makes
+    the split reproducible across runs and engines).  The audit reuses the
+    q66 discipline: spans collapse once to (h, split set) via map-side
+    collect_set — 3 splits bound the set — and per-split leak counts are a
+    row-local explode of the multi-split rows.  Stats and audit are two
+    aggregates joined on a 3-row table.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = _SPAN_N
+    split = F.when(
+        poly_hash(F.col("source")) % 10 == 0, F.lit("val")
+    ).when(
+        poly_hash(F.col("source")) % 10 == 1, F.lit("test")
+    ).otherwise(F.lit("train"))
+    tl = d.select(
+        "doc_id", "source", split.alias("split"),
+        tokenize(F.col("text")).alias("t"),
+    )
+    stats = tl.groupBy("split").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).alias("n_tokens"),
+    )
+    th = tl.filter(F.size("t") >= n).select(
+        "split", token_hashes("t").alias("hs")
+    )
+    spans = th.select(
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(hs) - {n} + 1), i -> "
+                f"aggregate(slice(hs, i, {n}), 0L, "
+                f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
+            )
+        ).alias("h"),
+    )
+    byspan = spans.groupBy("h").agg(
+        F.collect_set("split").alias("ss")
+    )
+    leak = (
+        byspan.filter(F.size("ss") >= 2)
+        .select(F.explode("ss").alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("leaked_spans"))
+    )
+    return stats.join(F.broadcast(leak), "split", "left").select(
+        "split",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("leaked_spans", F.lit(0)).cast("long").alias("leaked_spans"),
+    )

@@ -273,3 +273,13 @@ def test_q71_bloom_bitset_broadcast_then_exact_semi(spark, qs):
     assert "bit_or" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bitset attach
     assert "LeftSemi" in plan                 # exact re-check survives
+
+
+def test_q72_split_rowlocal_and_leak_broadcast(spark, qs):
+    """Split membership must be a row-local hash (no join to a split
+    assignment table) and the 3-row leak table must broadcast onto the
+    3-row stats table — no sort-merge anywhere."""
+    df = qs["q72_split_leakage"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "collect_set" in plan
+    assert "SortMergeJoin" not in plan
