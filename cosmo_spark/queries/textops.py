@@ -834,6 +834,56 @@ def q59_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_funnel_agg(tl):
+    """Cumulative Gopher-cascade conditional sums over a doc frame with
+    ``lang`` and token column ``t``.  Shared by the batch (q60) and
+    streaming (q73) funnels — SAME expressions, so the stream is the
+    batch plan incrementalized, not a reimplementation."""
+    n = F.size("t")
+    mtl = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform("t", lambda x: F.length(x).cast("double")),
+            F.lit(0.0), lambda a, x: a + x,
+        ) / n,
+    )
+    swr = stopword_ratio(F.col("t"), STOPWORDS["en"])
+    dwf = F.when(n > 0, 1.0 - F.size(F.array_distinct("t")).cast("double") / n)
+    c1 = F.col("lang") == "en"
+    c2 = c1 & n.between(30, 1000)
+    c3 = c2 & mtl.between(3, 10)
+    c4 = c3 & (swr >= 0.05)
+    c5 = c4 & (dwf < 0.5)
+    return tl.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"s{i}")
+            for i, c in enumerate((c1, c2, c3, c4, c5), start=1)
+        ],
+    )
+
+
+def _funnel_rows(agg_df):
+    """Unpivot the 1-row cumulative counts into the 5-stage funnel."""
+    funnel = agg_df.selectExpr(
+        "stack(5, "
+        "1L, 'lang_en', CAST(total AS LONG), CAST(s1 AS LONG), "
+        "2L, 'length_30_1000', CAST(s1 AS LONG), CAST(s2 AS LONG), "
+        "3L, 'mean_token_len_3_10', CAST(s2 AS LONG), CAST(s3 AS LONG), "
+        "4L, 'stopword_ratio_ge_005', CAST(s3 AS LONG), CAST(s4 AS LONG), "
+        "5L, 'dup_word_frac_lt_05', CAST(s4 AS LONG), CAST(s5 AS LONG)"
+        ") AS (stage_idx, stage, n_in, n_pass)"
+    )
+    return funnel.select(
+        "stage_idx", "stage", "n_in", "n_pass",
+        F.round(
+            F.when(F.col("n_in") > 0,
+                   F.col("n_pass").cast("double") / F.col("n_in")),
+            6,
+        ).alias("pass_rate"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # q60 — quality-filter funnel (C4/Gopher-style cascade with per-stage counts) #
 # --------------------------------------------------------------------------- #
@@ -899,47 +949,8 @@ def q60_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage costs one more conditional sum, not another job.
     """
     d = _t(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    base = d.select("doc_id", "lang", toks.alias("t"))
-    n = F.size("t")
-    mtl = F.when(
-        n > 0,
-        F.aggregate(
-            F.transform("t", lambda x: F.length(x).cast("double")),
-            F.lit(0.0), lambda a, x: a + x,
-        ) / n,
-    )
-    swr = stopword_ratio(F.col("t"), STOPWORDS["en"])
-    dwf = F.when(n > 0, 1.0 - F.size(F.array_distinct("t")).cast("double") / n)
-    c1 = F.col("lang") == "en"
-    c2 = c1 & n.between(30, 1000)
-    c3 = c2 & mtl.between(3, 10)
-    c4 = c3 & (swr >= 0.05)
-    c5 = c4 & (dwf < 0.5)
-    agg = base.agg(
-        F.count(F.lit(1)).alias("total"),
-        *[
-            F.sum(F.when(c, 1).otherwise(0)).alias(f"s{i}")
-            for i, c in enumerate((c1, c2, c3, c4, c5), start=1)
-        ],
-    )
-    funnel = agg.selectExpr(
-        "stack(5, "
-        "1L, 'lang_en', CAST(total AS LONG), CAST(s1 AS LONG), "
-        "2L, 'length_30_1000', CAST(s1 AS LONG), CAST(s2 AS LONG), "
-        "3L, 'mean_token_len_3_10', CAST(s2 AS LONG), CAST(s3 AS LONG), "
-        "4L, 'stopword_ratio_ge_005', CAST(s3 AS LONG), CAST(s4 AS LONG), "
-        "5L, 'dup_word_frac_lt_05', CAST(s4 AS LONG), CAST(s5 AS LONG)"
-        ") AS (stage_idx, stage, n_in, n_pass)"
-    )
-    return funnel.select(
-        "stage_idx", "stage", "n_in", "n_pass",
-        F.round(
-            F.when(F.col("n_in") > 0,
-                   F.col("n_pass").cast("double") / F.col("n_in")),
-            6,
-        ).alias("pass_rate"),
-    )
+    tl = d.select("doc_id", "lang", tokenize(F.col("text")).alias("t"))
+    return _funnel_rows(_gopher_funnel_agg(tl))
 
 
 # --------------------------------------------------------------------------- #
@@ -1873,3 +1884,51 @@ def q72_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.coalesce("leaked_spans", F.lit(0)).cast("long").alias("leaked_spans"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q73 — streaming quality-filter funnel (incremental corpus acceptance gate)   #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q73_stream_quality_funnel",
+    operators=("ST1", "ST4", "TXT2", "A4"),
+    # shares q60's oracle verbatim: the availableNow stream over the same
+    # table must converge to exactly the batch funnel — the gate proves the
+    # incremental plan equals the batch plan
+    oracle=_REGISTRY["q60_filter_funnel"].oracle,
+)
+def q73_stream_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q60 quality cascade run as a REAL Structured Streaming job — the
+    acceptance gate of an incremental corpus build, where documents arrive
+    continuously and the funnel report must stay current without
+    re-scanning history: availableNow file stream over the documents table
+    -> the SAME per-document signal expressions and conditional sums
+    (_gopher_funnel_agg — one shared implementation, not a streaming
+    rewrite) as a streaming global aggregate in complete mode -> memory
+    sink, unpivoted to the 5-stage funnel.
+
+    Scale shape: the streaming aggregate keeps 6 longs of state TOTAL
+    (cumulative conditional sums are associative), each micro-batch adds
+    its partial sums map-side — state size is O(1) in corpus size, no
+    watermark needed because there is no keyed window.  At scale the
+    memory sink becomes a Delta table the dashboard reads; the plan is
+    unchanged.
+    """
+    tune_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tl = stream.select("lang", tokenize(F.col("text")).alias("t"))
+    agg = _gopher_funnel_agg(tl)
+    sink = "q73_stream_funnel_sink"
+    spark.catalog.dropTempView(sink)
+    query = (
+        agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    return _funnel_rows(spark.table(sink))
