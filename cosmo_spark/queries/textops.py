@@ -1932,3 +1932,69 @@ def q73_stream_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return _funnel_rows(spark.table(sink))
+
+
+# --------------------------------------------------------------------------- #
+# q74 — sequence packing (concatenate-and-cut into fixed context windows)      #
+# --------------------------------------------------------------------------- #
+
+_PACK_W = 256  # context-window length in tokens
+
+@register(
+    "q74_pack_sequences",
+    operators=("W2", "O1", "TXT4"),
+    oracle=f"""
+WITH tl AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS n,
+         {_DUCK_POLY.replace('{X}', 'text')} AS h
+  FROM documents
+), ord AS (
+  SELECT doc_id, n, h,
+         sum(n) OVER (ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n AS start
+  FROM tl WHERE n > 0
+)
+SELECT doc_id, CAST(start AS BIGINT) AS start,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(start // {_PACK_W} AS BIGINT) AS first_win,
+       CAST((start + n - 1) // {_PACK_W} AS BIGINT) AS last_win
+FROM ord
+""",
+)
+def q74_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concatenate documents in deterministic
+    content-hash order and cut the token stream into fixed {w}-token
+    context windows (the GPT-style packing every pre-training data loader
+    performs): each document gets its global token offset and the window
+    range it lands in, so any worker can materialize any training sequence
+    independently.
+
+    Scale shape: the global running total is NOT a single-reducer ORDER BY
+    window (the oracle's form) — it is ``bucketed_prefix_sum``
+    (operators/prefix.py): the uniform content hash makes bucket
+    boundaries static, per-bucket totals reduce the corpus to 1024 rows,
+    the driver-sized bucket-offset window runs over those, and the
+    within-bucket cumsum is parallel across buckets — identical values,
+    bounded reducers.  Window ids are integer arithmetic on the offsets:
+    exact cross-engine parity, no floats anywhere.
+    """
+    from cosmo_spark.operators.prefix import bucketed_prefix_sum
+
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n"),
+        poly_hash(F.col("text")).alias("h"),
+    ).filter(F.col("n") > 0)
+    packed = bucketed_prefix_sum(
+        tl, key_col="h", value_col="n", tiebreak_cols=["doc_id"],
+        out_col="start", key_mod=HASH_MOD,
+    )
+    return packed.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.expr(f"start div {_PACK_W}").cast("long").alias("first_win"),
+        F.expr(f"(start + n - 1) div {_PACK_W}").cast("long").alias("last_win"),
+    )

@@ -159,3 +159,26 @@ def test_zorder_roundtrip_preserves_rows(spark, tmp_path):
     assert back.count() == 1000
     assert sorted(r.payload for r in back.collect()) == list(range(1000))
     assert set(back.columns) == {"x", "y", "payload"}
+
+
+def test_zorder_value_matches_python_morton(spark):
+    """The shift/or interleave expression must equal a reference Python
+    Morton encoding for exhaustive small inputs."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cosmo_spark.sources.layout import zorder_value
+
+    def morton2(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x INT, y INT")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_value(["x", "y"], bits=4)).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == morton2(x, y, 4), (x, y)

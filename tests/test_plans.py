@@ -283,3 +283,18 @@ def test_q72_split_rowlocal_and_leak_broadcast(spark, qs):
     plan = physical_plan(df)
     assert "collect_set" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q74_no_corpus_scale_global_window(spark, qs):
+    """Sequence packing's running total must be the two-level form: every
+    window spec ordering document rows (h, doc_id) partitions by the
+    static hash bucket; the only unpartitioned window is the bucket-offset
+    cumsum over n_buckets rows."""
+    import re
+
+    df = qs["q74_pack_sequences"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    doc_specs = [s for s in specs if "doc_id" in s]
+    assert doc_specs and all("__bucket" in s for s in doc_specs), doc_specs

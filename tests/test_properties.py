@@ -395,3 +395,27 @@ def test_pair_expansion_matches_selfjoin(spark, pairs):
         for a, b in combinations(sorted(set(ss)), 2):
             want[(a, b)] += 1
     assert got == want
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 999), st.integers(0, 40)),
+    min_size=1, max_size=60), st.integers(2, 8))
+@settings(**_SETTINGS)
+def test_bucketed_prefix_sum_matches_naive(spark, rows, n_buckets):
+    """Two-level prefix sum must equal the single-reducer running total for
+    arbitrary (hash, value) sets — duplicate keys, zero values, any bucket
+    count."""
+    from cosmo_spark.operators.prefix import bucketed_prefix_sum
+
+    data = [(i, h, v) for i, (h, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id LONG, h LONG, v LONG")
+    got = {
+        r.id: r.prefix
+        for r in bucketed_prefix_sum(
+            df, "h", "v", ["id"], n_buckets=n_buckets, key_mod=1000
+        ).collect()
+    }
+    run = 0
+    for i, h, v in sorted(data, key=lambda t: (t[1], t[0])):
+        assert got[i] == run, (i, h, v, got[i], run)
+        run += v
