@@ -49,10 +49,19 @@ def asof_join(
 
     # backward: series sorts before an equal-time probe so the probe sees it;
     # forward: mirror by sorting descending and flipping the tag order.
+    # Each series value rides the running window inside a single-field
+    # STRUCT wrapper: the struct is non-null whenever a series row exists,
+    # even when the VALUE inside is null — so `last(ignorenulls)` skips only
+    # the probe placeholders, never a legitimately-null series reading (a
+    # raw-column carry would silently substitute the previous non-null
+    # value; caught by the null-injection parity sweep).
     p = probes.withColumn("__tag", F.lit(1))
     for c in value_cols:
-        p = p.withColumn(c, F.lit(None).cast(series.schema[c].dataType))
+        dt = series.schema[c].dataType.simpleString()
+        p = p.withColumn(f"__w_{c}", F.lit(None).cast(f"struct<v:{dt}>"))
     s = series.withColumn("__tag", F.lit(0))
+    for c in value_cols:
+        s = s.withColumn(f"__w_{c}", F.struct(F.col(c).alias("v"))).drop(c)
     for c in probe_payload:
         s = s.withColumn(c, F.lit(None).cast(probes.schema[c].dataType))
     s = s.select(*p.columns)
@@ -67,5 +76,8 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in value_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("__tag") == 1).drop("__tag")
+        u = u.withColumn(f"__w_{c}", F.last(f"__w_{c}", ignorenulls=True).over(w))
+    out = u.filter(F.col("__tag") == 1).drop("__tag")
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"__w_{c}").getField("v")).drop(f"__w_{c}")
+    return out

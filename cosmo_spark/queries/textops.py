@@ -32,11 +32,16 @@ from cosmo_spark.operators.dedup import (
     simhash,
 )
 
-#: DuckDB fragment: polynomial hash of a string expression {X}
+#: DuckDB fragment: polynomial hash of a string expression {X}.
+#: NULL-safe to match Spark: poly_hash(NULL) is NULL on both engines — the
+#: bare list_reduce form returned 0 for NULL input (list_prepend(0, NULL)
+#: -> [0]), a cross-engine divergence the null-injection sweep caught.
 _DUCK_POLY = (
+    "(CASE WHEN {X} IS NULL THEN NULL ELSE "
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(list_filter(string_split({X}, ''), ch -> ch <> ''), "
     "ch -> CAST(unicode(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
+    " END)"
 )
 
 #: DuckDB fragment: token list of lower(text)

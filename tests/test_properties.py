@@ -419,3 +419,42 @@ def test_bucketed_prefix_sum_matches_naive(spark, rows, n_buckets):
     for i, h, v in sorted(data, key=lambda t: (t[1], t[0])):
         assert got[i] == run, (i, h, v, got[i], run)
         run += v
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 30),
+              st.one_of(st.none(), st.integers(-9, 9))),
+    min_size=0, max_size=15,
+), st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+            min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_asof_carries_null_series_values(spark, series, probes):
+    """A legitimately-NULL series value must be carried as NULL — not
+    silently replaced by the previous non-null reading (the struct-wrapper
+    guarantee; a raw last(ignorenulls) carry fails this).  The always-set
+    marker column pins WHICH series row matched."""
+    dedup = {}
+    for k, t, v in series:
+        dedup[(k, t)] = v
+    series = [(k, t, v, k * 1000 + t) for (k, t), v in dedup.items()]
+
+    sdf = spark.createDataFrame(series, "k INT, t INT, v INT, m INT")
+    pdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(probes)], "pid INT, k INT, t INT"
+    )
+    out = {
+        r.pid: (r.v, r.m)
+        for r in asof_join(
+            pdf, sdf, on="k", time_col="t", value_cols=["v", "m"]
+        ).collect()
+    }
+    by_key = {}
+    for k, t, v, m in series:
+        by_key.setdefault(k, []).append((t, v, m))
+    for k in by_key:
+        by_key[k].sort(key=lambda x: x[0])
+    for pid, (k, t) in enumerate(probes):
+        rows = by_key.get(k, [])
+        idx = bisect.bisect_right([x[0] for x in rows], t) - 1
+        want = (rows[idx][1], rows[idx][2]) if idx >= 0 else (None, None)
+        assert out[pid] == want, (pid, k, t, rows, out[pid])
