@@ -104,6 +104,40 @@ def shingle_table(
     )
 
 
+def band_table(
+    shingles: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc, band_idx, band_hash) LSH band rows from a ``shingle_table``.
+
+    MinHash signature (``n_hashes`` permutations) split into ``bands``
+    bands, each band folded to one polynomial hash — all per-row
+    expressions, no shuffle.  Shared by the within-corpus candidate join
+    (minhash_candidates) and the cross-corpus incremental-dedup probe
+    (q79): the band rows are the LSH index, independent of what joins them.
+    """
+    if n_hashes % bands:
+        raise ValueError("n_hashes must divide evenly into bands")
+    rows_per_band = n_hashes // bands
+    perms = minhash_perms(n_hashes)
+    sig = shingles.select(
+        F.col("__id").alias("doc"), minhash_signature("sh", perms).alias("sig")
+    )
+    # band hash = polynomial fold of the band's signature slice
+    return sig.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.aggregate(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    F.lit(0).cast("long"),
+                    lambda acc, h: (acc * 31 + h) % F.lit(HASH_MOD),
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -122,30 +156,9 @@ def minhash_candidates(
     Docs with empty shingle sets never become candidates.  Pass a cached
     ``shingle_table`` as ``shingles`` to amortize hashing across operators.
     """
-    if n_hashes % bands:
-        raise ValueError("n_hashes must divide evenly into bands")
-    rows_per_band = n_hashes // bands
-    perms = minhash_perms(n_hashes)
-
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_n)
-    sig = shingles.select(
-        F.col("__id").alias("doc"), minhash_signature("sh", perms).alias("sig")
-    )
-    # band hash = polynomial fold of the band's signature slice
-    band = sig.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.aggregate(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    F.lit(0).cast("long"),
-                    lambda acc, h: (acc * 31 + h) % F.lit(HASH_MOD),
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    band = band_table(shingles, n_hashes, bands)
     other = band.select(
         F.col("doc").alias("doc_b"), "band_idx", "band_hash"
     )
@@ -188,6 +201,70 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cross_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: flag incoming docs that near-duplicate the stored
+    corpus — the ingest-time shape of MinHash dedup (an asymmetric probe,
+    not the within-corpus self-join).
+
+    Band rows (band_table) are built for both sides; candidates are the
+    incoming⋈corpus equi-join on (band_idx, band_hash); candidates verify
+    with exact shingle-set Jaccard; every incoming doc comes back with its
+    candidate count, best Jaccard, and ``kept`` (no corpus match ≥
+    ``threshold``).
+
+    Scale: the corpus side of the band join is the persisted LSH index of
+    the stored corpus — at 100 TB it lives bucketed-by-band_hash at rest
+    and each ingest batch shuffles only ITS band rows into it; the verify
+    join touches candidate pairs only.  Nothing is quadratic and the stored
+    corpus is never rescanned per batch beyond the index probe.
+    """
+    sh_inc = shingle_table(incoming, text_col, id_col, shingle_n)
+    sh_cor = shingle_table(corpus, text_col, id_col, shingle_n)
+    b_inc = band_table(sh_inc, n_hashes, bands)
+    b_cor = band_table(sh_cor, n_hashes, bands).select(
+        F.col("doc").alias("doc_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        b_inc.join(b_cor, ["band_idx", "band_hash"])
+        .select(F.col("doc").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .distinct()
+    )
+    a = sh_inc.select(F.col("__id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_cor.select(F.col("__id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+    )
+    per_doc = verified.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_cand"), F.max("jaccard").alias("max_jaccard")
+    )
+    return (
+        incoming.select(F.col(id_col).alias("id_a"))
+        .join(per_doc, "id_a", "left")
+        .select(
+            F.col("id_a").alias(id_col),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            "max_jaccard",
+            (
+                F.col("max_jaccard").isNull()
+                | (F.col("max_jaccard") < threshold)
+            ).alias("kept"),
+        )
     )
 
 

@@ -46,6 +46,7 @@ def all_queries() -> dict[str, Query]:
         textops,
         timeseries,
         tpch,
+        trainprep,
         vectorops,
     )
     return dict(sorted(REGISTRY.items()))

@@ -1,0 +1,397 @@
+"""Training-data preparation catalog, part 2 (q75–q79).
+
+Corpus-curation operators beyond the reference's surface: semantic
+(cluster-blocked) dedup, tokenizer-training pair counts, policy/PII
+pattern scanning, multi-grain rollup cascades, and incremental dedup of
+an ingest batch against a stored corpus.  Same discipline as the rest of
+the catalog: deterministic arithmetic only, so every query carries a
+bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cosmo_spark.queries import register
+from cosmo_spark.session import tune_session
+from cosmo_spark.sources.tables import load_table
+from cosmo_spark.functions.text import poly_hash, tokenize
+from cosmo_spark.queries.misc import _ivf_centroids_duckdb, _ivf_centroids_spark
+from cosmo_spark.queries.textops import _DUCK_POLY, _DUCK_TOKS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------- #
+# q75 — SemDedup: cluster-blocked semantic near-duplicate pruning              #
+# --------------------------------------------------------------------------- #
+
+_SEMDEDUP_TAU = 0.35
+
+_Q75_ORACLE = f"""
+WITH cents AS (
+  SELECT * FROM (VALUES {_ivf_centroids_duckdb()}) c(bucket, centroid)
+), cn AS (
+  SELECT bucket, centroid,
+         sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnorm
+  FROM cents
+), vn AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+  FROM embeddings
+), assigned AS (
+  SELECT vec_id, e, n, bucket FROM (
+    SELECT v.vec_id, v.e, v.n, c.bucket,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (CASE WHEN v.n * c.cnorm > 0 THEN
+                list_sum(list_transform(list_zip(v.e, c.centroid), p -> p[1] * p[2]))
+                  / (v.n * c.cnorm) END) DESC NULLS LAST, c.bucket) AS rn
+    FROM vn v CROSS JOIN cn c) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN a.n * b.n > 0 THEN
+           list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+             / (a.n * b.n) END AS sim
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_b AS vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+       round(max(sim), 6) AS max_sim
+FROM pairs WHERE sim >= {_SEMDEDUP_TAU} GROUP BY id_b
+"""
+
+
+@register("q75_semantic_dedup", operators=("DD5", "SIM2"), oracle=_Q75_ORACLE)
+def q75_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic deduplication: assign every embedding to its
+    nearest k-means centroid (the q44 coarse quantizer, a literal artifact),
+    then search for near-duplicates ONLY within a cluster — the
+    cluster-blocked prune of Abbas et al.'s SemDedup, where the quadratic
+    cosine check runs on n²/k-sized blocks instead of the corpus.  A vector
+    is reported (= would be pruned) when some LOWER-id vector in its cluster
+    is ≥ τ cosine-similar — a deterministic keep-the-smallest-id rule, so
+    both engines agree without iterative greedy state.
+
+    Scale shape: centroid assignment is a broadcast cross join collapsed
+    map-side by max_by (operators/similarity.assign_buckets — the corpus
+    never shuffles); the within-cluster self-join shuffles on the cluster
+    id, and cluster sizes are bounded by the quantizer granularity: at
+    100 TB you train k large enough (10⁵–10⁶) that n²/k stays linear-ish,
+    exactly the SemDedup recipe.  τ=0.35 is demonstration geometry for the
+    near-uniform synthetic vectors (corpus max cosine ≈ 0.51); the pipeline
+    is threshold-agnostic.
+    """
+    from cosmo_spark.operators.dedup import embedding_near_dups
+    from cosmo_spark.operators.similarity import assign_buckets
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = spark.sql(
+        f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
+    )
+    assigned = assign_buckets(e, centroids, "embedding", "vec_id")
+    pairs = embedding_near_dups(
+        assigned, "embedding", "vec_id",
+        threshold=_SEMDEDUP_TAU, block_col="bucket",
+    )
+    return pairs.groupBy("id_b").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.round(F.max("cos_sim"), 6).alias("max_sim"),
+    ).select(F.col("id_b").alias("vec_id"), "n_dups", "max_sim")
+
+
+# --------------------------------------------------------------------------- #
+# q76 — BPE merge candidates: corpus-wide adjacent-pair counts                 #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q76_bpe_pair_counts",
+    operators=("TXT3", "A8"),
+    oracle=f"""
+WITH tl AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+words AS (SELECT unnest(toks) AS w FROM tl),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, freq
+  FROM wf, unnest(range(1, len(w))) r(i)
+  WHERE len(w) >= 2
+), agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+), ranked AS (
+  SELECT pair, cnt,
+         row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+  FROM agg
+)
+SELECT pair, cnt, rank FROM ranked WHERE rank <= 20
+""",
+)
+def q76_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training iteration: corpus-wide counts of adjacent
+    character pairs, weighted by word frequency — the merge-candidate
+    ranking at the heart of byte-pair-encoding training.
+
+    The classic trick makes this scale: aggregate the corpus to the WORD
+    FREQUENCY table first (one shuffle on the word key, partial aggregation
+    map-side), then explode each distinct word's ~|w| character pairs
+    weighted by its frequency.  Pair counting therefore runs over the
+    vocabulary (Heaps-law sublinear), not the corpus; a web-scale corpus
+    re-counts billions of tokens into a few million vocab rows before any
+    per-character work happens.  The top-20 is a TakeOrdered over the
+    ~alphabet² distinct pairs — no corpus-wide sort.
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    top = agg.orderBy(F.desc("cnt"), "pair").limit(20)
+    w = Window.orderBy(F.desc("cnt"), "pair")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# --------------------------------------------------------------------------- #
+# q77 — PII / policy pattern scan with deterministic redaction                 #
+# --------------------------------------------------------------------------- #
+
+_PAT_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PAT_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PAT_TERM = r"\bcustomer\b"
+
+
+@register(
+    "q77_pii_scan",
+    operators=("P9", "P11"),
+    oracle=f"""
+WITH scanned AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_PAT_EMAIL}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(text, '{_PAT_IPV4}')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '{_PAT_TERM}')) AS BIGINT) AS n_term,
+         regexp_replace(text, '{_PAT_TERM}', '<ID>', 'g') AS red
+  FROM documents
+)
+SELECT doc_id, n_email, n_ipv4, n_term,
+       n_term > 0 AS has_term,
+       {_DUCK_POLY.format(X="red")} AS redacted_hash
+FROM scanned
+""",
+)
+def q77_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / policy pattern scan + deterministic redaction — the compliance
+    pass every training corpus runs before release: per-document match
+    counts for an email pattern, an IPv4 pattern, and a policy-term pattern
+    (the synthetic corpus is digit-free, so the email/IP counts exercise
+    the zero path while the term pattern exercises real hits), plus the
+    fingerprint of the redacted text so a downstream exact-dedup can run on
+    scrubbed content.
+
+    Scale shape: pure row-local regexp expressions in whole-stage codegen —
+    a map-only scan with no shuffle, bounded by read bandwidth at 100 TB.
+    Patterns are anchored with RE2/Java-common syntax so both engines
+    compile identical automata; DuckDB's regexp_replace needs the explicit
+    'g' flag to match Spark's replace-all semantics.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    red = F.regexp_replace(t, _PAT_TERM, "<ID>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PAT_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(t, F.lit(_PAT_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(_PAT_TERM)).cast("long").alias("n_term"),
+        (F.regexp_count(t, F.lit(_PAT_TERM)) > 0).alias("has_term"),
+        poly_hash(red).alias("redacted_hash"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q78 — multi-grain rollup cascade (continuous-aggregate pattern)              #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q78_rollup_cascade",
+    operators=("A9", "U1", "W6"),
+    oracle="""
+WITH es AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s, value FROM events
+), minute AS (
+  SELECT event_type, (s // 60) * 60 AS bucket_s,
+         CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sv
+  FROM es GROUP BY event_type, (s // 60) * 60
+), hour AS (
+  SELECT event_type, (bucket_s // 3600) * 3600 AS bucket_s,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+  FROM minute GROUP BY event_type, (bucket_s // 3600) * 3600
+), day AS (
+  SELECT event_type, (bucket_s // 86400) * 86400 AS bucket_s,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+  FROM hour GROUP BY event_type, (bucket_s // 86400) * 86400
+)
+SELECT 'minute' AS grain, event_type, bucket_s, n_events, round(sv, 6) AS sum_value FROM minute
+UNION ALL
+SELECT 'hour' AS grain, event_type, bucket_s, n_events, round(sv, 6) AS sum_value FROM hour
+UNION ALL
+SELECT 'day' AS grain, event_type, bucket_s, n_events, round(sv, 6) AS sum_value FROM day
+""",
+)
+def q78_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade over the event stream — the
+    hypertable / continuous-aggregate pattern: minute-grain aggregates are
+    computed from the fact table ONCE, then hour aggregates re-aggregate
+    the minute frame and day aggregates re-aggregate the hour frame.  The
+    fact table is scanned exactly once; each coarser grain consumes the
+    previous (exponentially smaller) aggregate, which is also how an
+    incremental refresh would maintain them.
+
+    Scale shape: one corpus shuffle on (event_type, minute) with map-side
+    partial aggregation; the hour and day shuffles move only minute/hour
+    bucket rows (~10⁴ per fact-table 10⁷).  Counts re-sum exactly as
+    BIGINTs; double sums reassociate (sum of minute sums == sum of values
+    only up to fp rounding), which round(6) absorbs at any realistic
+    magnitude — the same discipline as the catalog's other double sums.
+    The minute frame is persisted for its two consumers (output + hour
+    derivation); day reuses hour's plan the same way.
+    """
+    ev = _t(spark, sf_dir, "events")
+    es = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        "value",
+    )
+    minute = (
+        es.groupBy("event_type", F.expr("(s div 60) * 60").alias("bucket_s"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+        .persist()
+    )
+    hour = (
+        minute.groupBy(
+            "event_type", F.expr("(bucket_s div 3600) * 3600").alias("bucket_s")
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+        .persist()
+    )
+    day = hour.groupBy(
+        "event_type", F.expr("(bucket_s div 86400) * 86400").alias("bucket_s")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "event_type",
+            "bucket_s",
+            "n_events",
+            F.round("sv", 6).alias("sum_value"),
+        )
+
+    return (
+        shape(minute, "minute")
+        .unionByName(shape(hour, "hour"))
+        .unionByName(shape(day, "day"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q79 — incremental dedup: ingest batch vs stored corpus                       #
+# --------------------------------------------------------------------------- #
+
+def _cross_dedup_oracle() -> str:
+    """DuckDB twin of operators.dedup.cross_dedup on the mod-5 split:
+    incoming = doc_id % 5 = 0, stored corpus = the rest.  Mirrors
+    textops._minhash_oracle's signature/band construction (8 perms, 4
+    bands) with an asymmetric incoming⋈stored candidate join."""
+    from cosmo_spark.operators.dedup import minhash_perms
+
+    perms = minhash_perms(8)
+    p = 1_000_000_007
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    bands = ",\n       ".join(
+        f"(m{2 * b} * 31 + m{2 * b + 1}) % {p} AS band{b}" for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM sigb"
+        for b in range(4)
+    )
+    return f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM tl),
+tokh AS (SELECT doc_id, pos, {_DUCK_POLY.replace("{X}", "tok")} AS th FROM tok),
+shh AS (
+  SELECT DISTINCT a.doc_id,
+         ((a.th * 31 + b.th) % {p} * 31 + c.th) % {p} AS h
+  FROM tokh a
+  JOIN tokh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokh c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shh GROUP BY doc_id
+), sigb AS (
+  SELECT doc_id,
+       {bands}
+  FROM sig
+), bandrows AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         (SELECT count(*) FROM shh x JOIN shh y
+            ON x.doc_id = c.id_a AND y.doc_id = c.id_b AND x.h = y.h) AS inter,
+         (SELECT count(*) FROM shh x WHERE x.doc_id = c.id_a) AS na,
+         (SELECT count(*) FROM shh y WHERE y.doc_id = c.id_b) AS nb
+  FROM cand c
+), per_doc AS (
+  SELECT id_a, CAST(count(*) AS BIGINT) AS n_cand,
+         max(CAST(inter AS DOUBLE) / (na + nb - inter)) AS mj
+  FROM verified GROUP BY id_a
+)
+SELECT d.doc_id, coalesce(p.n_cand, 0) AS n_cand,
+       round(p.mj, 6) AS max_jaccard,
+       (p.mj IS NULL OR p.mj < 0.5) AS kept
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN per_doc p ON d.doc_id = p.id_a
+"""
+
+
+@register("q79_incremental_dedup", operators=("DD2", "J5"), oracle=_cross_dedup_oracle())
+def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup — the ingest-time twin of q39:
+    every 5th document plays the incoming batch, the rest the stored
+    corpus; each incoming doc probes the corpus's MinHash band index
+    (operators.dedup.cross_dedup), candidates verify with exact shingle
+    Jaccard, and the batch comes back flagged ``kept`` / duplicate with
+    its best corpus match score.  This asymmetric probe — not a
+    within-corpus self-join — is what a continuously-ingesting pipeline
+    actually runs per batch.
+    """
+    from cosmo_spark.operators.dedup import cross_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    out = cross_dedup(
+        incoming, corpus, "text", "doc_id",
+        n_hashes=8, bands=4, shingle_n=3, threshold=0.5,
+    )
+    return out.select(
+        "doc_id", "n_cand", F.round("max_jaccard", 6).alias("max_jaccard"), "kept"
+    )

@@ -286,3 +286,73 @@ class TestBloom:
             .count()
         )
         assert hits == 2000
+
+
+class TestCrossDedup:
+    """Incremental (batch-vs-corpus) MinHash dedup: operators.dedup.cross_dedup."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_flags_known_duplicate_and_keeps_novel(self, spark):
+        from cosmo_spark.operators.dedup import cross_dedup
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        corpus = self._docs(spark, [
+            (100, base),
+            (101, "completely different stored content about spark shuffles"),
+        ])
+        incoming = self._docs(spark, [
+            (1, base),                                  # exact dup of 100
+            (2, "totally novel incoming text with unseen words entirely"),
+        ])
+        out = {
+            r["doc_id"]: r
+            for r in cross_dedup(incoming, corpus, "text", "doc_id").collect()
+        }
+        assert not out[1]["kept"] and out[1]["max_jaccard"] == 1.0
+        assert out[2]["kept"] and out[2]["n_cand"] == 0
+        assert out[2]["max_jaccard"] is None
+
+    def test_every_incoming_doc_reported_even_short_ones(self, spark):
+        from cosmo_spark.operators.dedup import cross_dedup
+
+        corpus = self._docs(spark, [(10, "stored corpus text goes here okay")])
+        incoming = self._docs(spark, [
+            (1, "one two"),   # < shingle_n tokens: no shingles, still reported
+            (2, "stored corpus text goes here okay"),
+        ])
+        out = cross_dedup(incoming, corpus, "text", "doc_id")
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1]["kept"] and rows[1]["n_cand"] == 0
+
+    def test_reported_jaccard_matches_brute_force(self, spark):
+        """Any (incoming, corpus) score cross_dedup reports must equal the
+        exact shingle-set Jaccard for that pair (LSH may MISS pairs — it
+        must never misreport one)."""
+        from cosmo_spark.operators.dedup import (
+            cross_dedup,
+            ngram_jaccard_pairs,
+        )
+
+        rows = [
+            (i, f"shared prefix words alpha beta gamma delta doc {i} tail")
+            for i in range(8)
+        ]
+        docs = self._docs(spark, rows)
+        incoming = docs.filter(F.col("doc_id") % 2 == 0)
+        corpus = docs.filter(F.col("doc_id") % 2 == 1)
+        out = cross_dedup(incoming, corpus, "text", "doc_id", threshold=0.5)
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+        }
+        for r in out.collect():
+            if r["max_jaccard"] is None:
+                continue
+            best = max(
+                exact.get((min(r["doc_id"], b), max(r["doc_id"], b)), 0.0)
+                for b in range(1, 8, 2)
+            )
+            assert abs(r["max_jaccard"] - best) < 1e-9
