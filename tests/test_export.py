@@ -1,0 +1,94 @@
+"""Sharded JSONL export sink: layout, manifest, determinism, roundtrip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmo_spark.sources.export import (
+    read_manifest,
+    read_sharded_jsonl,
+    with_shard,
+    write_sharded_jsonl,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_SHARDS = 4
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text", "source"
+    )
+
+
+def test_layout_one_file_per_shard(spark, docs, tmp_path):
+    out = str(tmp_path / "corpus")
+    write_sharded_jsonl(docs, out, "doc_id", N_SHARDS)
+    shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(shard_dirs) == N_SHARDS
+    for d in shard_dirs:
+        parts = glob.glob(os.path.join(d, "part-*"))
+        assert len(parts) == 1, d
+
+
+def test_manifest_counts_match_data(spark, docs, tmp_path):
+    out = str(tmp_path / "corpus")
+    write_sharded_jsonl(docs, out, "doc_id", N_SHARDS)
+    manifest = {
+        r["shard"]: r for r in read_manifest(spark, out).collect()
+    }
+    expected = {
+        r["shard"]: r["n"]
+        for r in with_shard(docs, "doc_id", N_SHARDS)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {k: v["n_rows"] for k, v in manifest.items()} == expected
+    assert sum(v["n_rows"] for v in manifest.values()) == docs.count()
+    # approx_bytes tracks the real serialized size of each shard file
+    for d in glob.glob(os.path.join(out, "shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        actual = sum(
+            os.path.getsize(p) for p in glob.glob(os.path.join(d, "part-*"))
+        )
+        approx = manifest[shard]["approx_bytes"]
+        # writer omits the partition column; sizes agree within 2%
+        assert abs(actual - approx) / approx < 0.02, (shard, actual, approx)
+
+
+def test_roundtrip_and_deterministic_assignment(spark, docs, tmp_path):
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_sharded_jsonl(docs, out1, "doc_id", N_SHARDS)
+    write_sharded_jsonl(docs, out2, "doc_id", N_SHARDS)
+    back = read_sharded_jsonl(spark, out1)
+    assert back.count() == docs.count()
+    # every doc returns with its original text
+    joined = back.join(
+        docs.withColumnRenamed("text", "orig"), "doc_id"
+    ).filter(F.col("text") != F.col("orig"))
+    assert joined.count() == 0
+    # identical shard for every doc across the two runs
+    a = {r["doc_id"]: r["shard"] for r in read_sharded_jsonl(spark, out1)
+         .select("doc_id", "shard").collect()}
+    b = {r["doc_id"]: r["shard"] for r in read_sharded_jsonl(spark, out2)
+         .select("doc_id", "shard").collect()}
+    assert a == b
+
+
+def test_max_records_splits_files(spark, docs, tmp_path):
+    out = str(tmp_path / "corpus")
+    write_sharded_jsonl(docs, out, "doc_id", 2, max_records_per_file=10)
+    for d in glob.glob(os.path.join(out, "shard=*")):
+        parts = glob.glob(os.path.join(d, "part-*"))
+        assert len(parts) > 1, d
+
+
+def test_invalid_shard_count(docs):
+    with pytest.raises(ValueError):
+        with_shard(docs, "doc_id", 0)
