@@ -230,8 +230,12 @@ def cross_dedup(
     join touches candidate pairs only.  Nothing is quadratic and the stored
     corpus is never rescanned per batch beyond the index probe.
     """
-    sh_inc = shingle_table(incoming, text_col, id_col, shingle_n)
-    sh_cor = shingle_table(corpus, text_col, id_col, shingle_n)
+    # each shingle table feeds TWO consumers (its band rows and the Jaccard
+    # verify side); per-character shingle hashing is the dominant cost, so
+    # persist both — cleanup left to the ContextCleaner when the plan is
+    # released (the q39/q58 multi-consumer discipline)
+    sh_inc = shingle_table(incoming, text_col, id_col, shingle_n).persist()
+    sh_cor = shingle_table(corpus, text_col, id_col, shingle_n).persist()
     b_inc = band_table(sh_inc, n_hashes, bands)
     b_cor = band_table(sh_cor, n_hashes, bands).select(
         F.col("doc").alias("doc_b"), "band_idx", "band_hash"

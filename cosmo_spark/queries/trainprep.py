@@ -93,7 +93,10 @@ def q75_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = spark.sql(
         f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
     )
-    assigned = assign_buckets(e, centroids, "embedding", "vec_id")
+    # two consumers (the a/b sides of the within-cluster self-join) — persist
+    # so assignment computes once; at 100 TB this frame is what you would
+    # checkpoint to parquet (SemDedup materializes cluster assignment too)
+    assigned = assign_buckets(e, centroids, "embedding", "vec_id").persist()
     pairs = embedding_near_dups(
         assigned, "embedding", "vec_id",
         threshold=_SEMDEDUP_TAU, block_col="bucket",

@@ -63,3 +63,103 @@ def stream_ingest_merge(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    fmt: str = "json",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of q79: each micro-batch of incoming documents probes
+    the stored corpus's MinHash LSH index, near-duplicates (Jaccard ≥
+    ``threshold``) are dropped, and KEPT docs append to the corpus — with
+    their band/shingle rows appended to the index, so later batches dedup
+    against everything ingested before them.
+
+    The index is two parquet tables under ``index_path``: ``bands``
+    (doc, band_idx, band_hash — what a batch's bands equi-join against) and
+    ``shingles`` (doc, sh — what candidates verify exact Jaccard against).
+    At 100 TB the bands table lives bucketed by band_hash at rest, so the
+    per-batch probe shuffles only the BATCH side; the corpus is never
+    rescanned — exactly the property the reference's listing-diff ingest
+    (ref: cosmo/sms/ingest_sms.py:288-294) loses at scale.
+
+    Within-batch duplicates are NOT collapsed here (a batch is assumed
+    pre-deduped by the batch operators, q39/q45); the guarantee is
+    batch-vs-history.  Crash-safety: the file-source checkpoint makes batch
+    delivery exactly-once; the corpus/index appends are idempotent only per
+    delivered batch, the same contract as the reference's ingest log.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.operators.dedup import band_table, shingle_table
+
+    stream = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1000)
+        .load(source_dir)
+    )
+    bands_path = os.path.join(index_path, "bands")
+    shingles_path = os.path.join(index_path, "shingles")
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            sh_new = shingle_table(batch_df, text_col, id_col, shingle_n).persist()
+            b_new = band_table(sh_new, n_hashes, bands)
+            if os.path.exists(bands_path):
+                b_old = ss.read.parquet(bands_path)
+                sh_old = ss.read.parquet(shingles_path)
+                cand = (
+                    b_new.join(
+                        b_old.withColumnRenamed("doc", "doc_b"),
+                        ["band_idx", "band_hash"],
+                    )
+                    .select(F.col("doc").alias("id_a"), F.col("doc_b").alias("id_b"))
+                    .distinct()
+                )
+                a = sh_new.select(F.col("__id").alias("id_a"), F.col("sh").alias("sh_a"))
+                b = sh_old.select(F.col("__id").alias("id_b"), F.col("sh").alias("sh_b"))
+                inter = F.size(F.array_intersect("sh_a", "sh_b"))
+                union = F.size("sh_a") + F.size("sh_b") - inter
+                dups = (
+                    cand.join(a, "id_a").join(b, "id_b")
+                    .filter((inter / union) >= threshold)
+                    .select(F.col("id_a").alias(id_col))
+                    .distinct()
+                )
+                kept = batch_df.join(dups, id_col, "left_anti").persist()
+            else:
+                kept = batch_df.persist()
+            kept.write.mode("append").parquet(corpus_path)
+            kept_ids = kept.select(F.col(id_col).alias("__id"))
+            sh_kept = sh_new.join(kept_ids, "__id")
+            band_table(sh_kept, n_hashes, bands).write.mode("append").parquet(
+                bands_path
+            )
+            sh_kept.write.mode("append").parquet(shingles_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -458,3 +458,78 @@ def test_asof_carries_null_series_values(spark, series, probes):
         idx = bisect.bisect_right([x[0] for x in rows], t) - 1
         want = (rows[idx][1], rows[idx][2]) if idx >= 0 else (None, None)
         assert out[pid] == want, (pid, k, t, rows, out[pid])
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["ab", "abc", "a", "bc", "cab", "bb"]),
+             min_size=0, max_size=8),
+    min_size=1, max_size=10,
+))
+@settings(**_SETTINGS)
+def test_q76_pair_counts_match_bruteforce(spark, docs):
+    """Vocab-first BPE pair counting == naive per-token pair counting."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.functions.text import tokenize
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = df.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    got = {
+        r["pair"]: r["cnt"]
+        for r in pairs.groupBy("pair").agg(F.sum("freq").alias("cnt")).collect()
+    }
+    want = Counter()
+    for toks in docs:
+        for w in toks:
+            for i in range(len(w) - 1):
+                want[w[i : i + 2]] += 1
+    assert got == dict(want)
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 500_000),
+              st.integers(-1000, 1000)),
+    min_size=1, max_size=30,
+))
+@settings(**_SETTINGS)
+def test_q78_rollup_grains_consistent(spark, events):
+    """Each rollup grain must re-aggregate to exactly the finer grain's
+    totals (counts integer-exact), and the day grain equals direct
+    aggregation of the raw events."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(events, "event_type string, s long, value long")
+    minute = df.groupBy(
+        "event_type", F.expr("(s div 60) * 60").alias("bucket_s")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    day = minute.groupBy(
+        "event_type", F.expr("(bucket_s div 86400) * 86400").alias("bucket_s")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    got = {
+        (r["event_type"], r["bucket_s"]): (r["n"], r["sv"])
+        for r in day.collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for t, s, v in events:
+        k = (t, (s // 86400) * 86400)
+        want[k][0] += 1
+        want[k][1] += v
+    assert got == {k: tuple(v) for k, v in want.items()}

@@ -128,3 +128,59 @@ def test_session_window_streams(spark, tmp_path):
     assert got[(1, "2024-01-01T00:00:00")] == 2
     assert got[(1, "2024-01-01T02:00:00")] == 1
     assert got[(2, "2024-01-01T00:00:00")] == 1
+
+
+DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+
+def test_stream_ingest_dedup_across_batches(spark, tmp_path):
+    """q79's streaming twin: batch 2 drops docs that near-duplicate batch 1's
+    ingested corpus; novel docs append and extend the index."""
+    from cosmo_spark.streaming.ingest import stream_ingest_dedup
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def run():
+        q = stream_ingest_dedup(
+            spark, str(src), DOC_SCHEMA, corpus, index, ckpt
+        )
+        q.awaitTermination(60)
+
+    write_json(src / "b1.json", [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "completely different stored content about spark"},
+    ])
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 2]
+
+    write_json(src / "b2.json", [
+        {"doc_id": 3, "text": base},  # duplicate of ingested doc 1 -> dropped
+        {"doc_id": 4, "text": "totally novel incoming text with unseen words"},
+    ])
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 2, 4]
+
+    # the index grew with the kept doc only: later batches dedup against 4
+    write_json(src / "b3.json", [
+        {"doc_id": 5, "text": "totally novel incoming text with unseen words"},
+    ])
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 2, 4]
+
+    # re-run with no new files: checkpoint makes it a no-op
+    run()
+    assert spark.read.parquet(corpus).count() == 3
