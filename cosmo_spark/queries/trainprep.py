@@ -1,11 +1,11 @@
-"""Training-data preparation catalog, part 2 (q75–q79).
+"""Training-data preparation catalog, part 2 (q75–q80).
 
 Corpus-curation operators beyond the reference's surface: semantic
 (cluster-blocked) dedup, tokenizer-training pair counts, policy/PII
-pattern scanning, multi-grain rollup cascades, and incremental dedup of
-an ingest batch against a stored corpus.  Same discipline as the rest of
-the catalog: deterministic arithmetic only, so every query carries a
-bit-exact DuckDB oracle.
+pattern scanning, multi-grain rollup cascades, incremental dedup of an
+ingest batch against a stored corpus, and curriculum decile bucketing.
+Same discipline as the rest of the catalog: deterministic arithmetic
+only, so every query carries a bit-exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -397,4 +397,83 @@ def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "n_cand", F.round("max_jaccard", 6).alias("max_jaccard"), "kept"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q80 — curriculum deciles: global quantile bucketing without a global window  #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q80_quality_deciles",
+    operators=("A6", "W6", "A13"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM documents),
+dec AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         CAST((r * 10) // n AS BIGINT) AS decile
+  FROM ranked, tot
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM dec GROUP BY decile
+""",
+)
+def q80_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: split the corpus into 10 equal-count deciles by
+    a quality proxy (document length) and report each decile's doc count,
+    length band, and token budget — the input to curriculum / quality-mixed
+    training schedules ("sample decile 10 twice as often as decile 1").
+
+    The interesting part is the GLOBAL rank with no global window: a
+    single-partition ``row_number() OVER (ORDER BY ...)`` — what ntile
+    would do — serializes the corpus through one reducer at 100 TB.
+    Instead the rank decomposes exactly, the q63/q74 two-level discipline:
+
+    1. the per-length histogram aggregates map-side (distinct lengths ≪
+       corpus);
+    2. its cumulative counts are a window over that TINY frame, broadcast
+       back;
+    3. each doc's exact global rank = (docs with shorter length) + its
+       row_number within its OWN length partition (a keyed window,
+       shuffle-partitioned by length, never global);
+    4. decile = rank·10 div n, a row-local integer expression — bit-exact
+       against the oracle's row_number formulation by construction.
+
+    Ties split across decile boundaries deterministically (doc_id
+    tiebreak), matching the oracle's total order exactly.
+    """
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "n_chars", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    hist = base.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "n_chars", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("before")
+    )
+    # corpus size as a broadcast 1-row frame (derived from the histogram —
+    # no extra scan, no driver-side action)
+    total = hist.agg(F.sum("cnt").alias("n"))
+    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = base.join(F.broadcast(cum), "n_chars").withColumn(
+        "r", F.col("before") + F.row_number().over(w_in) - 1
+    )
+    dec = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "decile", F.expr("(r * 10) div n")
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
