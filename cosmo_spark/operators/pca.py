@@ -1,0 +1,132 @@
+"""Distributed PCA / whitening for embedding columns.
+
+The heavy half of PCA — the d×d covariance (gramian) of an n×d corpus —
+is a pure aggregation and runs distributed: each row emits its flattened
+outer product (a row-local d² array, the BLAS rank-1 update), hash
+aggregation collapses partials map-side, and the exchange carries one row
+per (i, j) cell — d² rows total, independent of corpus size.  This is the
+same shape as MLlib's RowMatrix.computeGramianMatrix treeAggregate,
+expressed declaratively so Catalyst/Tungsten run it in codegen.
+
+The light half — the d×d eigendecomposition — is a driver-side numpy
+``eigh`` on the collected cell table (d² doubles, bounded by construction:
+``dim`` is validated ≤ 1024 so the collect is ≤ 8 MB).  The resulting
+top-k eigenbasis ships back as a LITERAL projection matrix (the q44
+centroid / q55 plane discipline), so the projection itself is row-local
+codegen arithmetic with no shuffle and no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cosmo_spark.functions.vectors import as_double
+
+
+def covariance_cells(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """(i, j, n, sxy, sxi, sxj) sufficient-statistic cells of the biased
+    covariance: cov[i,j] = sxy/n − (sxi/n)(sxj/n), 1-based indices.
+
+    One corpus scan; the only exchange carries d² partially-aggregated
+    cells per map partition.  The division is left to the caller so
+    downstream consumers (q81's rounded output, pca_whiten's eigensolver)
+    choose their own precision policy on identical integer-free sums.
+    """
+    v = as_double(F.col(vec_col))
+    base = df.select(v.alias("__v")).filter(F.size("__v") == dim)
+    outer = F.flatten(
+        F.transform("__v", lambda xi: F.transform("__v", lambda xj: xi * xj))
+    )
+    cells = (
+        base.select(F.posexplode(outer).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(F.sum("p").alias("sxy"), F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.expr(f"pos div {dim}") + 1).alias("i"),
+            (F.col("pos") % dim + 1).alias("j"),
+            "n",
+            "sxy",
+        )
+    )
+    sums = (
+        base.select(F.posexplode("__v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum("x").alias("s"))
+        .select((F.col("pos") + 1).alias("k"), "s")
+    )
+    return (
+        cells.join(F.broadcast(sums.select(F.col("k").alias("i"), F.col("s").alias("sxi"))), "i")
+        .join(F.broadcast(sums.select(F.col("k").alias("j"), F.col("s").alias("sxj"))), "j")
+        .select("i", "j", "n", "sxy", "sxi", "sxj")
+    )
+
+
+def pca_whiten(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    dim: int,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project each vector onto the top-k principal components, scaled to
+    unit variance (ZCA-free whitening) — the standard embedding
+    pre-conditioning before cosine dedup / ANN (dominant-direction removal
+    concentrates similarity scores).
+
+    Returns (id_col, proj: array<double>[k]).  The covariance aggregation
+    is the distributed part; eigh runs on the driver over d² collected
+    doubles (``dim`` ≤ 1024 enforced), and the eigenbasis returns to the
+    plan as one nested-array literal — no UDF, no shuffle in the
+    projection.
+    """
+    if dim > 1024:
+        raise ValueError(
+            f"dim={dim}: driver-side eigh is bounded to dim <= 1024; "
+            "use a sketched/iterative solver beyond that"
+        )
+    import numpy as np
+
+    rows = covariance_cells(df, vec_col, dim).collect()
+    if not rows:
+        raise ValueError("pca_whiten: no rows with the expected dimension")
+    n = rows[0]["n"]
+    cov = np.zeros((dim, dim))
+    mu = np.zeros(dim)
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        cov[i, j] = r["sxy"] / n - (r["sxi"] / n) * (r["sxj"] / n)
+        mu[i] = r["sxi"] / n
+    w, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    lam = w[order]
+    basis = vecs[:, order]  # dim × k
+    # deterministic sign: make each component's largest-|.| coordinate positive
+    for c in range(k):
+        pivot = int(np.argmax(np.abs(basis[:, c])))
+        if basis[pivot, c] < 0:
+            basis[:, c] = -basis[:, c]
+
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    comp_lit = F.array(*[
+        F.array(*[F.lit(float(basis[d_, c])) for d_ in range(dim)])
+        for c in range(k)
+    ])
+    scale_lit = F.array(*[
+        F.lit(1.0 / float(np.sqrt(max(lam[c], 0.0) + eps))) for c in range(k)
+    ])
+    v = as_double(F.col(vec_col))
+    centered = F.zip_with(v, mu_lit, lambda x, m: x - m)
+    out = df.select(F.col(id_col), centered.alias("__c"))
+    proj = F.zip_with(
+        comp_lit,
+        scale_lit,
+        lambda comp, s: F.aggregate(
+            F.zip_with(F.col("__c"), comp, lambda x, w_: x * w_),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        * s,
+    )
+    return out.select(id_col, proj.alias("proj"))

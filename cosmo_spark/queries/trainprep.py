@@ -477,3 +477,58 @@ def q80_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q81 — distributed embedding covariance (the heavy half of PCA)               #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q81_embedding_covariance",
+    operators=("A4", "A10", "SIM2"),
+    oracle="""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE len(embedding) = 64),
+cells AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n, sum(e[i] * e[j]) AS sxy
+  FROM v, unnest(range(1, 65)) a(i), unnest(range(1, 65)) b(j)
+  GROUP BY i, j
+), sums AS (
+  SELECT i AS k, sum(e[i]) AS s
+  FROM v, unnest(range(1, 65)) a(i) GROUP BY i
+)
+SELECT c.i, c.j,
+       round(c.sxy / c.n - (si.s / c.n) * (sj.s / c.n), 6) AS cov
+FROM cells c
+JOIN sums si ON si.k = c.i
+JOIN sums sj ON sj.k = c.j
+""",
+)
+def q81_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA: the 64×64 biased covariance matrix of
+    the embedding corpus as (i, j, cov) cells — each row contributes its
+    flattened outer product row-locally (the BLAS rank-1 update), partial
+    aggregation collapses map-side, and the one exchange carries d² cells
+    per map partition regardless of corpus size (the
+    RowMatrix.computeGramianMatrix treeAggregate shape, declaratively).
+
+    ``operators.pca.pca_whiten`` consumes these cells: driver-side eigh on
+    the d² collected doubles (bounded), then projects the corpus through
+    the top-k eigenbasis as a nested-array LITERAL — whitening as
+    row-local codegen, the embedding pre-conditioning step before cosine
+    dedup/ANN.  The eigendecomposition itself is not SQL-expressible, so
+    THIS query gates the distributed computation and unit tests
+    (tests/test_pca.py) gate the solver against numpy.
+    """
+    from cosmo_spark.operators.pca import covariance_cells
+
+    e = _t(spark, sf_dir, "embeddings")
+    cells = covariance_cells(e, "embedding", 64)
+    cov = F.col("sxy") / F.col("n") - (F.col("sxi") / F.col("n")) * (
+        F.col("sxj") / F.col("n")
+    )
+    return cells.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.round(cov, 6).alias("cov"),
+    )

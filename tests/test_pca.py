@@ -1,0 +1,74 @@
+"""Distributed covariance + driver-side eigh whitening (operators/pca.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cosmo_spark.operators.pca import covariance_cells, pca_whiten
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _np_matrix(emb):
+    import pandas as pd
+
+    pdf = emb.toPandas()
+    return np.vstack(pdf["embedding"].map(np.asarray).to_numpy())
+
+
+def test_covariance_matches_numpy(spark, emb):
+    x = _np_matrix(emb)
+    want = np.cov(x, rowvar=False, bias=True)
+    got = np.zeros_like(want)
+    for r in covariance_cells(emb, "embedding", 64).collect():
+        n = r["n"]
+        got[r["i"] - 1, r["j"] - 1] = (
+            r["sxy"] / n - (r["sxi"] / n) * (r["sxj"] / n)
+        )
+    assert np.abs(got - want).max() < 1e-9
+    assert np.abs(got - got.T).max() < 1e-12  # symmetric by construction
+
+
+def test_whitened_components_are_decorrelated_unit_variance(spark, emb):
+    k = 8
+    out = pca_whiten(emb, "embedding", "vec_id", k=k, dim=64)
+    y = np.vstack([np.asarray(r["proj"]) for r in out.collect()])
+    assert y.shape[1] == k
+    c = np.cov(y, rowvar=False, bias=True)
+    assert np.abs(c - np.eye(k)).max() < 1e-6
+
+
+def test_projection_matches_numpy_reference(spark, emb):
+    x = _np_matrix(emb)
+    cov = np.cov(x, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    lam, basis = w[order], v[:, order]
+    for c in range(4):
+        p = int(np.argmax(np.abs(basis[:, c])))
+        if basis[p, c] < 0:
+            basis[:, c] = -basis[:, c]
+    want = (x - x.mean(axis=0)) @ basis / np.sqrt(lam + 1e-9)
+    out = pca_whiten(emb, "embedding", "vec_id", k=4, dim=64)
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    got = {r["vec_id"]: np.asarray(r["proj"]) for r in out.collect()}
+    got = np.vstack([got[i] for i in ids])
+    assert np.abs(got - want).max() < 1e-6
+
+
+def test_deterministic_across_runs(spark, emb):
+    a = pca_whiten(emb, "embedding", "vec_id", k=3, dim=64).collect()
+    b = pca_whiten(emb, "embedding", "vec_id", k=3, dim=64).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_dim_bound_enforced(spark, emb):
+    with pytest.raises(ValueError):
+        pca_whiten(emb, "embedding", "vec_id", k=2, dim=2048)
