@@ -532,3 +532,60 @@ def q81_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("j"),
         F.round(cov, 6).alias("cov"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q82 — snapshot diff (CDC between two corpus versions)                        #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q82_snapshot_diff",
+    operators=("J5", "S16", "P11"),
+    oracle="""
+WITH old AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id % 11 <> 0
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+), j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'insert'
+              WHEN n.doc_id IS NULL THEN 'delete'
+              WHEN (o.text, o.lang, o.source, o.n_chars) IS DISTINCT FROM
+                   (n.text, n.lang, n.source, n.n_chars) THEN 'update'
+         END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, change_type FROM j WHERE change_type IS NOT NULL
+""",
+)
+def q82_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two corpus snapshots
+    (operators.merge.snapshot_diff): inserts, updates, and deletes from a
+    full outer join on the key with a map-side xxhash64 row fingerprint —
+    the wide row never rides the shuffle twice.  The demonstration
+    snapshots derive deterministically from one table (mod-11 holdout =
+    inserts, mod-13 holdout = deletes, mod-7 text revision = updates); the
+    oracle re-expresses the SAME diff with direct value comparison, so the
+    gate also proves the hash fingerprint loses nothing on this corpus.
+
+    This is what turns a full re-crawl into incremental work downstream:
+    only 'insert'/'update' keys re-enter dedup/quality/packing, and
+    'delete' keys retire from the index — the reference's re-ingest-
+    everything loop (ref: cosmo/sms/ingest_sms.py:288-294) inverted.
+    """
+    from cosmo_spark.operators.merge import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 11 != 0)
+    new = d.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id",
+                         ["text", "lang", "source", "n_chars"])

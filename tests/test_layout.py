@@ -182,3 +182,24 @@ def test_zorder_value_matches_python_morton(spark):
     }
     for x, y in rows:
         assert got[(x, y)] == morton2(x, y, 4), (x, y)
+
+
+def test_compact_table_collapses_small_files(spark, tmp_path):
+    import glob
+    import os
+
+    from cosmo_spark.sources.layout import compact_table
+
+    path = str(tmp_path / "t")
+    # simulate micro-batch ingest: 20 appends of tiny frames
+    for k in range(20):
+        spark.range(k * 10, (k + 1) * 10).selectExpr(
+            "id", "id * 2 AS v"
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = len(glob.glob(os.path.join(path, "part-*")))
+    assert before >= 20
+    n = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after = len(glob.glob(os.path.join(path, "part-*")))
+    assert after == n == 1
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(200))

@@ -356,3 +356,33 @@ class TestCrossDedup:
                 for b in range(1, 8, 2)
             )
             assert abs(r["max_jaccard"] - best) < 1e-9
+
+
+class TestSnapshotDiff:
+    def test_all_change_types(self, spark):
+        from cosmo_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+            "k long, txt string, v long",
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 20),        # unchanged -> dropped
+             (3, "c2", 30),       # update
+             (4, None, 40),       # null == null -> unchanged
+             (5, "e", 50)],       # insert
+            "k long, txt string, v long",
+        )
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(old, new, "k").collect()
+        }
+        assert got == {1: "delete", 3: "update", 5: "insert"}
+
+    def test_compare_cols_subset(self, spark):
+        from cosmo_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", 1)], "k long, txt string, v long")
+        new = spark.createDataFrame([(1, "a", 2)], "k long, txt string, v long")
+        assert snapshot_diff(old, new, "k", ["txt"]).count() == 0
+        assert snapshot_diff(old, new, "k", ["v"]).collect()[0]["change_type"] == "update"
