@@ -231,25 +231,27 @@ def q77_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("A9", "U1", "W6"),
     oracle="""
 WITH es AS (
-  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s, value FROM events
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
 ), minute AS (
   SELECT event_type, (s // 60) * 60 AS bucket_s,
-         CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sv
+         CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS sc
   FROM es GROUP BY event_type, (s // 60) * 60
 ), hour AS (
   SELECT event_type, (bucket_s // 3600) * 3600 AS bucket_s,
-         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+         CAST(sum(n_events) AS BIGINT) AS n_events, CAST(sum(sc) AS BIGINT) AS sc
   FROM minute GROUP BY event_type, (bucket_s // 3600) * 3600
 ), day AS (
   SELECT event_type, (bucket_s // 86400) * 86400 AS bucket_s,
-         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+         CAST(sum(n_events) AS BIGINT) AS n_events, CAST(sum(sc) AS BIGINT) AS sc
   FROM hour GROUP BY event_type, (bucket_s // 86400) * 86400
 )
-SELECT 'minute' AS grain, event_type, bucket_s, n_events, round(sv, 6) AS sum_value FROM minute
+SELECT 'minute' AS grain, event_type, bucket_s, n_events, sc / 100.0 AS sum_value FROM minute
 UNION ALL
-SELECT 'hour' AS grain, event_type, bucket_s, n_events, round(sv, 6) AS sum_value FROM hour
+SELECT 'hour' AS grain, event_type, bucket_s, n_events, sc / 100.0 AS sum_value FROM hour
 UNION ALL
-SELECT 'day' AS grain, event_type, bucket_s, n_events, round(sv, 6) AS sum_value FROM day
+SELECT 'day' AS grain, event_type, bucket_s, n_events, sc / 100.0 AS sum_value FROM day
 """,
 )
 def q78_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,38 +261,39 @@ def q78_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minute frame and day aggregates re-aggregate the hour frame.  The
     fact table is scanned exactly once; each coarser grain consumes the
     previous (exponentially smaller) aggregate, which is also how an
-    incremental refresh would maintain them.
+    incremental refresh would maintain them.  Sums ride as exact integer
+    cents (the source values are 2-dp), so re-aggregation is bit-exact in
+    any order at any scale — no float-tie risk (docs/PARITY.md rule 3).
 
     Scale shape: one corpus shuffle on (event_type, minute) with map-side
     partial aggregation; the hour and day shuffles move only minute/hour
-    bucket rows (~10⁴ per fact-table 10⁷).  Counts re-sum exactly as
-    BIGINTs; double sums reassociate (sum of minute sums == sum of values
-    only up to fp rounding), which round(6) absorbs at any realistic
-    magnitude — the same discipline as the catalog's other double sums.
-    The minute frame is persisted for its two consumers (output + hour
-    derivation); day reuses hour's plan the same way.
+    bucket rows (~10⁴ per fact-table 10⁷).  The minute frame is persisted
+    for its two consumers (output + hour derivation); day reuses hour's
+    plan the same way.
     """
     ev = _t(spark, sf_dir, "events")
     es = ev.select(
         "event_type",
         F.expr("unix_micros(ts) div 1000000").alias("s"),
-        "value",
+        # the source values are 2-dp: sum exact integer cents (PARITY rule 3
+        # — int64 sums are order-independent; one final division is exact)
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
     )
     minute = (
         es.groupBy("event_type", F.expr("(s div 60) * 60").alias("bucket_s"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sc"))
         .persist()
     )
     hour = (
         minute.groupBy(
             "event_type", F.expr("(bucket_s div 3600) * 3600").alias("bucket_s")
         )
-        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sc").alias("sc"))
         .persist()
     )
     day = hour.groupBy(
         "event_type", F.expr("(bucket_s div 86400) * 86400").alias("bucket_s")
-    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sc").alias("sc"))
 
     def shape(df: DataFrame, grain: str) -> DataFrame:
         return df.select(
@@ -298,7 +301,7 @@ def q78_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "bucket_s",
             "n_events",
-            F.round("sv", 6).alias("sum_value"),
+            (F.col("sc") / 100.0).alias("sum_value"),
         )
 
     return (

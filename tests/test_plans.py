@@ -298,3 +298,72 @@ def test_q74_no_corpus_scale_global_window(spark, qs):
     assert specs
     doc_specs = [s for s in specs if "doc_id" in s]
     assert doc_specs and all("__bucket" in s for s in doc_specs), doc_specs
+
+
+def test_q77_pii_scan_is_map_only(spark, qs):
+    # row-local regexp scan: no exchange of any kind in the plan
+    df = qs["q77_pii_scan"].spark_fn(spark, SF)
+    assert "Exchange" not in physical_plan(df)
+
+
+def test_q76_pair_counts_aggregate_vocab_first(spark, qs):
+    # the corpus must collapse to the word-frequency aggregate BEFORE any
+    # per-character pair explode: the explode sits above a HashAggregate,
+    # and the final top-20 is a TakeOrdered, not a global sort exchange
+    df = qs["q76_bpe_pair_counts"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    gen_inputs = re.findall(
+        r"\(\d+\) Generate\n(?:.*\n)*?Input \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert any("freq" in g for g in gen_inputs), gen_inputs
+
+
+def test_q75_assignment_is_broadcast_maxby_not_window(spark, qs):
+    # nearest-centroid assignment: broadcast join + partial max_by — the
+    # corpus must never hit a per-vector row_number window
+    df = qs["q75_semantic_dedup"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_q80_corpus_window_is_keyed(spark, qs):
+    # the global rank must decompose: the corpus-side row_number partitions
+    # by n_chars (keyed shuffle), and at most ONE unpartitioned window
+    # exists — the cumulative sum over the tiny histogram frame
+    df = qs["q80_quality_deciles"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "windowspecdefinition(n_chars" in plan
+    import re
+
+    unpartitioned = [
+        m for m in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if m.startswith("n_chars ASC")  # ordered-only spec = no partition cols
+    ]
+    assert len(unpartitioned) <= 1, unpartitioned
+
+
+def test_q81_covariance_exchange_carries_cells_only(spark, qs):
+    # the exchange below the covariance aggregate carries (pos, sum,
+    # count) partials — never the raw vectors
+    df = qs["q81_embedding_covariance"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "posexplode" in plan or "Generate" in plan
+    import re
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m, f"raw vectors in exchange key: {m}"
+
+
+def test_q82_fingerprint_computed_below_join(spark, qs):
+    # the xxhash64 row fingerprint must compute map-side (in the projection
+    # below the join), so the full-outer join carries (key, hash) only
+    df = qs["q82_snapshot_diff"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    join = plan.index("SortMergeJoin")
+    assert "xxhash64" in plan[join:], "fingerprint must be below the join"
+    import re
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m
