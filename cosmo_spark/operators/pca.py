@@ -35,6 +35,12 @@ def covariance_cells(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """
     v = as_double(F.col(vec_col))
     base = df.select(v.alias("__v")).filter(F.size("__v") == dim)
+    # full d² flat outer product per row: a PRIMITIVE double array through
+    # posexplode codegen.  An upper-triangle-only variant (struct{i,j,p}
+    # per element, mirrored after the aggregate) was measured SLOWER at
+    # sf0.1 and 10× despite halving the multiplies — per-element struct
+    # allocation costs more than the saved arithmetic; the flat array is
+    # the fast shape.
     outer = F.flatten(
         F.transform("__v", lambda xi: F.transform("__v", lambda xj: xi * xj))
     )
