@@ -592,3 +592,132 @@ def q82_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot_diff(old, new, "doc_id",
                          ["text", "lang", "source", "n_chars"])
+
+
+# --------------------------------------------------------------------------- #
+# q83 — duplicate-cluster representative selection (the actual keep list)      #
+# --------------------------------------------------------------------------- #
+
+def _rep_oracle() -> str:
+    """q45's recursive-CTE transitive closure + per-cluster argmax."""
+    from cosmo_spark.queries.textops import _cluster_oracle
+
+    closure = _cluster_oracle().strip()
+    return f"""
+WITH clusters AS (
+  {closure}
+), scored AS (
+  SELECT c.id, c.cluster, d.n_chars
+  FROM clusters c JOIN documents d ON d.doc_id = c.id
+), reps AS (
+  SELECT cluster, id AS rep_id FROM (
+    SELECT cluster, id,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_chars DESC, id) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT s.cluster, r.rep_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM scored s JOIN reps r ON s.cluster = r.cluster
+GROUP BY s.cluster, r.rep_id
+"""
+
+
+@register("q83_cluster_representatives", operators=("DD6", "A8"), oracle=_rep_oracle())
+def q83_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final step of near-dup removal: pick ONE representative per
+    duplicate cluster (longest document, doc_id tiebreak) and count what
+    drops — composed from q39's verified MinHash pairs and q45's connected
+    components, then a per-cluster ``max_by`` argmax that resolves
+    map-side (the A8 discipline: the exchange carries one candidate per
+    (cluster, partition), never the membership).
+
+    The keep rule matters operationally: "longest wins" retains the
+    superset document when near-dups are truncations of each other —
+    the standard corpus-dedup policy.
+    """
+    from cosmo_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_table(d, "text", "doc_id", shingle_n=3).persist()
+    cands = minhash_candidates(
+        d, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3, shingles=sh
+    )
+    verified = ngram_jaccard_pairs(
+        d, "text", "doc_id", candidate_pairs=cands, shingles=sh
+    )
+    clusters = duplicate_clusters(verified.select("id_a", "id_b"))
+    scored = clusters.join(
+        d.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    key = F.struct(F.col("n_chars").alias("a"), (-F.col("id")).alias("b"))
+    return scored.groupBy("cluster").agg(
+        F.max_by("id", key).alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q84 — temperature-weighted source mixing (T5-style alpha sampling)           #
+# --------------------------------------------------------------------------- #
+
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 100_000
+
+
+@register(
+    "q84_temperature_mix",
+    operators=("A11", "A4"),
+    oracle=f"""
+WITH tl AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+counts AS (
+  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM tl GROUP BY source
+), w AS (
+  SELECT source, n_tokens, pow(n_tokens, {_MIX_ALPHA}) AS pw FROM counts
+), tot AS (SELECT sum(pw) AS t FROM w)
+SELECT source, n_tokens,
+       round(pw / t, 6) AS weight,
+       round({_MIX_BUDGET} * pw / t, 3) AS alloc_tokens,
+       round(least(1.0, {_MIX_BUDGET} * pw / t / n_tokens), 6) AS sample_rate
+FROM w, tot
+""",
+)
+def q84_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture design (the T5 / multilingual-sampling
+    rule): source weight ∝ (source tokens)^α with α < 1, boosting
+    low-resource sources without letting any source dominate; emit each
+    source's normalized weight, its token allocation under a fixed budget,
+    and the implied per-source sampling rate.  q63 executes an exact-budget
+    cut; THIS computes the policy it would be fed at α ≠ 1.
+
+    Scale shape: one keyed shuffle to (source, token-count) — partial
+    sums map-side — then the normalizer is a broadcast 1-row frame;
+    everything after the aggregate is arithmetic over n_sources rows.
+    """
+    d = _t(spark, sf_dir, "documents")
+    counts = d.select(
+        "source", F.size(tokenize(F.col("text"))).alias("n")
+    ).groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    w = counts.withColumn("pw", F.pow("n_tokens", F.lit(_MIX_ALPHA)))
+    tot = w.agg(F.sum("pw").alias("t"))
+    frac = F.col("pw") / F.col("t")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(frac, 6).alias("weight"),
+            F.round(F.lit(_MIX_BUDGET) * frac, 3).alias("alloc_tokens"),
+            F.round(
+                F.least(F.lit(1.0), F.lit(_MIX_BUDGET) * frac / F.col("n_tokens")),
+                6,
+            ).alias("sample_rate"),
+        )
+    )
