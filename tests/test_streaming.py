@@ -184,3 +184,77 @@ def test_stream_ingest_dedup_across_batches(spark, tmp_path):
     # re-run with no new files: checkpoint makes it a no-op
     run()
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_stream_rollup_cascade_incremental_equals_batch(spark, tmp_path):
+    """Two micro-batches (the second with a LATE event into batch 1's hour)
+    must leave the stored minute/hour/day grains identical to a from-scratch
+    batch aggregation over everything ingested."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, TimestampType
+
+    from cosmo_spark.streaming.rates import stream_rollup_cascade
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    target = str(tmp_path / "grains")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_rollup_cascade(
+            spark, str(src), schema_ts, target, ckpt
+        )
+        q.awaitTermination(60)
+
+    # the stream needs a real timestamp column: declare ts as timestamp
+    schema_ts = StructType([
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+
+    b1 = [
+        {"event_type": "a", "ts": "2024-03-01T10:00:05", "value": 1.25},
+        {"event_type": "a", "ts": "2024-03-01T10:00:45", "value": 2.50},
+        {"event_type": "b", "ts": "2024-03-01T11:30:00", "value": 10.00},
+    ]
+    b2 = [
+        {"event_type": "a", "ts": "2024-03-02T09:15:00", "value": 4.00},
+        # LATE: lands back in 2024-03-01 10:00 minute/hour/day
+        {"event_type": "a", "ts": "2024-03-01T10:00:59", "value": 0.25},
+    ]
+    write_json(src / "b1.json", b1)
+    run()
+    write_json(src / "b2.json", b2)
+    run()
+
+    all_events = spark.createDataFrame(
+        [(r["event_type"], r["ts"].replace("T", " "), r["value"]) for r in b1 + b2],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    for grain, factor in [("minute", 60), ("hour", 3600), ("day", 86400)]:
+        want = {
+            (r["event_type"], r["bucket_s"]): (r["n"], r["sc"])
+            for r in all_events.select(
+                "event_type",
+                F.expr(
+                    f"((unix_micros(ts) div 1000000) div {factor}) * {factor}"
+                ).alias("bucket_s"),
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            )
+            .groupBy("event_type", "bucket_s")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc"))
+            .collect()
+        }
+        got = {
+            (r["event_type"], r["bucket_s"]): (r["n_events"], r["sc"])
+            for r in spark.read.parquet(f"{target}/{grain}").collect()
+        }
+        assert got == want, (grain, got, want)
+
+    # idempotent re-run with no new files
+    run()
+    assert spark.read.parquet(f"{target}/minute").count() == len(
+        {(r["event_type"], r["ts"][:16]) for r in b1 + b2}
+    )
