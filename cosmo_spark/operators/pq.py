@@ -34,9 +34,15 @@ from cosmo_spark.functions.vectors import as_double
 
 
 def _book_lit(book: Sequence[Sequence[float]]):
-    return F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in book
-    ])
+    """One SQL-parsed nested-array literal per codebook — the q55 plane
+    lesson: building it from individual F.lit() calls costs a py4j round
+    trip per float (thousands for a realistic codebook) and a wide Python-
+    built expression tree; one F.expr string parses JVM-side in one call."""
+    return F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in book
+        ) + ")"
+    )
 
 
 def _sqdist(a, b):
@@ -68,22 +74,28 @@ def pq_encode(
     out = df.select(
         F.col(id_col).alias("__id"), v.alias("__v")
     ).filter(F.size("__v") == n_sub * sub_dim)
-    # stage slices, then distance lists, then codes — each bound once
-    for s in range(n_sub):
-        out = out.withColumn(
-            f"__sl{s}", F.slice("__v", s * sub_dim + 1, sub_dim)
-        )
+    # stage slices, then distance lists, then codes — each bound once, and
+    # each STAGE as one select: chained withColumns re-analyze the plan per
+    # call (measured ~2s of pure DataFrame construction for 32 columns)
+    out = out.select(
+        "*", *[
+            F.slice("__v", s * sub_dim + 1, sub_dim).alias(f"__sl{s}")
+            for s in range(n_sub)
+        ]
+    )
     # NB: no `lambda c, s=s` default-arg trick here — PySpark reads lambda
     # arity, and a second parameter turns the HOF into (element, index) form
     def _dist_to(col_name: str):
         sl = F.col(col_name)
         return lambda c: _sqdist(sl, c)
 
-    for s in range(n_sub):
-        out = out.withColumn(
-            f"__d{s}",
-            F.transform(_book_lit(codebooks[s]), _dist_to(f"__sl{s}")),
-        )
+    out = out.select(
+        "*", *[
+            F.transform(_book_lit(codebooks[s]), _dist_to(f"__sl{s}"))
+            .alias(f"__d{s}")
+            for s in range(n_sub)
+        ]
+    )
     codes = F.array(*[
         F.array_position(F.col(f"__d{s}"), F.array_min(f"__d{s}")).cast("int")
         for s in range(n_sub)
@@ -135,17 +147,24 @@ def pq_adc_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), qv.alias("__q")
     ).filter(F.size("__q") == n_sub * sub_dim)
-    for s in range(n_sub):
-        q = q.withColumn(f"__qs{s}", F.slice("__q", s * sub_dim + 1, sub_dim))
+    q = q.select(
+        "*", *[
+            F.slice("__q", s * sub_dim + 1, sub_dim).alias(f"__qs{s}")
+            for s in range(n_sub)
+        ]
+    )
+
     def _dist_to(col_name: str):
         sl = F.col(col_name)
         return lambda c: _sqdist(sl, c)
 
-    for s in range(n_sub):
-        q = q.withColumn(
-            f"__dt{s}",
-            F.transform(_book_lit(codebooks[s]), _dist_to(f"__qs{s}")),
-        )
+    q = q.select(
+        "*", *[
+            F.transform(_book_lit(codebooks[s]), _dist_to(f"__qs{s}"))
+            .alias(f"__dt{s}")
+            for s in range(n_sub)
+        ]
+    )
     qt = q.select("query_id", *[f"__dt{s}" for s in range(n_sub)])
     pairs = codes.select(
         F.col(id_col).alias("neighbor_id"), "codes"
