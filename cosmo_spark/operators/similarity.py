@@ -149,29 +149,13 @@ def ivf_cosine_topk(
     k-means offline).
     """
     bucketed_corpus = assign_buckets(corpus, centroids, vec_col, id_col)
-    from cosmo_spark.functions.vectors import dot, l2_norm
+    from cosmo_spark.functions.vectors import l2_norm, dot
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("__qn", l2_norm("q_vec"))
-    c_dim = centroids.select(
-        "bucket", as_double(F.col("centroid")).alias("__c")
-    ).withColumn("__cn", l2_norm("__c"))
-    p_denom = F.col("__qn") * F.col("__cn")
-    probes = (
-        q.crossJoin(F.broadcast(c_dim))
-        .withColumn("__sim", F.when(p_denom > 0, dot("q_vec", "__c") / p_denom))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("bucket").asc())
-    probe_buckets = (
-        probes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "q_vec", "__qn", "bucket")
-    )
+    probed = probe_buckets(queries, centroids, vec_col, id_col, nprobe)
     pairs = (
         bucketed_corpus.withColumnRenamed(id_col, "neighbor_id")
         .withColumn("__nn", l2_norm(vec_col))  # once per corpus row, below the join
-        .join(F.broadcast(probe_buckets), "bucket")
+        .join(F.broadcast(probed), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     s_denom = F.col("__qn") * F.col("__nn")
@@ -181,3 +165,37 @@ def ivf_cosine_topk(
     # same two-phase re-rank as the exact path: probed candidates rank
     # locally per (query, partition) before the per-query reduction
     return _grouped_topk(scored, k)
+
+def probe_buckets(
+    queries: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, q_vec, __qn, bucket): each query's ``nprobe`` nearest
+    coarse-quantizer buckets by cosine (sim desc, bucket asc ties) — the
+    probe set shared by the float IVF path (ivf_cosine_topk) and the
+    IVF-PQ path (operators/pq.ivf_pq_topk).  The rank window partitions by
+    query over the tiny queries×k candidate frame."""
+    from cosmo_spark.functions.vectors import dot, l2_norm
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("__qn", l2_norm("q_vec"))
+    c_dim = centroids.select(
+        "bucket", as_double(F.col("centroid")).alias("__c")
+    ).withColumn("__cn", l2_norm("__c"))
+    p_denom = F.col("__qn") * F.col("__cn")
+    scored = (
+        q.crossJoin(F.broadcast(c_dim))
+        .withColumn("__sim", F.when(p_denom > 0, dot("q_vec", "__c") / p_denom))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("bucket").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", "__qn", "bucket")
+    )
