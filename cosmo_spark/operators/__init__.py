@@ -21,10 +21,27 @@ from cosmo_spark.operators.dedup import (
     simhash,
     duplicate_clusters,
     embedding_near_dups,
+    srp_lsh_near_dups,
+    cross_dedup,
+    band_table,
 )
-from cosmo_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+from cosmo_spark.operators.merge import snapshot_diff
+from cosmo_spark.operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    assign_buckets,
+    probe_buckets,
+)
 from cosmo_spark.operators.kmeans import kmeans_centroids
-from cosmo_spark.operators.skew import salted_agg, salted_broadcast_join
+from cosmo_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_join,
+    hot_cold_dict_join,
+)
+from cosmo_spark.operators.bloom import bloom_semi_join
+from cosmo_spark.operators.pca import covariance_cells, pca_whiten
+from cosmo_spark.operators.pq import pq_encode, pq_adc_topk, ivf_pq_topk
+from cosmo_spark.operators.prefix import bucketed_prefix_sum
 
 __all__ = [
     "asof_join", "describe_by", "histogram", "quantile_cuts", "latest_per_key",
@@ -32,7 +49,11 @@ __all__ = [
     "merge_versioned", "merge_into_path", "merge_into_partitioned",
     "rolling_time_mean", "cumulative", "boxcar",
     "exact_dedup", "minhash_candidates", "ngram_jaccard_pairs", "simhash",
-    "duplicate_clusters", "embedding_near_dups",
-    "cosine_topk", "ivf_cosine_topk", "kmeans_centroids",
-    "salted_agg", "salted_broadcast_join",
+    "duplicate_clusters", "embedding_near_dups", "srp_lsh_near_dups",
+    "cross_dedup", "band_table", "snapshot_diff",
+    "cosine_topk", "ivf_cosine_topk", "assign_buckets", "probe_buckets",
+    "kmeans_centroids",
+    "salted_agg", "salted_broadcast_join", "hot_cold_dict_join",
+    "bloom_semi_join", "covariance_cells", "pca_whiten",
+    "pq_encode", "pq_adc_topk", "ivf_pq_topk", "bucketed_prefix_sum",
 ]
