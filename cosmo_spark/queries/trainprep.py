@@ -1074,3 +1074,59 @@ def q88_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l2_dist", 6).alias("l2_dist"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q89 — table profiling (the data-quality DESCRIBE every pipeline runs first)  #
+# --------------------------------------------------------------------------- #
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "q89_profile_table",
+    operators=("A1", "A12", "U2"),
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q89_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of a table — row count, null count, exact distinct
+    count, min/max per column — the data-quality DESCRIBE a pipeline runs
+    before trusting a new corpus drop (null-rate regressions and
+    cardinality collapses are how upstream breakage usually shows up).
+
+    One scan computes every column's stats in a single aggregate; the
+    per-column rows are an unpivot of that one row.  Exact multi-column
+    countDistinct makes Spark plan an Expand (one replica of the scan's
+    rows per distinct-column) — the documented profiling trade; at 100 TB
+    flip to approx_count_distinct and the whole profile collapses to one
+    partial-aggregated pass with HLL sketches (the A12 switch).  min/max
+    stringify so heterogeneous columns share one output schema.
+    """
+    d = _t(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
+    )
