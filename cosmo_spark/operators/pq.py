@@ -74,27 +74,35 @@ def pq_encode(
     out = df.select(
         F.col(id_col).alias("__id"), v.alias("__v")
     ).filter(F.size("__v") == n_sub * sub_dim)
-    # stage slices, then distance lists, then codes — each bound once, and
-    # each STAGE as one select: chained withColumns re-analyze the plan per
-    # call (measured ~2s of pure DataFrame construction for 32 columns)
+    # Encode runs over the WHOLE corpus, so it must stay in whole-stage
+    # codegen: higher-order functions (transform/aggregate) are interpreted
+    # in Spark, so the distance lists here are string-built PLAIN-arithmetic
+    # arrays over bound element columns — one F.expr parse per subspace, no
+    # lambdas anywhere on the corpus path.  The left-associated `+` chain
+    # reproduces the oracle's list_sum fold bit-for-bit ((((0+a)+b)+c) ==
+    # a+b+c+d for non-negative squared terms).  Staging is batched per
+    # stage: chained withColumns re-analyze the plan per call (measured
+    # ~2s of pure DataFrame construction for 32 columns).
+    dim = n_sub * sub_dim
     out = out.select(
         "*", *[
-            F.slice("__v", s * sub_dim + 1, sub_dim).alias(f"__sl{s}")
-            for s in range(n_sub)
+            F.element_at("__v", i + 1).alias(f"__x{i}") for i in range(dim)
         ]
     )
-    # NB: no `lambda c, s=s` default-arg trick here — PySpark reads lambda
-    # arity, and a second parameter turns the HOF into (element, index) form
-    def _dist_to(col_name: str):
-        sl = F.col(col_name)
-        return lambda c: _sqdist(sl, c)
+
+    def _dists_expr(s: int) -> str:
+        cells = []
+        for c in codebooks[s]:
+            terms = [
+                f"(__x{s * sub_dim + d_} - {float(c[d_])!r}D)"
+                f" * (__x{s * sub_dim + d_} - {float(c[d_])!r}D)"
+                for d_ in range(sub_dim)
+            ]
+            cells.append(" + ".join(terms))
+        return "array(" + ", ".join(cells) + ")"
 
     out = out.select(
-        "*", *[
-            F.transform(_book_lit(codebooks[s]), _dist_to(f"__sl{s}"))
-            .alias(f"__d{s}")
-            for s in range(n_sub)
-        ]
+        "*", *[F.expr(_dists_expr(s)).alias(f"__d{s}") for s in range(n_sub)]
     )
     codes = F.array(*[
         F.array_position(F.col(f"__d{s}"), F.array_min(f"__d{s}")).cast("int")
