@@ -162,6 +162,10 @@ def pq_adc_topk(
         ]
     )
 
+    # closure factory, NOT `lambda c, s=s`: PySpark reads lambda arity, and
+    # a second parameter silently turns the HOF into (element, index) form.
+    # HOFs are fine HERE — this is the per-query side (a handful of rows);
+    # the corpus-path encode above is plain-arithmetic codegen instead.
     def _dist_to(col_name: str):
         sl = F.col(col_name)
         return lambda c: _sqdist(sl, c)
