@@ -533,3 +533,60 @@ def test_q78_rollup_grains_consistent(spark, events):
         want[k][0] += 1
         want[k][1] += v
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@given(st.lists(st.tuples(st.integers(0, 1000), st.integers(0, 6)),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]))
+@settings(**_SETTINGS)
+def test_q80_decomposed_rank_matches_bruteforce(spark, rows):
+    """Histogram-decomposed global rank (q80's shape) == brute-force sorted
+    rank, decile by decile, including ties split across boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    hist = df.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "n_chars", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("before")
+    )
+    total = hist.agg(F.sum("cnt").alias("n"))
+    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
+    got = {
+        r["doc_id"]: r["decile"]
+        for r in df.join(F.broadcast(cum), "n_chars")
+        .withColumn("r", F.col("before") + F.row_number().over(w_in) - 1)
+        .crossJoin(F.broadcast(total))
+        .withColumn("decile", F.expr("(r * 10) div n"))
+        .collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    n = len(rows)
+    want = {doc: (i * 10) // n for i, (doc, _) in enumerate(order)}
+    assert got == want
+
+
+@given(
+    st.dictionaries(st.integers(0, 20), st.integers(0, 3), max_size=15),
+    st.dictionaries(st.integers(0, 20), st.integers(0, 3), max_size=15),
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_dict_diff(spark, old, new):
+    from cosmo_spark.operators.merge import snapshot_diff
+
+    mk = lambda d: spark.createDataFrame(
+        list(d.items()) or [(None, None)], "k long, v long"
+    ).filter("k IS NOT NULL")
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(mk(old), mk(new), "k").collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "insert"
+        elif k not in new:
+            want[k] = "delete"
+        elif old[k] != new[k]:
+            want[k] = "update"
+    assert got == want
