@@ -45,6 +45,40 @@ def _book_lit(book: Sequence[Sequence[float]]):
     )
 
 
+def _dist_to(col_name: str):
+    """Closure factory, NOT `lambda c, s=s`: PySpark reads lambda arity, and
+    a second parameter silently turns the HOF into (element, index) form."""
+    sl = F.col(col_name)
+    return lambda c: _sqdist(sl, c)
+
+
+def _query_tables(queries, vec_col, id_col, codebooks):
+    """(query frame with __q + staged __dt{s} lookup tables, n_sub).
+
+    Per-QUERY side only (a handful of rows) — interpreted HOFs are fine
+    here; the corpus-path encode is plain-arithmetic codegen instead.
+    """
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    qv = as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("__q")
+    ).filter(F.size("__q") == n_sub * sub_dim)
+    q = q.select(
+        "*", *[
+            F.slice("__q", s * sub_dim + 1, sub_dim).alias(f"__qs{s}")
+            for s in range(n_sub)
+        ]
+    )
+    return q.select(
+        "query_id", "__q", *[
+            F.transform(_book_lit(codebooks[s]), _dist_to(f"__qs{s}"))
+            .alias(f"__dt{s}")
+            for s in range(n_sub)
+        ]
+    ), n_sub
+
+
 def _sqdist(a, b):
     """Sequential elementwise fold — identical summation order to the
     oracle's list_sum(list_transform(list_zip(...)))."""
@@ -148,35 +182,9 @@ def pq_adc_topk(
     from pyspark.sql.window import Window
 
     n_sub = len(codebooks)
-    sub_dim = len(codebooks[0][0])
     if codes is None:
         codes = pq_encode(corpus, vec_col, id_col, codebooks)
-    qv = as_double(F.col(vec_col))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), qv.alias("__q")
-    ).filter(F.size("__q") == n_sub * sub_dim)
-    q = q.select(
-        "*", *[
-            F.slice("__q", s * sub_dim + 1, sub_dim).alias(f"__qs{s}")
-            for s in range(n_sub)
-        ]
-    )
-
-    # closure factory, NOT `lambda c, s=s`: PySpark reads lambda arity, and
-    # a second parameter silently turns the HOF into (element, index) form.
-    # HOFs are fine HERE — this is the per-query side (a handful of rows);
-    # the corpus-path encode above is plain-arithmetic codegen instead.
-    def _dist_to(col_name: str):
-        sl = F.col(col_name)
-        return lambda c: _sqdist(sl, c)
-
-    q = q.select(
-        "*", *[
-            F.transform(_book_lit(codebooks[s]), _dist_to(f"__qs{s}"))
-            .alias(f"__dt{s}")
-            for s in range(n_sub)
-        ]
-    )
+    q, _ = _query_tables(queries, vec_col, id_col, codebooks)
     qt = q.select("query_id", *[f"__dt{s}" for s in range(n_sub)])
     pairs = codes.select(
         F.col(id_col).alias("neighbor_id"), "codes"
@@ -200,7 +208,9 @@ def pq_adc_topk(
         "query_id", "neighbor_id"
     )
     qvec = q.select("query_id", "__q")
-    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), qv.alias("__c"))
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__c")
+    )
     exact = (
         cvec.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
@@ -246,34 +256,12 @@ def ivf_pq_topk(
     from cosmo_spark.operators.similarity import assign_buckets, probe_buckets
 
     n_sub = len(codebooks)
-    sub_dim = len(codebooks[0][0])
     assigned = assign_buckets(corpus, centroids, vec_col, id_col)
     codes = pq_encode(corpus, vec_col, id_col, codebooks)
     index = codes.join(assigned.select(F.col(id_col), "bucket"), id_col)
 
     probes = probe_buckets(queries, centroids, vec_col, id_col, nprobe)
-    qv = as_double(F.col(vec_col))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), qv.alias("__q")
-    ).filter(F.size("__q") == n_sub * sub_dim)
-    q = q.select(
-        "*", *[
-            F.slice("__q", s * sub_dim + 1, sub_dim).alias(f"__qs{s}")
-            for s in range(n_sub)
-        ]
-    )
-
-    def _dist_to(col_name: str):
-        sl = F.col(col_name)
-        return lambda c: _sqdist(sl, c)
-
-    q = q.select(
-        "*", *[
-            F.transform(_book_lit(codebooks[s]), _dist_to(f"__qs{s}"))
-            .alias(f"__dt{s}")
-            for s in range(n_sub)
-        ]
-    )
+    q, _ = _query_tables(queries, vec_col, id_col, codebooks)
     qt = q.select("query_id", *[f"__dt{s}" for s in range(n_sub)])
     probe_q = probes.select("query_id", "bucket").join(qt, "query_id")
     cand = (
@@ -295,7 +283,9 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id")
     )
     qvec = q.select("query_id", "__q")
-    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), qv.alias("__c"))
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__c")
+    )
     exact = (
         cvec.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qvec), "query_id")

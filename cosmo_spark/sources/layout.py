@@ -194,6 +194,14 @@ def compact_table(
     import shutil
     import uuid
 
+    import glob as _glob
+
+    if _glob.glob(os.path.join(path, "*=*/")):
+        raise ValueError(
+            f"{path} is Hive-partitioned: whole-table compaction would "
+            "flatten the partition columns into data files. Compact each "
+            "partition directory instead (or rewrite with partitionBy)."
+        )
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -203,3 +203,16 @@ def test_compact_table_collapses_small_files(spark, tmp_path):
     assert after == n == 1
     got = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert got == list(range(200))
+
+
+def test_compact_table_refuses_partitioned_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from cosmo_spark.sources.layout import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).selectExpr("id", "id % 3 AS p").write.partitionBy(
+        "p"
+    ).parquet(path)
+    with _pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_table(spark, path)
