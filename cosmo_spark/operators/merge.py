@@ -16,8 +16,6 @@ becomes a single ``MERGE INTO`` with the same guard predicate; the semantics
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,13 +67,11 @@ def merge_into_path(
     tables; at scale use ``merge_into_partitioned`` (rewrites only affected
     partitions) or a transactional format's MERGE.
     """
+    from cosmo_spark.sources.files import atomic_overwrite
+
     current = spark.read.parquet(path) if os.path.exists(path) else None
     merged = merge_versioned(current, updates, key_cols, version_col)
-    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    atomic_overwrite(merged, path)
 
 
 def merge_into_partitioned(

@@ -114,17 +114,34 @@ def pca_whiten(
         if basis[pivot, c] < 0:
             basis[:, c] = -basis[:, c]
 
-    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
-    comp_lit = F.array(*[
-        F.array(*[F.lit(float(basis[d_, c])) for d_ in range(dim)])
-        for c in range(k)
-    ])
-    scale_lit = F.array(*[
-        F.lit(1.0 / float(np.sqrt(max(lam[c], 0.0) + eps))) for c in range(k)
-    ])
+    # single SQL-parsed literals (the pq.py _book_lit lesson): per-float
+    # F.lit would cost a py4j round trip each — ~65k at dim=1024, k=64
+    mu_lit = F.expr(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in mu) + ")"
+    )
+    comp_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(basis[d_, c])!r}D" for d_ in range(dim)) + ")"
+            for c in range(k)
+        ) + ")"
+    )
+    scale_lit = F.expr(
+        "array(" + ", ".join(
+            f"{1.0 / float(np.sqrt(max(lam[c], 0.0) + eps))!r}D" for c in range(k)
+        ) + ")"
+    )
     v = as_double(F.col(vec_col))
-    centered = F.zip_with(v, mu_lit, lambda x, m: x - m)
-    out = df.select(F.col(id_col), centered.alias("__c"))
+    # same dim filter as the covariance: rows that didn't train the basis
+    # (wrong dimension / null vector) are excluded, not emitted as
+    # all-null projections
+    out = (
+        df.select(F.col(id_col), v.alias("__raw"))
+        .filter(F.size("__raw") == dim)
+        .select(
+            id_col,
+            F.zip_with("__raw", mu_lit, lambda x, m: x - m).alias("__c"),
+        )
+    )
     proj = F.zip_with(
         comp_lit,
         scale_lit,

@@ -76,7 +76,7 @@ def _query_tables(queries, vec_col, id_col, codebooks):
             .alias(f"__dt{s}")
             for s in range(n_sub)
         ]
-    ), n_sub
+    )
 
 
 def _sqdist(a, b):
@@ -94,10 +94,15 @@ def pq_encode(
     vec_col: str,
     id_col: str,
     codebooks: Sequence[Sequence[Sequence[float]]],
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(id, codes array<int> 1-based, se double): nearest-centroid code per
-    subspace and the total squared reconstruction error (sum over
-    subspaces of the winning distance — no centroid rehydration needed).
+    """(id, [keep_cols...,] codes array<int> 1-based, se double):
+    nearest-centroid code per subspace and the total squared reconstruction
+    error (sum over subspaces of the winning distance — no centroid
+    rehydration needed).  ``keep_cols`` ride through the encode projection
+    untouched — e.g. an IVF bucket id, so building the composed IVF-PQ
+    index never joins two corpus-sized frames (encode is row-local; a
+    join would re-shuffle the corpus on the id for nothing).
 
     Ties break to the LOWEST code (array_position finds the first
     minimum), matching the oracle's list_position semantics.
@@ -106,7 +111,7 @@ def pq_encode(
     sub_dim = len(codebooks[0][0])
     v = as_double(F.col(vec_col))
     out = df.select(
-        F.col(id_col).alias("__id"), v.alias("__v")
+        F.col(id_col).alias("__id"), v.alias("__v"), *keep_cols
     ).filter(F.size("__v") == n_sub * sub_dim)
     # Encode runs over the WHOLE corpus, so it must stay in whole-stage
     # codegen: higher-order functions (transform/aggregate) are interpreted
@@ -147,7 +152,52 @@ def pq_encode(
         term = F.array_min(f"__d{s}")
         se = term if se is None else se + term
     return out.select(
-        F.col("__id").alias(id_col), codes.alias("codes"), se.alias("se")
+        F.col("__id").alias(id_col), *keep_cols,
+        codes.alias("codes"), se.alias("se"),
+    )
+
+
+def _adc_rank(cand, n_sub, k, rerank):
+    """Rank candidate (query_id, neighbor_id, codes, __dt*) rows by the ADC
+    lookup-table sum (fixed subspace order — bit-identical to the oracle's
+    explicit ``+`` chain); per-query window, never global."""
+    from pyspark.sql.window import Window
+
+    adc = None
+    for s in range(n_sub):
+        term = F.element_at(F.col(f"__dt{s}"), F.element_at("codes", s + 1))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank if rerank else k))
+    )
+
+
+def _exact_rerank(shortlist, q, corpus, vec_col, id_col, k):
+    """Rehydrate ONLY the shortlisted vectors (broadcast joins — the corpus
+    side stays shuffle-free) and re-rank by exact L2."""
+    from pyspark.sql.window import Window
+
+    qvec = q.select("query_id", "__q")
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__c")
+    )
+    exact = (
+        cvec.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("l2_dist", _sqdist(F.col("__q"), F.col("__c")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist"), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
     )
 
 
@@ -179,51 +229,19 @@ def pq_adc_topk(
     queries×m shortlist against the corpus, so the corpus side stays
     shuffle-free and only m vectors per query ever leave their partitions.
     """
-    from pyspark.sql.window import Window
-
     n_sub = len(codebooks)
     if codes is None:
         codes = pq_encode(corpus, vec_col, id_col, codebooks)
-    q, _ = _query_tables(queries, vec_col, id_col, codebooks)
+    q = _query_tables(queries, vec_col, id_col, codebooks)
     qt = q.select("query_id", *[f"__dt{s}" for s in range(n_sub)])
     pairs = codes.select(
         F.col(id_col).alias("neighbor_id"), "codes"
     ).crossJoin(F.broadcast(qt)).filter(F.col("query_id") != F.col("neighbor_id"))
-    adc = None
-    for s in range(n_sub):
-        term = F.element_at(F.col(f"__dt{s}"), F.element_at("codes", s + 1))
-        adc = term if adc is None else adc + term
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist"), F.col("neighbor_id")
-    )
-    ranked = (
-        pairs.withColumn("adc_dist", adc)
-        .withColumn("rank", F.row_number().over(w))
-    )
+    ranked = _adc_rank(pairs, n_sub, k, rerank)
     if not rerank:
-        return ranked.filter(F.col("rank") <= k).select(
-            "query_id", "neighbor_id", "adc_dist", "rank"
-        )
-    shortlist = ranked.filter(F.col("rank") <= rerank).select(
-        "query_id", "neighbor_id"
-    )
-    qvec = q.select("query_id", "__q")
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__c")
-    )
-    exact = (
-        cvec.join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .withColumn("l2_dist", _sqdist(F.col("__q"), F.col("__c")))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("l2_dist"), F.col("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "l2_dist", "rank")
-    )
+        return ranked.select("query_id", "neighbor_id", "adc_dist", "rank")
+    shortlist = ranked.select("query_id", "neighbor_id")
+    return _exact_rerank(shortlist, q, corpus, vec_col, id_col, k)
 
 
 def ivf_pq_topk(
@@ -251,17 +269,18 @@ def ivf_pq_topk(
     probed fraction — the same recall as the float IVF path (q44) from an
     index 16× smaller.
     """
-    from pyspark.sql.window import Window
-
     from cosmo_spark.operators.similarity import assign_buckets, probe_buckets
 
     n_sub = len(codebooks)
+    # bucket rides THROUGH the encode projection (keep_cols): both are
+    # row-local against literal artifacts, so the index builds in one pass —
+    # a codes⋈assigned join here would re-shuffle two corpus-sized frames
+    # on the id for nothing
     assigned = assign_buckets(corpus, centroids, vec_col, id_col)
-    codes = pq_encode(corpus, vec_col, id_col, codebooks)
-    index = codes.join(assigned.select(F.col(id_col), "bucket"), id_col)
+    index = pq_encode(assigned, vec_col, id_col, codebooks, keep_cols=["bucket"])
 
     probes = probe_buckets(queries, centroids, vec_col, id_col, nprobe)
-    q, _ = _query_tables(queries, vec_col, id_col, codebooks)
+    q = _query_tables(queries, vec_col, id_col, codebooks)
     qt = q.select("query_id", *[f"__dt{s}" for s in range(n_sub)])
     probe_q = probes.select("query_id", "bucket").join(qt, "query_id")
     cand = (
@@ -269,33 +288,7 @@ def ivf_pq_topk(
         .join(F.broadcast(probe_q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    adc = None
-    for s in range(n_sub):
-        term = F.element_at(F.col(f"__dt{s}"), F.element_at("codes", s + 1))
-        adc = term if adc is None else adc + term
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist"), F.col("neighbor_id")
+    shortlist = _adc_rank(cand, n_sub, k, rerank).select(
+        "query_id", "neighbor_id"
     )
-    shortlist = (
-        cand.withColumn("adc_dist", adc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    qvec = q.select("query_id", "__q")
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__c")
-    )
-    exact = (
-        cvec.join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .withColumn("l2_dist", _sqdist(F.col("__q"), F.col("__c")))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("l2_dist"), F.col("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "l2_dist", "rank")
-    )
+    return _exact_rerank(shortlist, q, corpus, vec_col, id_col, k)

@@ -231,7 +231,11 @@ def q77_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("A9", "U1", "W6"),
     oracle="""
 WITH es AS (
-  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+  -- trunc, not floor: Spark's `div` truncates toward zero, and DuckDB's
+  -- `//` does too, so the whole bucketing scheme is truncation-based on
+  -- both engines (divergence would only appear on pre-1970 fractional
+  -- timestamps; pinned by test_q78_negative_epoch_bucket_parity)
+  SELECT event_type, CAST(trunc(epoch(ts)) AS BIGINT) AS s,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 ), minute AS (

@@ -143,3 +143,30 @@ def attach_prop_typ(df: DataFrame, ancillary: DataFrame) -> DataFrame:
     ancillary entry keep a null label."""
     dim = ancillary.select("ROOTNAME", "PROP_TYP").dropDuplicates(["ROOTNAME"])
     return df.join(F.broadcast(dim), "ROOTNAME", "left")
+
+
+def atomic_overwrite(df, path: str) -> None:
+    """Replace the parquet table at ``path`` with ``df``: write to a tmp
+    sibling, then delete+rename through the Hadoop FileSystem API.
+
+    The single swap implementation behind full-rewrite merge
+    (operators/merge.py), compaction (sources/layout.py), and the streaming
+    rollup maintenance (streaming/rates.py) — one place to harden the
+    crash window between delete and rename.  Routing the swap through the
+    FS API (not shutil/os) makes it scheme-portable; rename is atomic on
+    HDFS/local, copy-based on object stores.
+    """
+    import uuid
+
+    spark = df.sparkSession
+    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst.getFileSystem(conf)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"atomic_overwrite: rename {tmp} -> {path} failed")

@@ -191,8 +191,6 @@ def compact_table(
     """
     import math
     import os
-    import shutil
-    import uuid
 
     import glob as _glob
 
@@ -206,10 +204,8 @@ def compact_table(
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = fs.getContentSummary(hpath).getLength()
+    from cosmo_spark.sources.files import atomic_overwrite
+
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    atomic_overwrite(spark.read.parquet(path).repartition(n_files), path)
     return n_files

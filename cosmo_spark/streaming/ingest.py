@@ -119,6 +119,7 @@ def stream_ingest_dedup(
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
         batch_df = batch_df.persist()
+        sh_new = kept = None
         try:
             sh_new = shingle_table(batch_df, text_col, id_col, shingle_n).persist()
             b_new = band_table(sh_new, n_hashes, bands)
@@ -154,7 +155,12 @@ def stream_ingest_dedup(
             )
             sh_kept.write.mode("append").parquet(shingles_path)
         finally:
-            batch_df.unpersist()
+            # a continuous stream runs this per trigger — unpersist
+            # everything, not just the batch frame, or dead cached shingle
+            # tables accumulate in executor storage between GC cycles
+            for frame in (batch_df, sh_new, kept):
+                if frame is not None:
+                    frame.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(dedup_batch)

@@ -78,14 +78,13 @@ def stream_rollup_cascade(
 
     from pyspark.sql import functions as F
 
+    from cosmo_spark.sources.files import atomic_overwrite
+
     def grain_path(g):
         return os.path.join(target_dir, g)
 
     def additive_merge(ss, path, updates, key_cols):
         """SUM-merge updates into the stored grain (atomic swap rewrite)."""
-        import shutil
-        import uuid
-
         if os.path.exists(path):
             current = ss.read.parquet(path)
             merged = (
@@ -95,11 +94,7 @@ def stream_rollup_cascade(
             )
         else:
             merged = updates
-        tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        atomic_overwrite(merged, path)
 
     def rederive(ss, src_path, dst_path, factor, touched):
         """Recompute only the coarser buckets ``touched`` from the finer grain."""
@@ -121,14 +116,7 @@ def stream_rollup_cascade(
                 "left_anti",
             )
             coarse = keep.unionByName(coarse)
-        import shutil
-        import uuid
-
-        tmp = f"{dst_path}.__tmp_{uuid.uuid4().hex[:8]}"
-        coarse.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(dst_path):
-            shutil.rmtree(dst_path)
-        os.rename(tmp, dst_path)
+        atomic_overwrite(coarse, dst_path)
 
     def refresh(batch_df, batch_id):
         ss = batch_df.sparkSession

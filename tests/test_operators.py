@@ -386,3 +386,33 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, "a", 2)], "k long, txt string, v long")
         assert snapshot_diff(old, new, "k", ["txt"]).count() == 0
         assert snapshot_diff(old, new, "k", ["v"]).collect()[0]["change_type"] == "update"
+
+
+def test_q78_negative_epoch_bucket_parity(spark):
+    """Pre-1970 fractional timestamps: Spark's unix_micros div (truncation)
+    must bucket identically to the oracle's trunc(epoch(ts)) — the floor
+    variant diverged by one second at e.g. 1969-12-31 23:59:59.5."""
+    import datetime
+
+    import duckdb
+
+    rows = [
+        (datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),),
+        (datetime.datetime(1969, 12, 31, 23, 58, 0, 1),),
+        (datetime.datetime(1970, 1, 1, 0, 0, 0, 500000),),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [
+        r[0]
+        for r in df.selectExpr(
+            "((unix_micros(ts) div 1000000) div 60) * 60 AS b"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT (CAST(trunc(epoch(TIMESTAMP '{t[0]}')) AS BIGINT) // 60) * 60"
+        ).fetchone()[0]
+        for t in rows
+    ]
+    assert got == want

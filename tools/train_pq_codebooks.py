@@ -57,8 +57,16 @@ def _train_subspace(x, k: int, iterations: int):
             m = assign == j
             if m.any():
                 c[j] = x[m].mean(axis=0)
-            else:
-                c[j] = x[int(np.argmax(dists.min(axis=1)))]
+        # reseed empty clusters SEQUENTIALLY against an updated min-distance
+        # array: reseeding every empty cluster from the same stale dists
+        # would hand them all the identical farthest point (duplicate
+        # centroids / dead codes)
+        mind = dists.min(axis=1)
+        for j in range(k):
+            if not (assign == j).any():
+                i = int(np.argmax(mind))
+                c[j] = x[i]
+                mind = np.minimum(mind, ((x - c[j]) ** 2).sum(axis=1))
     return c
 
 
