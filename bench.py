@@ -1,16 +1,24 @@
 """Benchmark harness: runs the full query catalog and prints ONE JSON line.
 
-    {"metric": "catalog_wall_sec", "value": <best full-pass wall seconds>,
-     "unit": "sec", "queries": {"q01_...": min_sec, ...},
-     "queries_median": {...}, "sum_of_mins": <sec>, "repeats": 3,
-     "wall_sec_total": <elapsed>, "sf": 0.1}
+The driver tail-captures stdout (last ~2000 chars) and parses the final JSON
+line, so the printed summary must stay COMPACT: per-query keys are the short
+``qNN`` prefixes (full names all start with ``qNN_``, so the mapping is
+lossless) and only the per-query MINIMUMS ride in the line.  The full detail
+— full query names, per-pass samples, medians, pass walls — is written to
+``BENCH_LOCAL.json`` next to this file (round-4's BENCH_r04.json came back
+``parsed: null`` because the 89-query mins+medians line outgrew the capture).
 
-Each query runs ``SPARK_GRAFT_REPEATS`` (default 3) full catalog passes.
-``value`` stays an actually-measured wall time — the FASTEST complete pass —
-so it remains comparable with earlier single-pass rounds; the per-query
-``queries`` map carries MINIMUMS across passes (robust to the documented
-up-to-2x shared-host variance; a +62% swing on an identical plan was
-observed between rounds), with medians and the sum-of-mins alongside.
+    {"metric": "catalog_wall_sec", "value": <best full-pass wall seconds>,
+     "unit": "sec", "queries": {"q01": min_sec, ...},
+     "sum_of_mins": <sec>, "repeats": 3, "sf": 0.1}
+
+Each query runs ``SPARK_GRAFT_REPEATS`` (default 3) full catalog passes;
+``value`` is the FASTEST complete pass (comparable with earlier single-pass
+rounds) and the ``queries`` map carries minimums across passes (robust to the
+documented up-to-2x shared-host variance).  Between queries the harness
+clears the SQL cache: several queries persist intermediates internally, and
+round-4's end-of-catalog measurements (q88 bench 7.4 s vs 4.2 s isolated)
+implicated accumulated cached partitions from the 87 prior queries.
 
 Env:
     SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
@@ -68,23 +76,45 @@ def main() -> None:
             # force full execution + materialization like the driver's collect
             df.collect()
             samples[name].append(time.time() - t0)
+            # hygiene between queries: drop any intermediates a query
+            # persisted internally so later queries aren't measured under
+            # the accumulated storage pressure of the whole catalog
+            spark.catalog.clearCache()
         pass_walls.append(time.time() - t_pass)
     wall = round(time.time() - t_all, 3)
 
     mins = {name: round(min(s), 3) for name, s in samples.items()}
     medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    short_mins = {name.split("_", 1)[0]: v for name, v in mins.items()}
 
-    print(json.dumps({
+    detail = {
         "metric": "catalog_wall_sec",
         "value": round(min(pass_walls), 3),
         "unit": "sec",
         "queries": mins,
         "queries_median": medians,
+        "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()},
+        "pass_walls": [round(x, 3) for x in pass_walls],
         "sum_of_mins": round(sum(mins.values()), 3),
         "repeats": repeats,
         "wall_sec_total": wall,
         "sf": sf,
-    }))
+        "cpus": int(cpus),
+    }
+    (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
+
+    # the one machine-readable line: compact separators, short query keys
+    print(json.dumps({
+        "metric": "catalog_wall_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": short_mins,
+        "sum_of_mins": detail["sum_of_mins"],
+        "repeats": repeats,
+        "sf": sf,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -99,7 +99,7 @@ def q75_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assign_buckets(e, centroids, "embedding", "vec_id").persist()
     pairs = embedding_near_dups(
         assigned, "embedding", "vec_id",
-        threshold=_SEMDEDUP_TAU, block_col="bucket",
+        threshold=_SEMDEDUP_TAU, block_col="bucket", dim=64,
     )
     return pairs.groupBy("id_b").agg(
         F.count(F.lit(1)).alias("n_dups"),

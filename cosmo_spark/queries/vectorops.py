@@ -140,7 +140,7 @@ def q33_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within blocks (the 100 TB pattern)."""
     e = _t(spark, sf_dir, "embeddings")
     out = embedding_near_dups(
-        e, "embedding", "vec_id", threshold=0.90, block_col="label"
+        e, "embedding", "vec_id", threshold=0.90, block_col="label", dim=64
     )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 

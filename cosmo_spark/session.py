@@ -36,6 +36,9 @@ STARTUP_CONF = {
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
+    # keep stdout/stderr clean for harnesses that tail-capture output
+    # (progress bars overflowed the driver's BENCH capture in round 4)
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
