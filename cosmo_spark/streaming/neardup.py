@@ -79,59 +79,91 @@ def stream_srp_near_dup(
         .alias("__code"),
     )
 
-    # self-contained closure: imports inside, constants bound by value, so
-    # python workers need no repo on sys.path (cloudpickle ships it)
+    return coded.groupBy("__code").applyInPandasWithState(
+        make_keeper(threshold, max_bucket),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def make_keeper(threshold: float, max_bucket: int):
+    """Build the per-bucket stateful keeper closure.
+
+    Module-level factory so tests can drive the exact production closure
+    against a fake ``GroupState`` (the numpy-vs-reference property test);
+    the RETURNED function is still a nested closure, which cloudpickle
+    ships by value — imports inside, constants bound — so python workers
+    need no repo on sys.path.
+    """
     thr = float(threshold)
     cap = int(max_bucket)
 
     def keeper(key, pdfs, state: GroupState):
-        import math
-
+        import numpy as np
         import pandas as pd
 
         ids, vecs = state.get if state.exists else ([], [])
-        ids, vecs = list(ids), [list(v) for v in vecs]
-        norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+        ids = list(ids)
+        # accepted matrix in a capacity-doubling buffer: one mat-vec per
+        # arrival instead of a per-row python loop (≈10× constant factor),
+        # and appends stay amortized O(d) — the one former pure-python
+        # inner loop in the repo, vectorized per round-4 review
+        dim = len(vecs[0]) if vecs else None
+        k = len(ids)
+        capacity = max(16, 2 * k) if dim is not None else 0
+        M = np.zeros((capacity, dim or 0), dtype=np.float64)
+        if k:
+            M[:k] = np.asarray([list(v) for v in vecs], dtype=np.float64)
+        norms = np.zeros(capacity, dtype=np.float64)
+        norms[:k] = np.sqrt(np.einsum("ij,ij->i", M[:k], M[:k]))
         out_id, out_dup, out_cos = [], [], []
         rows = []
         for pdf in pdfs:
             rows.extend(zip(pdf["__id"], pdf["__v"]))
         rows.sort(key=lambda r: r[0])  # deterministic within a micro-batch
         for rid, rv in rows:
-            v = [float(x) for x in rv]
-            n = math.sqrt(sum(x * x for x in v))
+            v = np.asarray(rv, dtype=np.float64)
+            n = float(np.sqrt(v @ v))
             match, sim = None, None
-            for kid, kv, kn in zip(ids, vecs, norms):
-                denom = n * kn
-                if denom <= 0:
-                    continue
-                c = sum(a * b for a, b in zip(v, kv)) / denom
-                if c >= thr:
-                    match, sim = kid, c
-                    break  # first accepted match, insertion order
+            if k and n > 0:
+                denom = norms[:k] * n
+                live = denom > 0
+                sims = np.full(k, -np.inf)
+                np.divide(M[:k] @ v, denom, out=sims, where=live)
+                # first accepted match in insertion order (row order == age)
+                hit = np.flatnonzero(sims >= thr)
+                if hit.size:
+                    i = int(hit[0])
+                    match, sim = ids[i], float(sims[i])
             if match is None:
+                if dim is None:
+                    dim = len(v)
+                    capacity = 16
+                    M = np.zeros((capacity, dim), dtype=np.float64)
+                    norms = np.zeros(capacity, dtype=np.float64)
+                elif k == capacity:
+                    capacity *= 2
+                    M = np.vstack([M, np.zeros_like(M)])
+                    norms = np.concatenate([norms, np.zeros_like(norms)])
                 ids.append(rid)
-                vecs.append(v)
-                norms.append(n)
-                if len(ids) > cap:
+                M[k] = v
+                norms[k] = n
+                k += 1
+                if k > cap:
                     raise RuntimeError(
                         f"stream_srp_near_dup: bucket code={key[0]} holds "
-                        f"{len(ids)} accepted vectors > max_bucket={cap} — "
+                        f"{k} accepted vectors > max_bucket={cap} — "
                         "degenerate bucket; deepen the band or shard the key"
                     )
             out_id.append(rid)
             out_dup.append(match)
             out_cos.append(sim)
-        state.update((ids, vecs))
+        state.update((ids, [M[i].tolist() for i in range(k)]))
         yield pd.DataFrame({
             "id": out_id, "dup_of": out_dup, "cos_sim": out_cos,
             "code": [key[0]] * len(out_id),
         })
 
-    return coded.groupBy("__code").applyInPandasWithState(
-        keeper,
-        outputStructType=OUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return keeper

@@ -149,3 +149,109 @@ def test_stream_near_dup_bucket_guard(spark, tmp_path):
     )
     with pytest.raises(Exception, match="max_bucket"):
         q.awaitTermination(120)
+
+
+# --------------------------------------------------------------------------- #
+# numpy keeper vs pure-python reference (property)                            #
+# --------------------------------------------------------------------------- #
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the keeper off-stream."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _reference_keeper(rows, state_ids, state_vecs, thr):
+    """The pre-vectorization pure-python keeper loop, kept verbatim as the
+    semantic reference for the numpy mat-vec implementation."""
+    import math
+
+    ids, vecs = list(state_ids), [list(v) for v in state_vecs]
+    norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+    out = []
+    for rid, rv in sorted(rows, key=lambda r: r[0]):
+        v = [float(x) for x in rv]
+        n = math.sqrt(sum(x * x for x in v))
+        match, sim = None, None
+        for kid, kv, kn in zip(ids, vecs, norms):
+            denom = n * kn
+            if denom <= 0:
+                continue
+            c = sum(a * b for a, b in zip(v, kv)) / denom
+            if c >= thr:
+                match, sim = kid, c
+                break
+        if match is None:
+            ids.append(rid)
+            vecs.append(v)
+            norms.append(n)
+        out.append((rid, match, sim))
+    return out, ids, vecs
+
+
+def test_keeper_matches_python_reference_property():
+    """Property: across seeded random micro-batch sequences (with planted
+    near-dups, zero vectors, and exact copies), the production numpy keeper
+    emits the same accept/match structure as the old pure-python loop, and
+    cosines agree to 1e-9 (summation-order ulps only)."""
+    import random
+
+    import pandas as pd
+
+    from cosmo_spark.streaming.neardup import make_keeper
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        dim = rng.choice([4, 8, 16])
+        pool = []
+        for i in range(rng.randint(5, 30)):
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+            pool.append((f"v{i:03d}", v))
+            if rng.random() < 0.4:  # planted near-dup / exact copy
+                eps = rng.choice([0.0, 1e-4])
+                pool.append(
+                    (f"v{i:03d}d", [x * (1 + eps) for x in v])
+                )
+        if rng.random() < 0.5:
+            pool.append(("zzero", [0.0] * dim))
+        rng.shuffle(pool)
+        # split into micro-batches, drive both implementations batch by batch
+        keeper = make_keeper(threshold=0.98, max_bucket=10_000)
+        state = _FakeState()
+        ref_ids, ref_vecs = [], []
+        while pool:
+            nb = rng.randint(1, max(1, len(pool)))
+            batch, pool = pool[:nb], pool[nb:]
+            pdf = pd.DataFrame({
+                "__id": [r[0] for r in batch],
+                "__v": [r[1] for r in batch],
+            })
+            got = list(keeper((0,), [pdf], state))[0]
+            want, ref_ids, ref_vecs = _reference_keeper(
+                batch, ref_ids, ref_vecs, 0.98
+            )
+            assert list(got["id"]) == [w[0] for w in want], f"seed={seed}"
+            assert list(got["dup_of"]) == [w[1] for w in want], f"seed={seed}"
+            for g, w in zip(got["cos_sim"], want):
+                if w[2] is None:
+                    assert g is None or pd.isna(g)
+                else:
+                    assert abs(g - w[2]) < 1e-9, f"seed={seed}"
+        # state round-trips identically (order and membership)
+        ids, vecs = state.get
+        assert list(ids) == ref_ids
+        for a, b in zip(vecs, ref_vecs):
+            assert a == pytest.approx(b, abs=1e-12)
