@@ -232,8 +232,12 @@ def cross_dedup(
     """
     # each shingle table feeds TWO consumers (its band rows and the Jaccard
     # verify side); per-character shingle hashing is the dominant cost, so
-    # persist both — cleanup left to the ContextCleaner when the plan is
-    # released (the q39/q58 multi-consumer discipline)
+    # persist both — and unpersist BEFORE returning: the per-doc verdict
+    # table below localCheckpoints (it is bounded at one row per incoming
+    # doc), which cuts the returned frame's lineage from the shingle
+    # tables, so repeated calls in a long-lived session leave no dead
+    # cached partitions behind (the stream_ingest_dedup finally-block
+    # discipline, restructured for a lazily-returned result)
     sh_inc = shingle_table(incoming, text_col, id_col, shingle_n).persist()
     sh_cor = shingle_table(corpus, text_col, id_col, shingle_n).persist()
     b_inc = band_table(sh_inc, n_hashes, bands)
@@ -254,9 +258,14 @@ def cross_dedup(
         .join(b, "id_b")
         .withColumn("jaccard", inter / union)
     )
-    per_doc = verified.groupBy("id_a").agg(
-        F.count(F.lit(1)).alias("n_cand"), F.max("jaccard").alias("max_jaccard")
-    )
+    try:
+        per_doc = verified.groupBy("id_a").agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.max("jaccard").alias("max_jaccard"),
+        ).localCheckpoint()  # eager; one row per incoming doc
+    finally:
+        sh_inc.unpersist()
+        sh_cor.unpersist()
     return (
         incoming.select(F.col(id_col).alias("id_a"))
         .join(per_doc, "id_a", "left")

@@ -14,8 +14,6 @@ becomes a single ``MERGE INTO`` with the same guard predicate; the semantics
 """
 
 from __future__ import annotations
-
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,9 +65,9 @@ def merge_into_path(
     tables; at scale use ``merge_into_partitioned`` (rewrites only affected
     partitions) or a transactional format's MERGE.
     """
-    from cosmo_spark.sources.files import atomic_overwrite
+    from cosmo_spark.sources.files import atomic_overwrite, fs_exists
 
-    current = spark.read.parquet(path) if os.path.exists(path) else None
+    current = spark.read.parquet(path) if fs_exists(spark, path) else None
     merged = merge_versioned(current, updates, key_cols, version_col)
     atomic_overwrite(merged, path)
 
@@ -109,7 +107,9 @@ def merge_into_partitioned(
     try:
         if updates.isEmpty():  # bounded probe (limit 1), not an O(rows) action
             return
-        if os.path.exists(path):
+        from cosmo_spark.sources.files import fs_exists
+
+        if fs_exists(spark, path):
             affected = updates.select(partition_col).distinct()
             current = spark.read.parquet(path).join(
                 F.broadcast(affected), partition_col, "left_semi"
@@ -137,9 +137,18 @@ def snapshot_diff(
     key with change_type ∈ {insert, update, delete}.
 
     The comparison is a full outer join on the key plus a single
-    xxhash64-of-struct equality on the compared columns — the hash
-    computes map-side on each branch, so the join carries (key, hash)
-    discipline rather than wide rows twice.  Unchanged keys drop out.
+    xxhash64 equality over the compared columns — the hash computes
+    map-side on each branch, so the join carries (key, hash) discipline
+    rather than wide rows twice.  Unchanged keys drop out.
+
+    The hashed representation is ``to_json(struct(...))`` with explicit
+    nulls, NOT the raw struct: Spark's hash functions skip null fields,
+    so hashing the struct directly would report (a=null, b='x') →
+    (a='x', b=null) as unchanged whenever the moved value hashes the
+    same under both field seeds.  JSON encodes field identity and
+    null-ness, closing that class.  Residual risk is the generic 2^-64
+    xxhash64 collision — acceptable for CDC triage; feed the emitted
+    keys to a value-level verifier if the downstream cannot tolerate it.
 
     At 100 TB both snapshots are bucketed by key at rest (sources/layout),
     so the full outer join runs zipped per-bucket with no exchange; the
@@ -149,12 +158,11 @@ def snapshot_diff(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in keys]
-    o = old.select(
-        *keys, F.xxhash64(F.struct(*compare_cols)).alias("__oh")
+    fingerprint = F.xxhash64(
+        F.to_json(F.struct(*compare_cols), {"ignoreNullFields": "false"})
     )
-    n = new.select(
-        *keys, F.xxhash64(F.struct(*compare_cols)).alias("__nh")
-    )
+    o = old.select(*keys, fingerprint.alias("__oh"))
+    n = new.select(*keys, fingerprint.alias("__nh"))
     j = o.join(n, keys, "full_outer")
     change = (
         F.when(F.col("__oh").isNull(), F.lit("insert"))

@@ -345,7 +345,6 @@ def q49_stream_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = windowed_rates(
         _normalize_ts(stream), time_col="ts", window="6 hours",
         watermark="2 minutes", group_cols=("event_type",),
-        rate_divisor=21600.0,
     )
     sink = "q49_stream_rates_sink"
     spark.catalog.dropTempView(sink)

@@ -145,6 +145,21 @@ def attach_prop_typ(df: DataFrame, ancillary: DataFrame) -> DataFrame:
     return df.join(F.broadcast(dim), "ROOTNAME", "left")
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-portable existence check through the Hadoop FileSystem API.
+
+    ``os.path.exists`` only sees the LOCAL filesystem — on hdfs:// or
+    object-store paths it silently answers False, which for the
+    read-if-present call sites (merge_into_path, the rollup maintenance)
+    would mean treating an existing table as absent and overwriting it.
+    Same handle discipline as ``atomic_overwrite`` below.
+    """
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def atomic_overwrite(df, path: str) -> None:
     """Replace the parquet table at ``path`` with ``df``: write to a tmp
     sibling, then delete+rename through the Hadoop FileSystem API.

@@ -190,19 +190,21 @@ def compact_table(
     overwrite instead of the whole-table swap.
     """
     import math
-    import os
 
-    import glob as _glob
-
-    if _glob.glob(os.path.join(path, "*=*/")):
-        raise ValueError(
-            f"{path} is Hive-partitioned: whole-table compaction would "
-            "flatten the partition columns into data files. Compact each "
-            "partition directory instead (or rewrite with partitionBy)."
-        )
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # partition guard through the SAME filesystem handle as the sizing —
+    # a local-glob check would silently never match on hdfs:// or
+    # object-store schemes, letting a partitioned table be rewritten with
+    # its partition columns flattened into data files
+    for status in fs.listStatus(hpath):
+        if status.isDirectory() and "=" in status.getPath().getName():
+            raise ValueError(
+                f"{path} is Hive-partitioned: whole-table compaction would "
+                "flatten the partition columns into data files. Compact each "
+                "partition directory instead (or rewrite with partitionBy)."
+            )
     total = fs.getContentSummary(hpath).getLength()
     from cosmo_spark.sources.files import atomic_overwrite
 

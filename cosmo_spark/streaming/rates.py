@@ -19,13 +19,16 @@ def windowed_rates(
     window: str = "25 seconds",
     watermark: str = "2 minutes",
     group_cols: tuple[str, ...] = ("event_type",),
-    rate_divisor: float = 25.0,
 ) -> DataFrame:
     """Tumbling-window event counts + per-second rates.
 
     Works on both batch and streaming DataFrames (same code path — the
     batch twin of the q21 catalog query); on a stream the watermark drops
     events later than ``watermark`` and lets Spark evict window state.
+
+    The per-second divisor is DERIVED from each window's own bounds
+    (end − start), never passed separately — a caller changing ``window``
+    cannot silently desynchronize the rate denominator.
     """
     if events.isStreaming:
         events = events.withWatermark(time_col, watermark)
@@ -37,7 +40,13 @@ def windowed_rates(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             "n",
-            (F.col("n") / F.lit(rate_divisor)).alias("rate_per_sec"),
+            (
+                F.col("n")
+                / (
+                    F.unix_timestamp("win.end")
+                    - F.unix_timestamp("win.start")
+                )
+            ).alias("rate_per_sec"),
         )
     )
 
@@ -78,14 +87,14 @@ def stream_rollup_cascade(
 
     from pyspark.sql import functions as F
 
-    from cosmo_spark.sources.files import atomic_overwrite
+    from cosmo_spark.sources.files import atomic_overwrite, fs_exists
 
     def grain_path(g):
         return os.path.join(target_dir, g)
 
     def additive_merge(ss, path, updates, key_cols):
         """SUM-merge updates into the stored grain (atomic swap rewrite)."""
-        if os.path.exists(path):
+        if fs_exists(ss, path):
             current = ss.read.parquet(path)
             merged = (
                 current.unionByName(updates)
@@ -108,7 +117,7 @@ def stream_rollup_cascade(
         coarse = affected.groupBy(
             "event_type", F.col("cb").alias("bucket_s")
         ).agg(F.sum("n_events").alias("n_events"), F.sum("sc").alias("sc"))
-        if os.path.exists(dst_path):
+        if fs_exists(ss, dst_path):
             current = ss.read.parquet(dst_path)
             keep = current.join(
                 F.broadcast(coarse.select("event_type", "bucket_s").distinct()),

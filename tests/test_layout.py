@@ -216,3 +216,41 @@ def test_compact_table_refuses_partitioned_layout(spark, tmp_path):
     ).parquet(path)
     with _pytest.raises(ValueError, match="Hive-partitioned"):
         compact_table(spark, path)
+
+
+def test_snapshot_diff_bucketed_at_rest_no_exchange(spark, tmp_path):
+    """The q82/J1 CDC contract (operators/merge.snapshot_diff docstring):
+    with both snapshots bucketed by the diff key at rest, the full-outer
+    join zips co-located buckets — zero Exchange nodes in the plan."""
+    from cosmo_spark.operators.merge import snapshot_diff
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS layout_cdc")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        old = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "k INT, txt STRING"
+        )
+        new = spark.createDataFrame(
+            [(i, f"v{i + (i % 7 == 0)}") for i in range(1, 101)],
+            "k INT, txt STRING",
+        )
+        write_bucketed(old, "layout_cdc.snap_old", "k", num_buckets=4, sort_cols="k")
+        write_bucketed(new, "layout_cdc.snap_new", "k", num_buckets=4, sort_cols="k")
+        diff = snapshot_diff(
+            read_bucketed(spark, "layout_cdc.snap_old"),
+            read_bucketed(spark, "layout_cdc.snap_new"),
+            "k",
+        )
+        plan = physical_plan(diff)
+        assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides pre-bucketed on k
+        rows = {r.k: r.change_type for r in diff.collect()}
+        assert rows[0] == "delete" and rows[100] == "insert"
+        assert all(
+            v == "update" for k, v in rows.items() if k not in (0, 100)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP DATABASE IF EXISTS layout_cdc CASCADE")

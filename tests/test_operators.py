@@ -387,6 +387,26 @@ class TestSnapshotDiff:
         assert snapshot_diff(old, new, "k", ["txt"]).count() == 0
         assert snapshot_diff(old, new, "k", ["v"]).collect()[0]["change_type"] == "update"
 
+    def test_null_field_swap_detected(self, spark):
+        """(a=null, b='x') -> (a='x', b=null) must report as update: Spark's
+        hash functions skip null struct fields, so a raw xxhash64(struct)
+        fingerprint would see both rows as hash('x') under the shifting
+        field seed and could miss the move — the to_json fingerprint
+        encodes field identity and explicit nulls (round-4 ADVICE)."""
+        from cosmo_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, None, "x"), (2, "y", None)], "k long, a string, b string"
+        )
+        new = spark.createDataFrame(
+            [(1, "x", None), (2, None, "y")], "k long, a string, b string"
+        )
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(old, new, "k").collect()
+        }
+        assert got == {1: "update", 2: "update"}
+
 
 def test_q78_negative_epoch_bucket_parity(spark):
     """Pre-1970 fractional timestamps: Spark's unix_micros div (truncation)
