@@ -75,35 +75,47 @@ def read_mnemonic_descriptions(spark: SparkSession, path: str) -> DataFrame:
     cosmo/monitors/telemetry_monitors.py:84).
 
     Native ``.xlsx`` is parsed by the stdlib-only codec in
-    ``sources/xlsx_io`` (shared/inline strings + numbers — the subset a
-    lookup sheet uses) on the driver: this is a tiny dimension table, so a
-    driver-side parse + ``createDataFrame`` is the right shape, exactly
-    like the reference's in-memory read.  CSV export remains supported.
-    Legacy binary ``.xls`` (BIFF) is not a zip of XML and stays
-    unsupported."""
+    ``sources/xlsx_io``, legacy binary ``.xls`` (the reference's ACTUAL
+    mnemonics file, ``telemetry_support/COSMnemonics.xls``) by the CFB +
+    BIFF8 codec in ``sources/xls_io`` — both cover the subset a lookup
+    sheet uses (shared/inline strings + numbers) on the driver: this is a
+    tiny dimension table, so a driver-side parse + ``createDataFrame`` is
+    the right shape, exactly like the reference's in-memory read.  CSV
+    export remains supported.
+
+    Column selection follows the reference — by HEADER NAME
+    (``mnemon_df['Mnemonic']`` / ``['Description']``,
+    telemetry_monitors.py:380); the real sheet has extra columns around
+    them.  Sheets without those headers fall back to the first two
+    columns (the fixture-CSV layout)."""
     if path.endswith(".xls"):
-        raise NotImplementedError(
-            "legacy binary .xls (BIFF) is unsupported; save as .xlsx or CSV"
-        )
-    if path.endswith(".xlsx"):
+        from cosmo_spark.sources.xls_io import read_xls
+
+        rows = read_xls(path)
+    elif path.endswith(".xlsx"):
         from cosmo_spark.sources.xlsx_io import read_xlsx
 
         rows = read_xlsx(path)
-        if not rows:
-            raise ValueError(f"empty worksheet in {path}")
-        # columns are positional (first two = mnemonic, description), so the
-        # header cells never enter a DDL string or column resolution — sheet
-        # headers with backticks/dots can't corrupt the schema
-        n = len(rows[0])
-        data = [tuple((r + [None] * n)[:n]) for r in rows[1:]]
-        df = spark.createDataFrame(
-            data, ", ".join(f"c{i} STRING" for i in range(n))
+    else:
+        return spark.read.csv(
+            path, header=True, schema="Mnemonic STRING, Description STRING"
         )
-        return df.select(
-            F.col("c0").alias("Mnemonic"),
-            F.col("c1").alias("Description"),
-        )
-    return spark.read.csv(path, header=True, schema="Mnemonic STRING, Description STRING")
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    header = rows[0]
+    try:
+        mn_i, de_i = header.index("Mnemonic"), header.index("Description")
+    except ValueError:
+        mn_i, de_i = 0, 1
+    # columns are selected positionally, so the header cells never enter a
+    # DDL string or column resolution — sheet headers with backticks/dots
+    # can't corrupt the schema
+    n = max(mn_i, de_i) + 1
+    data = [
+        tuple((list(r) + [None] * n)[i] for i in (mn_i, de_i))
+        for r in rows[1:]
+    ]
+    return spark.createDataFrame(data, "Mnemonic STRING, Description STRING")
 
 
 def write_results_csv(df: DataFrame, path: str, single_file: bool = True) -> None:

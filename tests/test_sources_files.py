@@ -77,9 +77,17 @@ def test_mnemonic_descriptions_native_xlsx(spark, tmp_path):
     assert got == {"LMMCETMP": "MCE temperature", "LOSM1POS": "OSM1 position"}
 
 
-def test_mnemonic_descriptions_legacy_xls_unsupported(spark):
-    with pytest.raises(NotImplementedError):
-        read_mnemonic_descriptions(spark, "mnemonics.xls")
+def test_mnemonic_descriptions_legacy_xls(spark, tmp_path):
+    """Legacy binary .xls via the CFB+BIFF8 codec (sources/xls_io) — the
+    container the reference's real COSMnemonics.xls uses; full coverage in
+    tests/test_xls_io.py."""
+    from cosmo_spark.sources.xls_io import write_xls
+
+    p = tmp_path / "mn.xls"
+    write_xls(str(p), [
+        ["Mnemonic", "Description"], ["LMMCETMP", "MCE temperature"],
+    ])
+    assert read_mnemonic_descriptions(spark, str(p)).first().Description == "MCE temperature"
 
 
 def test_xlsx_codec_roundtrip(tmp_path):

@@ -1,0 +1,108 @@
+"""Legacy .xls (CFB + BIFF8) codec: fixture roundtrips over both container
+paths (ministream and regular FAT), lexical-form parity with the xlsx
+codec, and an end-to-end read of the reference's REAL mnemonics workbook
+(ref: cosmo/telemetry_support/COSMnemonics.xls, consumed by
+telemetry_monitors.py:84/380) whose >8 KB shared-string table exercises
+SST CONTINUE handling on genuine Excel output."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cosmo_spark.sources.xls_io import read_xls, write_xls
+
+REAL_XLS = "/root/reference/cosmo/telemetry_support/COSMnemonics.xls"
+
+
+def test_roundtrip_ministream(tmp_path):
+    """Small fixture lands in the ministream (the layout real Excel uses
+    below the 4096-byte cutoff)."""
+    p = str(tmp_path / "t.xls")
+    write_xls(p, [["a", "b", "c"], ["x", 1, None], [None, 2.5, "z"]])
+    assert os.path.getsize(p) < 8192
+    assert read_xls(p) == [
+        ["a", "b", "c"], ["x", "1", None], [None, "2.5", "z"],
+    ]
+
+
+def test_roundtrip_regular_fat(tmp_path):
+    """A workbook stream past the 4096-byte cutoff takes the regular FAT
+    chain instead of the ministream."""
+    p = str(tmp_path / "big.xls")
+    rows = [["Mnemonic", "Description"]] + [
+        [f"MN{i:04d}", float(i)] for i in range(400)
+    ]
+    write_xls(p, rows)
+    got = read_xls(p)
+    assert len(got) == 401
+    assert got[0] == ["Mnemonic", "Description"]
+    assert got[1] == ["MN0000", "0"] and got[400] == ["MN0399", "399"]
+
+
+def test_unicode_strings(tmp_path):
+    p = str(tmp_path / "u.xls")
+    write_xls(p, [["Ångström", "μ-metric"], ["plain", "höhe"]])
+    assert read_xls(p) == [["Ångström", "μ-metric"], ["plain", "höhe"]]
+
+
+def test_lexical_parity_with_xlsx(tmp_path):
+    """Same fixture through both codecs yields identical rows — callers
+    (read_mnemonic_descriptions) must not care which container arrived."""
+    from cosmo_spark.sources.xlsx_io import write_xlsx, read_xlsx
+
+    rows = [["Mnemonic", "Description"], ["LMMCETMP", "MCE temperature"],
+            ["N1", 3], ["N2", 2.5]]
+    px, pb = str(tmp_path / "t.xlsx"), str(tmp_path / "t.xls")
+    write_xlsx(px, rows)
+    write_xls(pb, rows)
+    assert read_xlsx(px) == read_xls(pb)
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_XLS), reason="reference data absent")
+def test_reads_reference_cosmnemonics():
+    """The actual production input parses: 267 sheet rows, header row names
+    the columns the reference accesses by name, and known mnemonics carry
+    their descriptions."""
+    rows = read_xls(REAL_XLS)
+    assert len(rows) == 267
+    assert "Mnemonic" in rows[0] and "Description" in rows[0]
+    mn, de = rows[0].index("Mnemonic"), rows[0].index("Description")
+    lookup = {r[mn]: r[de] for r in rows[1:] if r[mn]}
+    assert lookup["L15VHLD1"] == "LVPS1 +15V Hold Converter Voltage"
+    assert len(lookup) > 200
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_XLS), reason="reference data absent")
+def test_mnemonic_descriptions_real_xls_e2e(spark):
+    """read_mnemonic_descriptions end-to-end on the reference's real legacy
+    workbook: by-header-name column selection (Mnemonic is NOT the first
+    column in the real sheet)."""
+    from cosmo_spark.sources.files import read_mnemonic_descriptions
+
+    df = read_mnemonic_descriptions(spark, REAL_XLS)
+    got = {r.Mnemonic: r.Description for r in df.collect() if r.Mnemonic}
+    assert got["L15VHLD1"] == "LVPS1 +15V Hold Converter Voltage"
+    assert len(got) > 200
+
+
+def test_mnemonic_descriptions_fixture_xls(spark, tmp_path):
+    from cosmo_spark.sources.files import read_mnemonic_descriptions
+
+    p = str(tmp_path / "mn.xls")
+    write_xls(p, [
+        ["Page", "Mnemonic", "Description"],   # extra leading column
+        ["16", "LMMCETMP", "MCE temperature"],
+        ["16", "LOSM1POS", "OSM1 position"],
+    ])
+    got = {r.Mnemonic: r.Description
+           for r in read_mnemonic_descriptions(spark, p).collect()}
+    assert got == {"LMMCETMP": "MCE temperature", "LOSM1POS": "OSM1 position"}
+
+
+def test_bad_magic_raises(tmp_path):
+    p = tmp_path / "bad.xls"
+    p.write_bytes(b"not a compound file at all")
+    with pytest.raises(ValueError, match="magic"):
+        read_xls(str(p))
