@@ -6,11 +6,12 @@ extraction runs as Arrow-batched ``mapInPandas`` — the only sanctioned
 Python hot path — so each task decodes a batch of blobs without JVM
 round-trips per row.
 
-The actual codec calls are STUBBED in this environment (no image/audio
-libraries in the container): ``decode_image_batch`` raises
-``NotImplementedError`` unless ``deterministic_fake=True``, which produces a
-seeded, content-derived fake decode so the full Spark plumbing — schema,
-batching, partitioning, UDF signature — is real and tested end-to-end.
+Codec gating (the figures.py plotly pattern): ``decode_media`` uses PIL
+when it is importable — real JPEG/PNG decode to an 8×8 luminance
+thumbnail feature — and otherwise requires ``deterministic_fake=True``,
+which produces a content-derived fake decode so the full Spark plumbing —
+schema, batching, partitioning, UDF signature — is real and tested
+end-to-end in environments without image libraries (this container).
 """
 
 from __future__ import annotations
@@ -59,21 +60,38 @@ def _fake_decode(blob: bytes | None) -> tuple[int, str]:
     return 64, digest[:16]
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_media(
     media: DataFrame, deterministic_fake: bool = False, batch_limit: int = 256
 ) -> DataFrame:
     """Decode/feature-extract media blobs via Arrow-batched ``mapInPandas``.
 
+    With PIL importable (and ``deterministic_fake`` unset) blobs decode for
+    real: image → greyscale 8×8 thumbnail → 64 luminance values, hashed to
+    the same fingerprint shape as the fake path; undecodable blobs come
+    back ``decode_status='corrupt'`` rather than failing the task (one bad
+    jpeg must not kill a 100 TB scan).  Without PIL, the deterministic
+    content-derived fake keeps the plumbing testable hermetically.
+
     Scale notes: ``mapInPandas`` streams Arrow record batches — blobs never
     materialize on the driver; repartition upstream by size so one task's
     batches fit executor memory (blobs dominate row width).
     """
-    if not deterministic_fake:
+    if not deterministic_fake and not _pil_available():
         raise NotImplementedError(
-            "media codecs are not installed in this environment; pass "
+            "no image codec importable (PIL) on the driver; pass "
             "deterministic_fake=True to exercise the pipeline plumbing, or "
-            "swap _fake_decode for a real codec on a full cluster"
+            "install Pillow on the cluster for real decode"
         )
+    use_real = not deterministic_fake
 
     # self-contained closure: no references to cosmo_spark module globals, so
     # cloudpickle ships it by value and workers need no package install
@@ -82,19 +100,36 @@ def decode_media(
 
         import pandas as _pd
 
+        if use_real:
+            import io as _io
+
+            import PIL.Image as _Image  # workers need Pillow too
+
         for pdf in batches:
             out = {
                 "media_id": [], "feat_dim": [], "feat_hash": [], "decode_status": []
             }
             for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
                 if blob is None or len(blob) == 0:
-                    dim, h = 0, ""
+                    dim, h, status = 0, "", "empty"
+                elif use_real:
+                    try:
+                        img = _Image.open(_io.BytesIO(bytes(blob)))
+                        thumb = img.convert("L").resize((8, 8))
+                        feats = bytes(thumb.getdata())
+                        dim = len(feats)
+                        h = _hashlib.sha256(feats).hexdigest()[:16]
+                        status = "ok"
+                    except Exception:
+                        dim, h, status = 0, "", "corrupt"
                 else:
-                    dim, h = 64, _hashlib.sha256(bytes(blob)).hexdigest()[:16]
+                    dim = 64
+                    h = _hashlib.sha256(bytes(blob)).hexdigest()[:16]
+                    status = "ok"
                 out["media_id"].append(media_id)
                 out["feat_dim"].append(dim)
                 out["feat_hash"].append(h)
-                out["decode_status"].append("ok" if dim else "empty")
+                out["decode_status"].append(status)
             yield _pd.DataFrame(out)
 
     return media.select("media_id", "blob").mapInPandas(

@@ -22,8 +22,34 @@ def media(spark):
 
 
 def test_decode_stub_raises_without_optin(media):
+    """Without PIL importable, real decode must refuse loudly."""
+    from cosmo_spark.sources import multimodal
+
+    if multimodal._pil_available():
+        pytest.skip("Pillow installed; the real path runs instead")
     with pytest.raises(NotImplementedError):
         decode_media(media)
+
+
+def test_decode_real_with_pil(spark):
+    """Real path when Pillow is importable: a genuine PNG decodes to the
+    8x8 luminance feature; garbage bytes report corrupt, not a task kill."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (200, 10, 10)).save(buf, format="PNG")
+    rows = [
+        ("ok1", "image", "image/png", buf.getvalue(), 32, 16, buf.getbuffer().nbytes),
+        ("bad", "image", "image/png", b"not an image", None, None, 12),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.feat_dim, r.decode_status)
+           for r in decode_media(media).collect()}
+    assert got["ok1"] == (64, "ok")
+    assert got["bad"] == (0, "corrupt")
 
 
 def test_decode_fake_is_deterministic(media):
