@@ -95,6 +95,7 @@ def pq_encode(
     id_col: str,
     codebooks: Sequence[Sequence[Sequence[float]]],
     keep_cols: Sequence[str] = (),
+    center_col: str | None = None,
 ) -> DataFrame:
     """(id, [keep_cols...,] codes array<int> 1-based, se double):
     nearest-centroid code per subspace and the total squared reconstruction
@@ -104,14 +105,21 @@ def pq_encode(
     index never joins two corpus-sized frames (encode is row-local; a
     join would re-shuffle the corpus on the id for nothing).
 
+    ``center_col`` names an array column to subtract element-wise before
+    quantization (residual IVF-PQ: the row's assigned coarse centroid,
+    attached by a broadcast join on the bucket id) — the subtraction folds
+    into the same plain-arithmetic element staging, so the residual path
+    stays whole-stage codegen with zero extra passes.
+
     Ties break to the LOWEST code (array_position finds the first
     minimum), matching the oracle's list_position semantics.
     """
     n_sub = len(codebooks)
     sub_dim = len(codebooks[0][0])
     v = as_double(F.col(vec_col))
+    center = [as_double(F.col(center_col)).alias("__ctr")] if center_col else []
     out = df.select(
-        F.col(id_col).alias("__id"), v.alias("__v"), *keep_cols
+        F.col(id_col).alias("__id"), v.alias("__v"), *center, *keep_cols
     ).filter(F.size("__v") == n_sub * sub_dim)
     # Encode runs over the WHOLE corpus, so it must stay in whole-stage
     # codegen: higher-order functions (transform/aggregate) are interpreted
@@ -123,11 +131,17 @@ def pq_encode(
     # stage: chained withColumns re-analyze the plan per call (measured
     # ~2s of pure DataFrame construction for 32 columns).
     dim = n_sub * sub_dim
-    out = out.select(
-        "*", *[
+    if center_col:
+        elem = [
+            (F.element_at("__v", i + 1) - F.element_at("__ctr", i + 1))
+            .alias(f"__x{i}")
+            for i in range(dim)
+        ]
+    else:
+        elem = [
             F.element_at("__v", i + 1).alias(f"__x{i}") for i in range(dim)
         ]
-    )
+    out = out.select("*", *elem)
 
     def _dists_expr(s: int) -> str:
         cells = []
@@ -254,6 +268,7 @@ def ivf_pq_topk(
     k: int = 5,
     nprobe: int = 10,
     rerank: int = 50,
+    residual: bool = False,
 ) -> DataFrame:
     """The composed IVF-PQ index — the production ANN shape at 100 TB:
     IVF bounds WHICH corpus entries a query touches (nprobe coarse
@@ -268,21 +283,70 @@ def ivf_pq_topk(
     top-k on just those.  Measured at sf0.01: recall@5 0.85 at a 25%
     probed fraction — the same recall as the float IVF path (q44) from an
     index 16× smaller.
+
+    ``residual=True`` is the production refinement: each entry quantizes
+    its RESIDUAL (vector − assigned coarse centroid, codebooks trained on
+    residuals — pass ``PQ_RESIDUAL_CODEBOOKS``), and each query builds one
+    lookup table per PROBED BUCKET over (query − that bucket's centroid),
+    so ADC approximates the same ||q − v||² with tighter cells.  Cost
+    shape is unchanged: the centroid attach is a broadcast join on the
+    bucket id folded into the codegen encode (zero extra corpus passes),
+    and the per-(query, bucket) tables are still a broadcast — nprobe
+    tables per query instead of one.
     """
     from cosmo_spark.operators.similarity import assign_buckets, probe_buckets
 
     n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
     # bucket rides THROUGH the encode projection (keep_cols): both are
     # row-local against literal artifacts, so the index builds in one pass —
     # a codes⋈assigned join here would re-shuffle two corpus-sized frames
     # on the id for nothing
     assigned = assign_buckets(corpus, centroids, vec_col, id_col)
-    index = pq_encode(assigned, vec_col, id_col, codebooks, keep_cols=["bucket"])
+    cent = centroids.select(
+        "bucket", as_double(F.col("centroid")).alias("__ctr")
+    )
+    if residual:
+        assigned = assigned.join(F.broadcast(cent), "bucket")
+        index = pq_encode(
+            assigned, vec_col, id_col, codebooks,
+            keep_cols=["bucket"], center_col="__ctr",
+        )
+    else:
+        index = pq_encode(
+            assigned, vec_col, id_col, codebooks, keep_cols=["bucket"]
+        )
 
     probes = probe_buckets(queries, centroids, vec_col, id_col, nprobe)
     q = _query_tables(queries, vec_col, id_col, codebooks)
-    qt = q.select("query_id", *[f"__dt{s}" for s in range(n_sub)])
-    probe_q = probes.select("query_id", "bucket").join(qt, "query_id")
+    if residual:
+        # one lookup table per probed (query, bucket): residual query =
+        # q − bucket centroid; queries×nprobe rows, so interpreted HOFs
+        # are fine here (the corpus path stays codegen)
+        rq = (
+            probes.select("query_id", "q_vec", "bucket")
+            .join(F.broadcast(cent), "bucket")
+            .select(
+                "query_id", "bucket",
+                F.zip_with("q_vec", "__ctr", lambda a, b: a - b).alias("__qr"),
+            )
+            .select(
+                "query_id", "bucket", *[
+                    F.slice("__qr", s * sub_dim + 1, sub_dim).alias(f"__qs{s}")
+                    for s in range(n_sub)
+                ]
+            )
+        )
+        probe_q = rq.select(
+            "query_id", "bucket", *[
+                F.transform(_book_lit(codebooks[s]), _dist_to(f"__qs{s}"))
+                .alias(f"__dt{s}")
+                for s in range(n_sub)
+            ]
+        )
+    else:
+        qt = q.select("query_id", *[f"__dt{s}" for s in range(n_sub)])
+        probe_q = probes.select("query_id", "bucket").join(qt, "query_id")
     cand = (
         index.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(probe_q), "bucket")

@@ -1081,6 +1081,159 @@ def q88_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# q90 — residual IVF-PQ: quantize (vector - coarse centroid)                   #
+# --------------------------------------------------------------------------- #
+
+#: residual cells are tighter, so the residual index reaches the IVF probe
+#: ceiling (0.85 recall@5 at nprobe=10/40) with HALF the re-rank budget the
+#: raw-vector index needs — measured grid in COVERAGE.md
+_PQ_RERANK_RESIDUAL = 25
+
+
+def _pq_rbooks():
+    from cosmo_spark.queries.pq_codebooks import PQ_RESIDUAL_CODEBOOKS
+
+    return PQ_RESIDUAL_CODEBOOKS
+
+
+def _pq_rbook_sql(s: int) -> str:
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in _pq_rbooks()[s]
+    ) + "]"
+
+
+def _q90_oracle() -> str:
+    n, sd = _PQ_NSUB, _PQ_SDIM
+    nprobe = 10
+    rslices = ", ".join(
+        f"rv[{s * sd + 1}:{(s + 1) * sd}] AS sl{s}" for s in range(n)
+    )
+    rdists = ", ".join(
+        f"list_transform({_pq_rbook_sql(s)}, c -> list_sum(list_transform("
+        f"list_zip(sl{s}, c), p -> (p[1]-p[2])*(p[1]-p[2])))) AS d{s}"
+        for s in range(n)
+    )
+    rcodes = ", ".join(
+        f"list_position(d{s}, list_min(d{s})) AS c{s}" for s in range(n)
+    )
+    qslices = ", ".join(
+        f"qr[{s * sd + 1}:{(s + 1) * sd}] AS qs{s}" for s in range(n)
+    )
+    qdists = ", ".join(
+        f"list_transform({_pq_rbook_sql(s)}, c -> list_sum(list_transform("
+        f"list_zip(qs{s}, c), p -> (p[1]-p[2])*(p[1]-p[2])))) AS dt{s}"
+        for s in range(n)
+    )
+    adc = " + ".join(f"qd.dt{s}[i.c{s}]" for s in range(n))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE len(embedding) = {n * sd}
+),
+vn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nn FROM v),
+cents AS (SELECT * FROM (VALUES {_ivf_centroids_duckdb()}) ct(bucket, centroid)),
+cn AS (SELECT bucket, centroid,
+              sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnorm
+       FROM cents),
+assigned AS (
+  SELECT vec_id, bucket, centroid FROM (
+    SELECT vv.vec_id, ct.bucket, ct.centroid,
+           row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+             (CASE WHEN vv.nn * ct.cnorm > 0 THEN
+                list_sum(list_transform(list_zip(vv.e, ct.centroid), p -> p[1] * p[2]))
+                  / (vv.nn * ct.cnorm) END) DESC NULLS LAST, ct.bucket) AS rn
+    FROM vn vv CROSS JOIN cn ct) WHERE rn = 1
+),
+rv AS (
+  SELECT a.vec_id, a.bucket,
+         list_transform(list_zip(vv.e, a.centroid), p -> p[1] - p[2]) AS rv
+  FROM assigned a JOIN v vv USING (vec_id)
+),
+sl AS (SELECT vec_id, bucket, {rslices} FROM rv),
+d AS (SELECT vec_id, bucket, {rdists} FROM sl),
+idx AS (SELECT vec_id, bucket, {rcodes} FROM d),
+q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, bucket, centroid FROM (
+    SELECT qq.query_id, ct.bucket, ct.centroid,
+           row_number() OVER (PARTITION BY qq.query_id ORDER BY
+             (CASE WHEN ct.cnorm > 0 THEN
+                list_sum(list_transform(list_zip(qq.e, ct.centroid), p -> p[1] * p[2]))
+                  / (sqrt(list_sum(list_transform(qq.e, x -> x * x))) * ct.cnorm) END)
+             DESC NULLS LAST, ct.bucket) AS rn
+    FROM q qq CROSS JOIN cn ct) WHERE rn <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.bucket,
+         list_transform(list_zip(qq.e, p.centroid), p2 -> p2[1] - p2[2]) AS qr
+  FROM probes p JOIN q qq USING (query_id)
+),
+qs AS (SELECT query_id, bucket, {qslices} FROM qres),
+qd AS (SELECT query_id, bucket, {qdists} FROM qs),
+pairs AS (
+  SELECT qd.query_id, i.vec_id AS neighbor_id,
+         {adc} AS adc
+  FROM qd
+  JOIN idx i ON i.bucket = qd.bucket
+  WHERE qd.query_id <> i.vec_id
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rn
+    FROM pairs) WHERE rn <= {_PQ_RERANK_RESIDUAL}
+), exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_sum(list_transform(list_zip(qq.e, cv.e),
+                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS l2
+  FROM shortlist s
+  JOIN q qq ON qq.query_id = s.query_id
+  JOIN v cv ON cv.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(l2, 6) AS l2_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2, neighbor_id) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, l2_dist, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q90_ivf_pq_residual", operators=("SIM2",), oracle=_q90_oracle())
+def q90_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (operators/pq.ivf_pq_topk residual=True) — the
+    production refinement over q88: each index entry quantizes its
+    RESIDUAL (vector − assigned coarse centroid) against residual-trained
+    codebooks (queries/pq_codebooks.PQ_RESIDUAL_CODEBOOKS), and each query
+    builds one ADC lookup table per probed bucket over (query − that
+    bucket's centroid), approximating the same ||q − v||² with tighter
+    cells.  Cost shape identical to q88: the centroid attach is a
+    broadcast join folded into the codegen encode (no extra corpus pass)
+    and the per-(query, bucket) tables broadcast — nprobe small tables
+    per query instead of one.  Recall grid vs q88 in COVERAGE.md (on this
+    near-uniform synthetic corpus the coarse quantizer removes only ~4%
+    of vector energy, so the residual gain is honest-but-modest; on
+    clustered production embeddings it is the standard win).
+    """
+    from cosmo_spark.operators.pq import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = spark.sql(
+        f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    out = ivf_pq_topk(
+        e, queries, centroids, "embedding", "vec_id", _pq_rbooks(),
+        k=5, nprobe=10, rerank=_PQ_RERANK_RESIDUAL, residual=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("l2_dist", 6).alias("l2_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # q89 — table profiling (the data-quality DESCRIBE every pipeline runs first)  #
 # --------------------------------------------------------------------------- #
 

@@ -92,3 +92,49 @@ def test_rerank_returns_exact_l2_order_on_shortlist(spark, emb, books):
     want = [int(ids[i]) for i in np.lexsort((ids, d))[:5]]
     got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert got == want
+
+
+def test_encode_center_col_matches_numpy_residual(spark, emb):
+    """Residual encode (center_col): codes/se must equal numpy quantization
+    of (vector - assigned centroid) against the residual codebooks."""
+    from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
+    from cosmo_spark.queries.pq_codebooks import PQ_RESIDUAL_CODEBOOKS
+    from cosmo_spark.operators.similarity import assign_buckets
+
+    ids, x = _np_data(emb)
+    C = np.asarray(IVF_CENTROIDS)
+    cb = np.asarray(PQ_RESIDUAL_CODEBOOKS)
+    n_sub, sd = cb.shape[0], cb.shape[2]
+
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(IVF_CENTROIDS)],
+        "bucket INT, centroid ARRAY<DOUBLE>",
+    )
+    assigned = assign_buckets(emb, cents, "embedding", "vec_id").join(
+        F.broadcast(cents.select("bucket", F.col("centroid").alias("__ctr"))),
+        "bucket",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in pq_encode(
+            assigned, "embedding", "vec_id", PQ_RESIDUAL_CODEBOOKS,
+            keep_cols=["bucket"], center_col="__ctr",
+        ).collect()
+    }
+
+    # numpy reference: cosine assignment (tie -> lowest bucket), residual
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    den = xn @ cn.T
+    sims = np.where(den > 0, (x @ C.T) / np.where(den > 0, den, 1.0), -2.0)
+    asg = sims.argmax(axis=1)
+    for row_i, vid in enumerate(ids[:50]):
+        r = x[row_i] - C[asg[row_i]]
+        codes, se = [], 0.0
+        for s in range(n_sub):
+            d = ((cb[s] - r[s * sd:(s + 1) * sd]) ** 2).sum(axis=1)
+            codes.append(int(d.argmin()) + 1)
+            se += d.min()
+        assert got[vid]["bucket"] == asg[row_i], vid
+        assert list(got[vid]["codes"]) == codes, vid
+        assert abs(got[vid]["se"] - se) < 1e-9

@@ -10,6 +10,20 @@ as a literal artifact — the production PQ pattern (train offline on a
 sample, version with the code), and what makes encode/ADC-search
 expressible in the DuckDB oracles.
 
+Two codebook sets are trained:
+
+- ``PQ_CODEBOOKS`` on the raw vectors (q86/q87, and q88's non-residual
+  IVF-PQ).
+- ``PQ_RESIDUAL_CODEBOOKS`` on IVF residuals (vector − assigned coarse
+  centroid, assignment replicating operators/similarity.assign_buckets's
+  cosine + tie rules against the q44 literal centroids) — the production
+  IVF-PQ refinement (q90).  On clustered corpora residuals concentrate
+  near zero and the same 16 cells per subspace cut quantization error
+  sharply; on THIS near-uniform synthetic table the gain is measured and
+  modest (mean reconstruction SE/vector 0.3159 residual vs 0.3286 raw —
+  the coarse quantizer only removes ~4% of the energy), which the q90
+  recall grid in COVERAGE.md reports honestly.
+
 Geometry chosen from a measured grid (numpy reference, 8 queries,
 recall@5 of the ADC-shortlist-50 + exact-re-rank pipeline vs exact L2
 top-5 at sf0.01, training on sf0.1):
@@ -70,6 +84,24 @@ def _train_subspace(x, k: int, iterations: int):
     return c
 
 
+def _ivf_assign(x):
+    """Replicate assign_buckets (cosine, tie -> lowest bucket, zero-norm ->
+    lowest bucket) against the q44 literal centroids."""
+    import numpy as np
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
+
+    c = np.array(IVF_CENTROIDS)
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    cn = np.linalg.norm(c, axis=1, keepdims=True)
+    denom = xn @ cn.T
+    sims = np.where(denom > 0, (x @ c.T) / np.where(denom > 0, denom, 1.0), -2.0)
+    assign = sims.argmax(axis=1)  # first max = lowest bucket on ties
+    return c[assign]
+
+
 def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
     import duckdb
     import numpy as np
@@ -84,6 +116,11 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
     for s in range(N_SUBSPACES):
         sub = x[:, s * SUB_DIM : (s + 1) * SUB_DIM]
         books.append(_train_subspace(sub, K, ITERATIONS))
+    resid = x - _ivf_assign(x)
+    rbooks = []
+    for s in range(N_SUBSPACES):
+        sub = resid[:, s * SUB_DIM : (s + 1) * SUB_DIM]
+        rbooks.append(_train_subspace(sub, K, ITERATIONS))
 
     lines = [
         '"""Offline-trained product-quantization codebooks for q86/q87.',
@@ -107,16 +144,29 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             )
         lines.append("    ],")
     lines += ["]", ""]
+    lines += [
+        "#: [subspace][centroid][dim] — trained on IVF residuals (q90)",
+        "PQ_RESIDUAL_CODEBOOKS: list[list[list[float]]] = [",
+    ]
+    for s, book in enumerate(rbooks):
+        lines.append(f"    [  # subspace {s}")
+        for c in book:
+            lines.append(
+                "        [" + ", ".join(repr(round(float(v), 6)) for v in c) + "],"
+            )
+        lines.append("    ],")
+    lines += ["]", ""]
     with open("/root/repo/cosmo_spark/queries/pq_codebooks.py", "w") as f:
         f.write("\n".join(lines))
     # report quantization quality
-    mse = 0.0
-    for s, book in enumerate(books):
-        sub = x[:, s * SUB_DIM : (s + 1) * SUB_DIM]
-        d = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
-        mse += d.min(axis=1).mean()
-    print(f"wrote {N_SUBSPACES}x{K}x{SUB_DIM} codebooks; "
-          f"mean reconstruction SE/vector = {mse:.6f}")
+    for label, data, bks in (("raw", x, books), ("residual", resid, rbooks)):
+        mse = 0.0
+        for s, book in enumerate(bks):
+            sub = data[:, s * SUB_DIM : (s + 1) * SUB_DIM]
+            d = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+            mse += d.min(axis=1).mean()
+        print(f"{label}: {N_SUBSPACES}x{K}x{SUB_DIM} codebooks; "
+              f"mean reconstruction SE/vector = {mse:.6f}")
 
 
 if __name__ == "__main__":
