@@ -1042,7 +1042,7 @@ WITH tl AS (
   FROM documents
 ), b AS (
   SELECT source, CAST(sum(n) AS BIGINT) AS tot,
-         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+         CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
               THEN CAST(sum(n) AS BIGINT) // 2
               ELSE CAST(sum(n) AS BIGINT) // 4 END AS budget
   FROM tl GROUP BY source
@@ -1095,8 +1095,11 @@ def q63_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bucket", F.col("h") % 256).persist()
     budgets = base.groupBy("source").agg(F.sum("n").alias("tot")).select(
         "source", "tot",
+        # try_cast: a source name without the srcNN numeric suffix takes
+        # the else-branch budget instead of failing the ANSI cast (the
+        # skew sweep injects 'hot_source')
         F.when(
-            F.substring("source", 4, 10).cast("int") % 2 == 0,
+            F.expr("try_cast(substring(source, 4, 10) AS INT)") % 2 == 0,
             F.expr("tot div 2"),
         ).otherwise(F.expr("tot div 4")).alias("budget"),
     )

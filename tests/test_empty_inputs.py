@@ -18,6 +18,8 @@ import pytest
 
 from cosmo_spark.queries import all_queries
 
+pytestmark = pytest.mark.sweeps
+
 SRC = "/root/testdata/sf0.001"
 
 

@@ -20,6 +20,8 @@ import pytest
 from cosmo_spark.queries import all_queries
 from tools.parity import compare, duck_con
 
+pytestmark = pytest.mark.sweeps
+
 SRC = "/root/testdata/sf0.001"
 
 
