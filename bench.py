@@ -21,9 +21,16 @@ round-4's end-of-catalog measurements (q88 bench 7.4 s vs 4.2 s isolated)
 implicated accumulated cached partitions from the 87 prior queries.
 
 Env:
-    SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
-    SPARK_GRAFT_CPUS     local cores (default 32)
-    SPARK_GRAFT_REPEATS  catalog passes (default 3, min 1)
+    SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS        local cores (default 32)
+    SPARK_GRAFT_REPEATS     catalog passes (default 3, min 1)
+    SPARK_GRAFT_CLEARCACHE  1 (default) = clear the SQL cache between
+                            queries — honest per-query cost; 0 = legacy
+                            r04 behavior where a query's persisted frames
+                            survive into later queries AND later passes
+                            (mins then reflect cache-hit reruns, not
+                            steady-state cost — kept only for
+                            round-over-round comparison)
 """
 
 from __future__ import annotations
@@ -42,6 +49,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+    clear_cache = os.environ.get("SPARK_GRAFT_CLEARCACHE", "1") != "0"
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     from cosmo_spark.session import get_spark
@@ -78,8 +86,11 @@ def main() -> None:
             samples[name].append(time.time() - t0)
             # hygiene between queries: drop any intermediates a query
             # persisted internally so later queries aren't measured under
-            # the accumulated storage pressure of the whole catalog
-            spark.catalog.clearCache()
+            # the accumulated storage pressure of the whole catalog (and
+            # later PASSES don't get cache-hit flattery from identical
+            # logical plans persisting across passes)
+            if clear_cache:
+                spark.catalog.clearCache()
         pass_walls.append(time.time() - t_pass)
     wall = round(time.time() - t_all, 3)
 
