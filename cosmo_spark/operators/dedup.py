@@ -235,9 +235,13 @@ def cross_dedup(
     # persist both — and unpersist BEFORE returning: the per-doc verdict
     # table below localCheckpoints (it is bounded at one row per incoming
     # doc), which cuts the returned frame's lineage from the shingle
-    # tables, so repeated calls in a long-lived session leave no dead
-    # cached partitions behind (the stream_ingest_dedup finally-block
-    # discipline, restructured for a lazily-returned result)
+    # tables, so repeated calls in a long-lived session no longer pin
+    # CORPUS-sized cached partitions (the stream_ingest_dedup finally-
+    # block discipline, restructured for a lazily-returned result).
+    # Honest residue: the call is now EAGER (the checkpoint runs the
+    # shingle/band/verify jobs at construction time), and each call
+    # leaves one small checkpoint RDD (≤ one row per incoming doc) to
+    # the ContextCleaner — bounded by the batch, not the corpus
     sh_inc = shingle_table(incoming, text_col, id_col, shingle_n).persist()
     sh_cor = shingle_table(corpus, text_col, id_col, shingle_n).persist()
     b_inc = band_table(sh_inc, n_hashes, bands)
@@ -448,10 +452,18 @@ def embedding_near_dups(
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
     ).withColumn("__n", l2_norm("__v"))  # norm once per vector, not per pair
     if dim is None:
-        probe = base.select(F.size("__v").alias("d")).limit(1).collect()
+        probe = (
+            base.filter(F.col("__v").isNotNull())
+            .select(F.size("__v").alias("d")).limit(1).collect()
+        )
         dim = probe[0]["d"] if probe else 0
     blk = ["__blk"] if block_col else []
-    base = base.select(
+    # size guard before unpacking: under ANSI mode element_at past the end
+    # ABORTS the job, where the old HOF fold null-dropped the pair — one
+    # truncated vector must not kill a corpus-wide dedup (the pq_encode
+    # filter discipline; mismatched-length vectors can never clear the
+    # cosine threshold meaningfully anyway)
+    base = base.filter(F.size("__v") == dim).select(
         "__id", "__n", *blk,
         *[F.element_at("__v", i + 1).alias(f"__x{i}") for i in range(dim)],
     )

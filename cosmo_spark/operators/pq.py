@@ -318,8 +318,15 @@ def ivf_pq_topk(
         )
 
     probes = probe_buckets(queries, centroids, vec_col, id_col, nprobe)
-    q = _query_tables(queries, vec_col, id_col, codebooks)
     if residual:
+        # the re-rank only needs (query_id, __q) here — the raw-vector
+        # lookup tables _query_tables stages (16 parsed codebook literals
+        # + 32 columns) would be dead weight in residual mode, and each
+        # costs real driver-side analysis time even when pruned
+        qv = as_double(F.col(vec_col))
+        q = queries.select(
+            F.col(id_col).alias("query_id"), qv.alias("__q")
+        ).filter(F.size("__q") == n_sub * sub_dim)
         # one lookup table per probed (query, bucket): residual query =
         # q − bucket centroid; queries×nprobe rows, so interpreted HOFs
         # are fine here (the corpus path stays codegen)
@@ -345,6 +352,7 @@ def ivf_pq_topk(
             ]
         )
     else:
+        q = _query_tables(queries, vec_col, id_col, codebooks)
         qt = q.select("query_id", *[f"__dt{s}" for s in range(n_sub)])
         probe_q = probes.select("query_id", "bucket").join(qt, "query_id")
     cand = (

@@ -103,10 +103,19 @@ def read_mnemonic_descriptions(spark: SparkSession, path: str) -> DataFrame:
     if not rows:
         raise ValueError(f"empty worksheet in {path}")
     header = rows[0]
-    try:
+    has_mn, has_de = "Mnemonic" in header, "Description" in header
+    if has_mn and has_de:
         mn_i, de_i = header.index("Mnemonic"), header.index("Description")
-    except ValueError:
-        mn_i, de_i = 0, 1
+    elif has_mn or has_de:
+        # exactly one named header: silently falling back to positions
+        # would report a WRONG column under the found name — refuse
+        missing = "Description" if has_mn else "Mnemonic"
+        raise ValueError(
+            f"worksheet header has {'Mnemonic' if has_mn else 'Description'} "
+            f"but no {missing} column: {header!r}"
+        )
+    else:
+        mn_i, de_i = 0, 1  # headerless fixture layout: first two columns
     # columns are selected positionally, so the header cells never enter a
     # DDL string or column resolution — sheet headers with backticks/dots
     # can't corrupt the schema

@@ -67,7 +67,10 @@ def read_cfb_stream(data: bytes, name: str) -> bytes:
     first_difat = _u32(data, 68)
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssz
+        # sector #0 begins at one full sector size into the file (the
+        # 512-byte header occupies the rest of that first sector) — for
+        # v3 (512 B sectors) this is byte 512, for v4 (4096 B) byte 4096
+        off = (i + 1) * ssz
         return data[off:off + ssz]
 
     # FAT sector list: 109 header DIFAT slots, then chained DIFAT sectors
@@ -180,17 +183,26 @@ class _SSTCursor:
         high = flags & 0x01
         chars: list[str] = []
         need = cch
+        # a CONTINUE fragment that carries a split string's characters
+        # restarts with a fresh flag byte — INCLUDING when the split falls
+        # exactly between the header and the first character, so the
+        # trigger is "we crossed into a fragment the header wasn't read
+        # in", not "some chars were already consumed"
+        header_fi = self.fi
         while need > 0:
             self._advance()
             if self._left() == 0:
                 raise ValueError("corrupt SST: string ran off the record")
-            if len(chars) and self.off == 0:
-                # continuation fragment: fresh flag byte for ITS chars
+            if self.off == 0 and self.fi != header_fi:
+                header_fi = self.fi  # consume ITS flag byte exactly once
                 high = self.read(1)[0] & 0x01
+                continue  # re-advance in case the flag ended the fragment
             width = 2 if high else 1
             take = min(need, self._left() // width)
-            if take == 0:  # lone flag byte at fragment end
-                continue
+            if take == 0:
+                # an odd dangling byte cannot hold a 2-byte character and
+                # per spec characters never split — corrupt, not a spin
+                raise ValueError("corrupt SST: split mid-character")
             raw = self.read(take * width)
             chars.append(
                 raw.decode("utf-16-le") if high else raw.decode("latin-1")

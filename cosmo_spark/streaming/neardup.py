@@ -125,6 +125,16 @@ def make_keeper(threshold: float, max_bucket: int):
         rows.sort(key=lambda r: r[0])  # deterministic within a micro-batch
         for rid, rv in rows:
             v = np.asarray(rv, dtype=np.float64)
+            if dim is not None and v.shape != (dim,):
+                # loud guard (the max_bucket discipline): the mat-vec needs
+                # consistent dims; the old python loop silently zip-truncated
+                # mismatched vectors, which is a wrong answer, not a feature
+                raise RuntimeError(
+                    f"stream_srp_near_dup: vector {rid!r} has "
+                    f"{v.shape[0] if v.ndim == 1 else 'malformed'} dims, "
+                    f"bucket state holds {dim} — mixed embedding dims in "
+                    "one stream; normalize upstream"
+                )
             n = float(np.sqrt(v @ v))
             match, sim = None, None
             if k and n > 0:

@@ -436,3 +436,35 @@ def test_q78_negative_epoch_bucket_parity(spark):
         for t in rows
     ]
     assert got == want
+
+
+def test_embedding_near_dups_tolerates_short_and_null_vectors(spark):
+    """A truncated or NULL vector must DROP (the old HOF null-semantics),
+    not abort the job via ANSI element_at (round-5 review repro)."""
+    from cosmo_spark.operators.dedup import embedding_near_dups
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 0),
+         (2, [1.0, 0.0, 0.0, 0.0], 0),
+         (3, [1.0, 0.0], 0),          # truncated
+         (4, None, 0)],               # null
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    out = embedding_near_dups(
+        df, "embedding", "vec_id", threshold=0.9, block_col="label", dim=4
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    # probe path (dim=None): infers from the FIRST NON-NULL row — here the
+    # majority dim — and must not crash on the null row it skipped over
+    out2 = embedding_near_dups(
+        df, "embedding", "vec_id", threshold=0.9, block_col="label",
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out2] == [(1, 2)]
+    # degenerate probe: ALL vectors null -> empty result, no crash
+    allnull = spark.createDataFrame(
+        [(1, None, 0), (2, None, 0)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    assert embedding_near_dups(
+        allnull, "embedding", "vec_id", threshold=0.9, block_col="label"
+    ).count() == 0

@@ -106,3 +106,38 @@ def test_bad_magic_raises(tmp_path):
     p.write_bytes(b"not a compound file at all")
     with pytest.raises(ValueError, match="magic"):
         read_xls(str(p))
+
+
+def test_sst_flag_byte_at_header_char_boundary():
+    """A CONTINUE split exactly between a string's header and its first
+    character still carries a fresh flag byte — it must be consumed as a
+    flag, not decoded as a character (round-5 review repro)."""
+    import struct
+
+    from cosmo_spark.sources.xls_io import _SSTCursor
+
+    c = _SSTCursor([struct.pack("<HB", 2, 0), b"\x00AB"])
+    assert c.read_string() == "AB"
+
+
+def test_sst_mid_character_split_raises_not_hangs():
+    """An odd dangling byte inside wide-character data is spec-invalid;
+    the parser must raise 'corrupt SST', not spin forever."""
+    import struct
+
+    from cosmo_spark.sources.xls_io import _SSTCursor
+
+    c = _SSTCursor([struct.pack("<HB", 3, 1) + b"A\x00B", b"\x01C\x00"])
+    with pytest.raises(ValueError, match="corrupt SST"):
+        c.read_string()
+
+
+def test_mnemonic_single_named_header_refuses(spark, tmp_path):
+    """A sheet with Mnemonic but a renamed Description column must raise,
+    not silently report a positional column under the found name."""
+    from cosmo_spark.sources.files import read_mnemonic_descriptions
+
+    p = str(tmp_path / "mn.xls")
+    write_xls(p, [["Page", "Mnemonic", "Descr"], ["16", "A", "b"]])
+    with pytest.raises(ValueError, match="no Description"):
+        read_mnemonic_descriptions(spark, p)
