@@ -1218,6 +1218,92 @@ def q64_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# q91 — span novelty: first-owner attribution (keep-first pruning signal)      #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q91_span_novelty",
+    operators=("DD1", "A14", "A11"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+th AS (SELECT doc_id, {_DUCK_TOK_HASHES} AS hs FROM tl WHERE len(t) >= {_SPAN_N}),
+spans AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           hs[i : i + {_SPAN_N} - 1]),
+           (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h
+  FROM th, unnest(range(1, len(hs) - {_SPAN_N} + 2)) AS r(i)
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id
+),
+first_owner AS (
+  SELECT h, min(doc_id) AS first_doc FROM spans GROUP BY h
+),
+novel AS (
+  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+  FROM first_owner GROUP BY first_doc
+)
+SELECT t.doc_id, t.n_spans,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       round(COALESCE(n.n_novel, 0) / CAST(t.n_spans AS DOUBLE), 6)
+         AS novelty_frac
+FROM totals t LEFT JOIN novel n USING (doc_id)
+""",
+)
+def q91_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span novelty by FIRST-OWNER attribution — the keep-first-occurrence
+    pruning signal: every distinct {n}-token span hash is attributed to the
+    lowest doc_id containing it, and each document reports how many of its
+    distinct spans it OWNS (novelty_frac → 1 for original content, → 0 for
+    a document whose text all appeared in earlier documents).  Complements
+    q64: repeated_frac says "this span exists elsewhere"; novelty says
+    "this document is the copy, that one is the original" — the decision
+    rule substring-dedup policies actually apply.
+
+    Scale shape: NO corpus-scale join anywhere — distinct (doc, h) spans
+    partial-combine map-side, the first-owner table is a min() aggregate
+    keyed by span hash (hot boilerplate hashes partial-combine, the q64
+    skew argument), and its per-doc novel counts collapse to doc-level
+    BEFORE the only join, which is doc-table-sized on both sides.  Every
+    shuffle carries BIGINTs.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = _SPAN_N
+    tl = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    th = tl.filter(F.size("t") >= n).select(
+        "doc_id", token_hashes("t").alias("hs")
+    )
+    spans = th.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(hs) - {n} + 1), i -> "
+                f"aggregate(slice(hs, i, {n}), 0L, "
+                f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
+            )
+        ).alias("h"),
+    ).distinct().persist()
+    totals = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    first_owner = spans.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = first_owner.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("__novel")
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id", "n_spans",
+            F.coalesce("__novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("__novel", F.lit(0)) / F.col("n_spans").cast("double"), 6
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
 # q65 — token entropy (row-local lexical-diversity quality signal)             #
 # --------------------------------------------------------------------------- #
 
