@@ -687,3 +687,88 @@ def q56_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(100.0))
          .alias("running_std"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q92 — ordered funnel conversion (view -> click -> purchase)                  #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q92_funnel_conversion",
+    operators=("A4", "A14", "J1"),
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id
+), n AS (
+  SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT step, step_name, n_users,
+       round(n_users / CAST(NULLIF(lag(n_users) OVER (ORDER BY step), 0)
+             AS DOUBLE), 6) AS conv_from_prev,
+       round(n_users / CAST(NULLIF(first_value(n_users)
+             OVER (ORDER BY step), 0) AS DOUBLE), 6) AS conv_from_first
+FROM n
+""",
+)
+def q92_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion — the product-analytics primitive the
+    catalog's sessionization (q47/q54) doesn't cover: per user, step k's
+    timestamp is the EARLIEST qualifying event at-or-after step k-1's, so
+    a click before any view does not count, and conversion rates are
+    per-step user survival.
+
+    Scale shape: each step is one keyed partial aggregation over the
+    events scan joined to the PREVIOUS step's user-level frame (user-id
+    keyed equi-join — AQE-splittable, never a per-user ordered window over
+    raw events), and the final 3-row frame takes the only unpartitioned
+    window.  At 100 TB, step frames are one row per surviving user —
+    monotonically shrinking."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    e = e.filter(F.col("user_id").isNotNull())
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    rows = None
+    for step, name, frame in ((1, "view", s1), (2, "click", s2), (3, "purchase", s3)):
+        r = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    w = Window.orderBy("step")
+    prev = F.lag("n_users").over(w)
+    first = F.first("n_users").over(w)
+    return rows.select(
+        "step", "step_name", "n_users",
+        F.round(
+            F.col("n_users") / F.nullif(prev, F.lit(0)).cast("double"), 6
+        ).alias("conv_from_prev"),
+        F.round(
+            F.col("n_users") / F.nullif(first, F.lit(0)).cast("double"), 6
+        ).alias("conv_from_first"),
+    )
