@@ -1287,3 +1287,72 @@ def q89_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
     )
+
+
+# --------------------------------------------------------------------------- #
+# q93 — referential-integrity audit (cross-table FK orphan counts)             #
+# --------------------------------------------------------------------------- #
+
+_FK_EDGES = (
+    # child, fk, parent, pk
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "q93_ri_audit",
+    operators=("J5", "A4", "U2"),
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{child}.{fk} -> {parent}.{pk}' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_fk,
+       CAST(sum(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       round(sum(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
+                 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS orphan_rate
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{fk} = p.{pk}"""
+        for child, fk, parent, pk in _FK_EDGES
+    ),
+)
+def q93_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the model's FK edges — the
+    cross-table sibling of q89's single-table profile, and the validation
+    gate a pipeline runs on every new data drop: one row per FK edge with
+    child-row, null-FK, and ORPHAN counts (a non-null FK value with no
+    parent).
+
+    Scale shape per edge: left join against the parent's DISTINCT key
+    projection — Catalyst prunes the parent to one column before the
+    distinct, dimension-sized parents broadcast (nation/region/customer),
+    and the fact-sized edge (lineitem→orders) is a keyed equi-join AQE can
+    split on skew; counting collapses map-side.  Edges audit independently
+    and union — at 100 TB run them as separate jobs off the same scan
+    snapshot."""
+    rows = None
+    for child, fk, parent, pk in _FK_EDGES:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(pk).distinct()
+        joined = c.join(p, c[fk] == p[pk], "left")
+        orphan = F.sum(
+            F.when(c[fk].isNotNull() & p[pk].isNull(), 1).otherwise(0)
+        )
+        r = joined.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(c[fk].isNull(), 1).otherwise(0))
+             .cast("long").alias("n_null_fk"),
+            orphan.cast("long").alias("n_orphans"),
+            F.round(orphan / F.count(F.lit(1)).cast("double"), 6)
+             .alias("orphan_rate"),
+        ).select(
+            F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
+            "n_child", "n_null_fk", "n_orphans", "orphan_rate",
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

@@ -367,3 +367,37 @@ def test_q82_fingerprint_computed_below_join(spark, qs):
     import re
     for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m
+
+
+def test_q91_novelty_shuffles_carry_hashes_only(spark, qs):
+    """Span novelty must never shuffle text: exchanges carry (doc_id, h)
+    BIGINTs, and no window runs over the span table (both aggregations
+    are partial-combining groupBys)."""
+    import re
+
+    df = qs["q91_span_novelty"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "windowspecdefinition" not in plan
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m, f"text column in exchange key: {m}"
+
+
+def test_q92_funnel_no_per_user_window(spark, qs):
+    """The funnel's only window runs over the 3-row step summary — never a
+    per-user ordered window over raw events."""
+    import re
+
+    df = qs["q92_funnel_conversion"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the step-summary window"
+    assert all("user_id" not in s and "ts" not in s for s in specs), specs
+
+
+def test_q93_ri_audit_dimension_parents_broadcast(spark, qs):
+    """Dimension-sized parent keys (nation/region) must broadcast into
+    their audit joins; no nested-loop join anywhere."""
+    df = qs["q93_ri_audit"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
