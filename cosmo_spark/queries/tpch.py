@@ -634,3 +634,106 @@ def q27_region_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q94 — ROLLUP grouping sets (multi-level OLAP subtotals)                     #
+# --------------------------------------------------------------------------- #
+
+@register(
+    "q94_revenue_rollup",
+    operators=("A4", "J1", "U2"),
+    oracle="""
+SELECT r_name AS region_name, n_name AS nation_name,
+       GROUPING(r_name, n_name) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q94_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — the multi-level subtotal shape (nation
+    subtotals, region subtotals, grand total) every OLAP surface exposes
+    and the catalog previously lacked.  ``grouping_id`` disambiguates a
+    rollup NULL from a genuine NULL key, matching DuckDB's GROUPING
+    bitmask.
+
+    Scale shape: Catalyst plans rollup as ONE scan with an Expand (one
+    replica per grouping set) feeding a single partial-combining hash
+    aggregate — subtotals cost one extra exchange-input replica, never a
+    second scan.  Revenue sums exact integer cents (PARITY rule 3: float
+    sum-order ulps land on rounding ties at scale) and divides once.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        j.rollup("region_name", "nation_name")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("cents") / F.lit(100.0), 2).alias("revenue"),
+        )
+        .select("region_name", "nation_name", "lvl", "n_orders", "revenue")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q95 — pivot (wide reshape: months x event types)                            #
+# --------------------------------------------------------------------------- #
+
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@register(
+    "q95_event_pivot",
+    operators=("A4", "P11"),
+    oracle=f"""
+SELECT strftime(ts, '%Y-%m') AS month,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+           for t in _PIVOT_TYPES
+       )}
+FROM events WHERE ts IS NOT NULL
+GROUP BY month
+""",
+)
+def q95_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — the wide reshape (rows: month, columns: event type) the
+    catalog previously lacked.  The pivot values are an EXPLICIT literal
+    list: without one Spark runs an extra distinct job over the corpus to
+    discover columns and the output schema becomes data-dependent — the
+    q55 "bound the geometry" discipline applied to reshaping.
+
+    Scale shape: pivot-with-known-values compiles to one partial-
+    combining hash aggregate of conditional counts (identical to the
+    oracle's CASE sums) — one exchange of (month × 5) cells, no second
+    scan, no wide-row shuffle.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    out = (
+        e.withColumn("month", F.date_format("ts", "yyyy-MM"))
+        .groupBy("month")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+    return out.select(
+        "month",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _PIVOT_TYPES],
+    )
