@@ -141,3 +141,60 @@ def test_mnemonic_single_named_header_refuses(spark, tmp_path):
     write_xls(p, [["Page", "Mnemonic", "Descr"], ["16", "A", "b"]])
     with pytest.raises(ValueError, match="no Description"):
         read_mnemonic_descriptions(spark, p)
+
+
+# --------------------------------------------------------------------------- #
+# property: arbitrary tables roundtrip through the BIFF8 writer/reader        #
+# --------------------------------------------------------------------------- #
+
+from hypothesis import given, settings, strategies as st
+
+
+def _lex(x):
+    """Expected lexical form after roundtrip (matches xls_io._lex)."""
+    if x is None:
+        return None
+    if isinstance(x, str):
+        return x
+    return str(int(x)) if x == int(x) and abs(x) < 1e15 else repr(float(x))
+
+
+_cell = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                               exclude_categories=("Cs",)),
+        max_size=40,
+    ),
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1e12, max_value=1e12),
+)
+
+
+@given(
+    rows=st.lists(st.lists(_cell, min_size=1, max_size=6),
+                  min_size=1, max_size=12),
+)
+@settings(max_examples=30, deadline=None)
+def test_xls_roundtrip_property(tmp_path_factory, rows):
+    """write_xls -> read_xls preserves every cell's lexical form, with rows
+    densified to the max written width; fully-None tails may drop (no cell
+    records are emitted for them — Excel's own sparse behavior)."""
+    tmp = tmp_path_factory.mktemp("xlsprop")
+    p = str(tmp / "t.xls")
+    write_xls(p, rows)
+    got = read_xls(p)
+    # expected dense grid over cells that produced records
+    cells = {
+        (r, c): _lex(v)
+        for r, row in enumerate(rows) for c, v in enumerate(row)
+        if v is not None
+    }
+    if not cells:
+        assert got == []
+        return
+    n_rows = max(r for r, _ in cells) + 1
+    n_cols = max(c for _, c in cells) + 1
+    want = [[cells.get((r, c)) for c in range(n_cols)] for r in range(n_rows)]
+    assert got == want
