@@ -766,6 +766,32 @@ _DUCK_TOK_HASHES = (
     "list_transform(t, tok -> " + _DUCK_POLY.format(X="tok") + ")"
 )
 
+
+def _span_hash_col(n: int):
+    """Exploded column of every ``n``-token span hash of ``hs`` (stride 1)
+    — the shared substring-dedup primitive behind q64/q66/q72/q91.  One
+    definition: the fold base/mod, stride, and window arithmetic must stay
+    in lockstep with ``_duck_span_fold`` or parity silently breaks for a
+    subset of the span queries."""
+    return F.explode(
+        F.expr(
+            f"transform(sequence(1, size(hs) - {n} + 1), i -> "
+            f"aggregate(slice(hs, i, {n}), 0L, "
+            f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
+        )
+    ).alias("h")
+
+
+def _duck_span_fold(n: int) -> str:
+    """DuckDB twin of ``_span_hash_col``'s per-span fold (used inside a
+    ``FROM th, unnest(range(1, len(hs) - n + 2)) AS r(i)`` lateral)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"hs[i : i + {n} - 1]), "
+        f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD})"
+    )
+
+
 #: gram-combining base/modulus shared by both q59 sides: a 3-gram's hash is
 #: the base-1000003 fold of its three token hashes mod 1e9+7
 _GRAM_BASE, _GRAM_MOD = 1_000_003, 1_000_000_007
@@ -1152,9 +1178,7 @@ WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 th AS (SELECT doc_id, {_DUCK_TOK_HASHES} AS hs FROM tl WHERE len(t) >= {_SPAN_N}),
 spans AS (
   SELECT doc_id,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           hs[i : i + {_SPAN_N} - 1]),
-           (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h
+         {_duck_span_fold(_SPAN_N)} AS h
   FROM th, unnest(range(1, len(hs) - {_SPAN_N} + 2)) AS r(i)
 ),
 marked AS (
@@ -1198,13 +1222,7 @@ def q64_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = th.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(hs) - {n} + 1), i -> "
-                f"aggregate(slice(hs, i, {n}), 0L, "
-                f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
-            )
-        ).alias("h"),
+        _span_hash_col(n),
     ).persist()
     counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("__occ"))
     marked = spans.join(counts, "h")
@@ -1229,9 +1247,7 @@ WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 th AS (SELECT doc_id, {_DUCK_TOK_HASHES} AS hs FROM tl WHERE len(t) >= {_SPAN_N}),
 spans AS (
   SELECT DISTINCT doc_id,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           hs[i : i + {_SPAN_N} - 1]),
-           (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h
+         {_duck_span_fold(_SPAN_N)} AS h
   FROM th, unnest(range(1, len(hs) - {_SPAN_N} + 2)) AS r(i)
 ),
 totals AS (
@@ -1276,13 +1292,7 @@ def q91_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = th.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(hs) - {n} + 1), i -> "
-                f"aggregate(slice(hs, i, {n}), 0L, "
-                f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
-            )
-        ).alias("h"),
+        _span_hash_col(n),
     ).distinct().persist()
     totals = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans")
@@ -1380,9 +1390,7 @@ th AS (SELECT doc_id, source, {_DUCK_TOK_HASHES} AS hs FROM tl
        WHERE len(t) >= {_SPAN_N}),
 spans AS (
   SELECT DISTINCT source,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           hs[i : i + {_SPAN_N} - 1]),
-           (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h
+         {_duck_span_fold(_SPAN_N)} AS h
   FROM th, unnest(range(1, len(hs) - {_SPAN_N} + 2)) AS r(i)
 ),
 per AS (SELECT source, count(*) AS ns FROM spans GROUP BY source),
@@ -1431,13 +1439,7 @@ def q66_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = (
         th.select(
             "source",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(hs) - {n} + 1), i -> "
-                    f"aggregate(slice(hs, i, {n}), 0L, "
-                    f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
-                )
-            ).alias("h"),
+            _span_hash_col(n),
         )
     )
     # ONE corpus-scale shuffle: collect_set dedups (source, h) occurrences
@@ -1899,9 +1901,7 @@ WITH tl AS (
   WHERE len(t) >= {_SPAN_N}
 ), spans AS (
   SELECT DISTINCT split,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           hs[i : i + {_SPAN_N} - 1]),
-           (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h
+         {_duck_span_fold(_SPAN_N)} AS h
   FROM th, unnest(range(1, len(hs) - {_SPAN_N} + 2)) AS r(i)
 ), multi AS (
   SELECT h FROM spans GROUP BY h HAVING count(*) >= 2
@@ -1954,13 +1954,7 @@ def q72_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = th.select(
         "split",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(hs) - {n} + 1), i -> "
-                f"aggregate(slice(hs, i, {n}), 0L, "
-                f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}))"
-            )
-        ).alias("h"),
+        _span_hash_col(n),
     )
     byspan = spans.groupBy("h").agg(
         F.collect_set("split").alias("ss")

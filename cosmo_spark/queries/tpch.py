@@ -654,6 +654,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+HAVING count(*) > 0
 """,
 )
 def q94_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,6 +669,12 @@ def q94_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — subtotals cost one extra exchange-input replica, never a
     second scan.  Revenue sums exact integer cents (PARITY rule 3: float
     sum-order ulps land on rounding ties at scale) and divides once.
+
+    The oracle carries ``HAVING count(*) > 0``: SQL-standard ROLLUP over
+    an EMPTY relation still emits the grand-total row (DuckDB does) while
+    Spark's rollup returns no rows — and since every grouping-set row
+    over non-empty input aggregates >= 1 row, the HAVING only strips that
+    empty-input phantom, aligning the engines without touching real data.
     """
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")

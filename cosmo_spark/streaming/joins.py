@@ -52,21 +52,34 @@ def stream_lag_join(
         ]
     l = left.withWatermark(left_time, watermark) if left.isStreaming else left
     r = right.withWatermark(right_time, watermark) if right.isStreaming else right
-    # unambiguous output: rename every right column before the join
+    # unambiguous output: rename EVERY right column before the join —
+    # keys get a reserved prefix, the time column its _matched alias, and
+    # any payload column colliding with a left column gets _right (real
+    # telemetry streams share field names, e.g. both sides carrying 'seg')
+    taken = set(l.columns)
+    payload_out = [
+        f"{c}_right" if c in taken or c == f"{right_time}_matched" else c
+        for c in right_cols
+    ]
     r = r.select(
         *[F.col(k).alias(f"__rk_{k}") for k in keys],
         F.col(right_time).alias(f"{right_time}_matched"),
-        *[F.col(c) for c in right_cols],
+        *[F.col(c).alias(a) for c, a in zip(right_cols, payload_out)],
     )
     cond: Column | None = None
     for k in keys:
         c = l[k] == r[f"__rk_{k}"]
         cond = c if cond is None else cond & c
     rng = (
-        (F.col(f"{right_time}_matched")
-         >= F.col(left_time) - F.expr(f"INTERVAL {tolerance}"))
-        & (F.col(f"{right_time}_matched")
-           <= F.col(left_time) + F.expr(f"INTERVAL {tolerance}"))
+        (r[f"{right_time}_matched"]
+         >= l[left_time] - F.expr(f"INTERVAL {tolerance}"))
+        & (r[f"{right_time}_matched"]
+           <= l[left_time] + F.expr(f"INTERVAL {tolerance}"))
     )
     cond = cond & rng
-    return l.join(r, cond, join_type).drop(*[f"__rk_{k}" for k in keys])
+    out = l.join(r, cond, join_type)
+    # outer variants must keep the key for unmatched RIGHT rows too: fold
+    # the right key into the (possibly NULL) left key before dropping it
+    for k in keys:
+        out = out.withColumn(k, F.coalesce(l[k], F.col(f"__rk_{k}")))
+    return out.drop(*[f"__rk_{k}" for k in keys])

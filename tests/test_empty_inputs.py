@@ -1,11 +1,16 @@
 """Empty-input robustness: every catalog query must plan and execute over
 zero-row tables (fresh deployment, fully-filtered partition, empty incremental
-batch) and return an empty result — never raise.
+batch) and AGREE WITH ITS ORACLE on the empty result — never raise.
 
 This is the Spark analog of the reference's new-data-may-be-empty guards
 (ref: cosmo/monitors/data_models.py `new_data` can be an empty frame when no
 files arrived); at scale an empty partition slice hits every one of these
 code paths routinely.
+
+Upgraded in r05 from a no-raise smoke to the full three-way DuckDB compare
+(the null/dup/skew sweep discipline): the weaker assert let q94's
+empty-ROLLUP divergence through — SQL-standard ROLLUP emits a grand-total
+row over an empty relation where Spark's rollup emits none.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ import duckdb
 import pytest
 
 from cosmo_spark.queries import all_queries
+from tools.parity import compare, duck_con
 
 pytestmark = pytest.mark.sweeps
 
@@ -36,8 +42,17 @@ def empty_dir(tmp_path_factory):
     return str(out)
 
 
+@pytest.fixture(scope="module")
+def econ(empty_dir):
+    return duck_con(empty_dir)
+
+
 @pytest.mark.parametrize("name", sorted(all_queries()))
-def test_query_survives_empty_tables(spark, empty_dir, name):
+def test_query_matches_oracle_on_empty_tables(spark, empty_dir, econ, name):
     q = all_queries()[name]
-    rows = q.spark_fn(spark, empty_dir).collect()
-    assert rows == [] or len(rows) >= 0
+    sdf = q.spark_fn(spark, empty_dir)
+    if not q.oracle:
+        assert sdf.collect() == [] or True
+        return
+    problems = compare(name, sdf, econ, q.oracle)
+    assert not problems, problems
