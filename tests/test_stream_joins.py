@@ -101,3 +101,25 @@ def test_batch_twin_equals_reference_semantics(spark):
     assert sorted((x.lval, x.rval) for x in out.collect()) == [
         ("f1", "s1"), ("f2", "s2")
     ]
+
+
+def test_colliding_payload_and_outer_key_survival(spark):
+    """Right payload columns sharing a left column's name rename to
+    _right (realistic telemetry streams share field names), and fullOuter
+    keeps the join key on unmatched RIGHT rows (round-5 review)."""
+    l = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:20", "L")],
+        "k STRING, lt STRING, seg STRING",
+    ).selectExpr("k", "CAST(lt AS TIMESTAMP) lt", "seg")
+    r = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:30", "R1"),
+         ("zz", "2024-01-01T00:00:30", "R2")],   # unmatched right key
+        "k STRING, rt STRING, seg STRING",
+    ).selectExpr("k", "CAST(rt AS TIMESTAMP) rt", "seg")
+    out = stream_lag_join(
+        l, r, "k", "lt", "rt", tolerance="30 seconds", join_type="fullOuter"
+    )
+    assert "seg" in out.columns and "seg_right" in out.columns
+    rows = {x.k: (x.seg, x.seg_right) for x in out.collect()}
+    assert rows["a"] == ("L", "R1")
+    assert rows["zz"] == (None, "R2")   # key survives the unmatched right row
