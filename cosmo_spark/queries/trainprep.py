@@ -1356,3 +1356,74 @@ def q93_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+# --------------------------------------------------------------------------- #
+# q96 — largest-remainder quota allocation (exact eval-budget apportionment)   #
+# --------------------------------------------------------------------------- #
+
+_Q96_BUDGET = 1000  # eval rows to apportion across sources
+
+
+@register(
+    "q96_quota_allocation",
+    operators=("A4", "O1"),
+    oracle=f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+  WHERE source IS NOT NULL GROUP BY source
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k FROM per),
+q AS (
+  SELECT source, n,
+         (n * {_Q96_BUDGET}) // t AS floor_q,
+         (n * {_Q96_BUDGET}) % t AS rem
+  FROM per, tot
+), ranked AS (
+  SELECT source, n, floor_q, rem,
+         row_number() OVER (ORDER BY rem DESC, source) AS rr,
+         CAST({_Q96_BUDGET} AS BIGINT) - sum(floor_q) OVER () AS leftover
+  FROM q
+)
+SELECT source, n, CAST(floor_q AS BIGINT) AS floor_quota,
+       CAST(floor_q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked
+""",
+)
+def q96_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed eval budget
+    across sources — the exact-allocation step a pipeline runs when the
+    spec says "exactly N eval rows, proportional to source size": floor
+    quotas first, then the leftover seats go to the largest fractional
+    remainders (ties to the lexically-smallest source).  Everything is
+    INTEGER arithmetic — remainders compare as ``(n*B) mod T`` so the
+    allocation is bit-exact in any engine and sums to the budget by
+    construction.
+
+    Scale shape: one partial-combining count per source; the rank and the
+    leftover sum are windows over the SOURCE table (one row per source),
+    never the corpus.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").alias("t"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n",
+        F.expr(f"(n * {_Q96_BUDGET}) div t").alias("floor_q"),
+        ((F.col("n") * _Q96_BUDGET) % F.col("t")).alias("rem"),
+    )
+    w = Window.orderBy(F.desc("rem"), "source")
+    wall = Window.partitionBy()
+    ranked = q.select(
+        "source", "n", "floor_q", "rem",
+        F.row_number().over(w).alias("rr"),
+        (F.lit(_Q96_BUDGET).cast("long")
+         - F.sum("floor_q").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "source", "n",
+        F.col("floor_q").cast("long").alias("floor_quota"),
+        (F.col("floor_q")
+         + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long").alias("quota"),
+    )
