@@ -2086,3 +2086,158 @@ def q74_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"start div {_PACK_W}").cast("long").alias("first_win"),
         F.expr(f"(start + n - 1) div {_PACK_W}").cast("long").alias("last_win"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q97 — BPE merge application (the learned-merges half of tokenizer training)  #
+# --------------------------------------------------------------------------- #
+
+#: ordered merge rules (a literal artifact, the q55/q44 discipline); rule 3
+#: consumes rule 1's output symbol — genuine BPE chaining
+_BPE_RULES = (("t", "h"), ("i", "n"), ("th", "e"), ("a", "n"))
+
+
+def _spark_bpe_pass(wcol: str, a: str, b: str):
+    """(c_expr, m_expr_builder, out_expr_builder) for one greedy leftmost
+    merge pass of rule (a, b) over symbol-list column ``wcol``."""
+    c = (
+        f"CASE WHEN size({wcol}) < 2 THEN CAST(array() AS ARRAY<INT>) "
+        f"ELSE transform(sequence(1, size({wcol}) - 1), i_c -> "
+        f"CASE WHEN element_at({wcol}, i_c) = '{a}' "
+        f"AND element_at({wcol}, i_c + 1) = '{b}' THEN 1 ELSE 0 END) END"
+    )
+
+    def m(ccol: str) -> str:
+        # greedy overlap resolution as an O(L) fold: merge at i iff it is a
+        # candidate and position i-1 did not merge (which consumes s[i]) —
+        # equivalent to the oracle's odd-run-distance formulation (the gate
+        # proves it value-for-value) but linear instead of the O(L^2)
+        # nested scan, which DuckDB absorbs and interpreted Spark HOFs
+        # do not
+        return (
+            f"CASE WHEN size({ccol}) = 0 THEN CAST(array() AS ARRAY<INT>) "
+            f"ELSE aggregate(sequence(1, size({ccol})), "
+            f"CAST(array() AS ARRAY<INT>), (acc, i) -> "
+            f"concat(acc, array(CASE WHEN element_at({ccol}, i) = 0 THEN 0 "
+            f"WHEN i = 1 THEN 1 "
+            f"WHEN element_at(acc, i - 1) = 1 THEN 0 "
+            f"ELSE 1 END))) END"
+        )
+
+    def out(mcol: str) -> str:
+        # mpad aligns so element p = "consumed by merge at p-1" and
+        # element p+1 = "merge starts at p" — no 0-index element_at anywhere
+        mpad = f"concat(array(0), {mcol}, array(0))"
+        return (
+            f"filter(transform(sequence(1, size({wcol})), p -> "
+            f"CASE WHEN element_at({mpad}, p) = 1 THEN NULL "
+            f"WHEN element_at({mpad}, p + 1) = 1 THEN '{a + b}' "
+            f"ELSE element_at({wcol}, p) END), x -> x IS NOT NULL)"
+        )
+
+    return c, m, out
+
+
+def _duck_bpe_pass(wcol: str, a: str, b: str):
+    c = (
+        f"list_transform(range(1, len({wcol})), i_c -> "
+        f"CASE WHEN {wcol}[i_c] = '{a}' AND {wcol}[i_c + 1] = '{b}' "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+    def m(ccol: str) -> str:
+        return (
+            f"list_transform(range(1, len({ccol}) + 1), i -> "
+            f"CASE WHEN {ccol}[i] = 0 THEN 0 "
+            f"WHEN (i - list_max(list_prepend(0, "
+            f"list_transform(range(1, i + 1), j -> "
+            f"CASE WHEN {ccol}[j] = 0 THEN j ELSE 0 END)))) % 2 = 1 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    def out(mcol: str) -> str:
+        mpad = f"(([0] || {mcol}) || [0])"
+        return (
+            f"list_filter(list_transform(range(1, len({wcol}) + 1), p -> "
+            f"CASE WHEN {mpad}[p] = 1 THEN NULL "
+            f"WHEN {mpad}[p + 1] = 1 THEN '{a + b}' "
+            f"ELSE {wcol}[p] END), x -> x IS NOT NULL)"
+        )
+
+    return c, m, out
+
+
+def _q97_oracle() -> str:
+    ctes = [
+        f"wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM "
+        f"(SELECT unnest({_DUCK_TOKS}) AS w FROM documents) GROUP BY w)",
+        "p0 AS (SELECT freq, list_transform(range(1, length(w) + 1), "
+        "i -> w[i:i]) AS w FROM wf)",
+    ]
+    prev = "p0"
+    for k, (a, b) in enumerate(_BPE_RULES, start=1):
+        c, m, out = _duck_bpe_pass("w", a, b)
+        ctes.append(f"r{k}c AS (SELECT freq, w, {c} AS c FROM {prev})")
+        ctes.append(f"r{k}m AS (SELECT freq, w, {m('c')} AS m FROM r{k}c)")
+        ctes.append(f"r{k} AS (SELECT freq, {out('m')} AS w FROM r{k}m)")
+        prev = f"r{k}"
+    return f"""
+WITH {", ".join(ctes)},
+sym AS (
+  SELECT unnest(w) AS symbol, freq FROM {prev}
+), agg AS (
+  SELECT symbol, CAST(sum(freq) AS BIGINT) AS cnt FROM sym GROUP BY symbol
+), ranked AS (
+  SELECT symbol, cnt, row_number() OVER (ORDER BY cnt DESC, symbol) AS rank
+  FROM agg
+)
+SELECT symbol, cnt, rank FROM ranked WHERE rank <= 20
+"""
+
+
+@register("q97_bpe_apply", operators=("TXT3", "A8"), oracle=_q97_oracle())
+def q97_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply learned BPE merges — the other half of tokenizer training
+    (q76 LEARNS merge candidates; this APPLIES an ordered rule list):
+    each word's character sequence runs through the merge rules in
+    priority order, where one rule pass is the greedy leftmost
+    non-overlapping merge (a run of overlapping candidates — only
+    possible for a self-pair like 'aa' — merges at odd offsets from the
+    run start, the textbook BPE behavior), and the resulting symbol
+    vocabulary reports its top-20 by corpus-weighted frequency.  The
+    whole per-word state machine is PURE list expressions — candidate
+    flags, run-start distances, padded merge masks — identical on both
+    engines, so even this iterative-looking operator hash-matches.
+
+    Scale shape: merges run over the WORD-FREQUENCY table (the q76
+    Heaps-law trick — per-character work scales with the vocabulary, not
+    the corpus); per-word cost is O(L²) on words of bounded length.  The
+    only shuffles carry (word, freq) and (symbol, count) pairs.
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    cur = wf.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
+        ).alias("w"),
+    )
+    for a, b in _BPE_RULES:
+        c, m, out = _spark_bpe_pass("w", a, b)
+        cur = cur.select("freq", "w", F.expr(c).alias("c"))
+        cur = cur.select("freq", "w", F.expr(m("c")).alias("m"))
+        # localCheckpoint per pass: Catalyst's CollapseProject inlines the
+        # non-collapse-cheap nested HOFs of every pass into the next —
+        # measured >100 s at sf0.01 (6x duplication per pass compounds to
+        # ~1300x across 4 chained rules) vs ~1 s with per-pass barriers;
+        # the frame is vocabulary-sized, so the eager materialization is
+        # cheap
+        cur = cur.select("freq", F.expr(out("m")).alias("w")).localCheckpoint()
+    from pyspark.sql.window import Window as _W
+
+    sym = cur.select(F.explode("w").alias("symbol"), "freq")
+    agg = sym.groupBy("symbol").agg(F.sum("freq").alias("cnt"))
+    top = agg.orderBy(F.desc("cnt"), "symbol").limit(20)
+    w_rank = _W.orderBy(F.desc("cnt"), "symbol")
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
