@@ -73,6 +73,23 @@ def main() -> None:
         load_table(spark, sf_dir, t).limit(1).collect()
     qs["q01_pricing_summary"].spark_fn(spark, sf_dir).collect()
 
+    # setup (timed separately, reported as setup_sec — round-5 verdict #3):
+    # production IVF-PQ builds its index ONCE and queries it forever, so the
+    # at-rest index build is charged here, not to every q88/q90 repeat.
+    # Rebuilt from scratch each bench run (dirs deleted first) so setup_sec
+    # is the real build cost, never a stale-dir read check.
+    import shutil
+
+    from cosmo_spark.queries.trainprep import _ensure_pq_index, _pq_index_dir
+
+    setup: dict[str, float] = {}
+    for residual, tag in ((False, "pq_index_raw"), (True, "pq_index_res")):
+        shutil.rmtree(_pq_index_dir(sf_dir, residual), ignore_errors=True)
+        t0 = time.time()
+        _ensure_pq_index(spark, sf_dir, residual)
+        setup[tag] = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+
     samples: dict[str, list[float]] = {name: [] for name in qs}
     pass_walls: list[float] = []
     t_all = time.time()
@@ -91,6 +108,13 @@ def main() -> None:
             # logical plans persisting across passes)
             if clear_cache:
                 spark.catalog.clearCache()
+                # checkpointed/persisted RDDs (q97's localCheckpoint passes,
+                # q79's verdict lifecycle) survive clearCache — unpersist them
+                # too so every query's min is the same cold regime (round-5
+                # verdict #4; measured: also relieves memory pressure on
+                # later queries)
+                for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    jrdd.unpersist()
         pass_walls.append(time.time() - t_pass)
     wall = round(time.time() - t_all, 3)
 
@@ -107,6 +131,7 @@ def main() -> None:
         "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()},
         "pass_walls": [round(x, 3) for x in pass_walls],
         "sum_of_mins": round(sum(mins.values()), 3),
+        "setup_sec": setup,
         "repeats": repeats,
         "wall_sec_total": wall,
         "sf": sf,
@@ -123,6 +148,7 @@ def main() -> None:
         "unit": "sec",
         "queries": short_mins,
         "sum_of_mins": detail["sum_of_mins"],
+        "setup": round(sum(setup.values()), 3),
         "repeats": repeats,
         "sf": sf,
     }, separators=(",", ":")))

@@ -960,8 +960,15 @@ def q87_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
+    # the raw at-rest index IS the PQ code table (bucket column prunes
+    # away) — whole-corpus ADC reads codes at rest instead of re-encoding
+    # the corpus per query, the same build-once contract as q88/q90
+    codes = _ensure_pq_index(spark, sf_dir, residual=False).select(
+        "vec_id", "codes"
+    )
     out = pq_adc_topk(
-        e, queries, "embedding", "vec_id", _pq_books(), k=5, rerank=_PQ_RERANK
+        e, queries, "embedding", "vec_id", _pq_books(), k=5,
+        codes=codes, rerank=_PQ_RERANK,
     )
     return out.select(
         "query_id", "neighbor_id",
@@ -1046,6 +1053,83 @@ SELECT query_id, neighbor_id, l2_dist, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _pq_index_dir(sf_dir: str, residual: bool) -> "Path":
+    """At-rest location for the materialized IVF-PQ index of one sf_dir:
+    spark-warehouse/pq_index/<sf>_<raw|res>_<fingerprint>.  The
+    fingerprint folds the source parquet's (path, mtime, size) plus an
+    index-format version, so a regenerated testdata dir or a codebook
+    change (bump _PQ_INDEX_VERSION) can never serve a stale index.
+    Anchored at the repo root via __file__ — the driver probe runs from
+    an arbitrary cwd."""
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    st = src.stat()
+    fp = hashlib.sha1(
+        f"{src.resolve()}|{st.st_mtime_ns}|{st.st_size}|{_PQ_INDEX_VERSION}"
+        .encode()
+    ).hexdigest()[:12]
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "pq_index"
+    tag = "res" if residual else "raw"
+    return root / f"{Path(sf_dir).name}_{tag}_{fp}"
+
+
+#: bump when the index schema/codebooks change — old fingerprints die
+_PQ_INDEX_VERSION = 1
+
+
+def _ensure_pq_index(spark: SparkSession, sf_dir: str, residual: bool) -> DataFrame:
+    """Materialized at-rest IVF-PQ index (round-5 verdict #3): in
+    production the index is built ONCE and queried forever, so charging
+    every q88/q90 run a full corpus encode misrepresents the design's
+    cost.  Builds (vec_id, codes, bucket) partitioned BY BUCKET into
+    spark-warehouse on first use — partition pruning then means a query
+    probing 10 of 40 buckets never even scans the other 30 — and reads it
+    back on every later run.  Build cost is reported separately by
+    bench.py (setup_sec), never hidden."""
+    import os
+    import shutil
+
+    d = _pq_index_dir(sf_dir, residual)
+    if not (d / "_SUCCESS").exists():
+        e = _t(spark, sf_dir, "embeddings")
+        centroids = spark.sql(
+            f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
+        )
+        from cosmo_spark.operators.pq import ivf_pq_build_index
+
+        books = _pq_rbooks() if residual else _pq_books()
+        index = ivf_pq_build_index(
+            e, centroids, "embedding", "vec_id", books, residual=residual
+        ).select("vec_id", "codes", "bucket")
+        tmp = str(d) + f".tmp-{os.getpid()}"
+        index.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        from pathlib import Path
+
+        Path(tmp, "__source").write_text(str(Path(sf_dir).resolve()))
+        # atomic publish + reap stale fingerprints of the same (sf, tag)
+        # and any index whose source dir is gone (sweep-test tmp dirs)
+        d.parent.mkdir(parents=True, exist_ok=True)
+        prefix = d.name.rsplit("_", 1)[0] + "_"
+        for old in d.parent.iterdir():
+            if old == d or old.name.endswith(f".tmp-{os.getpid()}"):
+                continue
+            src_marker = old / "__source"
+            orphan = (
+                src_marker.exists()
+                and not Path(src_marker.read_text()).exists()
+            )
+            if old.name.startswith(prefix) or orphan:
+                shutil.rmtree(old, ignore_errors=True)
+        os.replace(tmp, d) if not d.exists() else shutil.rmtree(tmp)
+    # explicit schema: an EMPTY corpus writes a fileless partition dir that
+    # schema inference cannot read back (empty-sweep regression)
+    return spark.read.schema(
+        "vec_id BIGINT, codes ARRAY<INT>, bucket INT"
+    ).parquet(str(d))
+
+
 @register("q88_ivf_pq_search", operators=("SIM2",), oracle=_q88_oracle())
 def q88_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed IVF-PQ index (operators/pq.ivf_pq_topk) — the standard
@@ -1062,15 +1146,16 @@ def q88_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline is expressible in the DuckDB oracle and the gate covers it
     end to end.
     """
-    from cosmo_spark.operators.pq import ivf_pq_topk
+    from cosmo_spark.operators.pq import ivf_pq_query
 
     e = _t(spark, sf_dir, "embeddings")
     centroids = spark.sql(
         f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
     )
     queries = e.filter(F.col("vec_id") < 8)
-    out = ivf_pq_topk(
-        e, queries, centroids, "embedding", "vec_id", _pq_books(),
+    index = _ensure_pq_index(spark, sf_dir, residual=False)
+    out = ivf_pq_query(
+        index, e, queries, centroids, "embedding", "vec_id", _pq_books(),
         k=5, nprobe=10, rerank=_PQ_RERANK,
     )
     return out.select(
@@ -1215,15 +1300,16 @@ def q90_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     of vector energy, so the residual gain is honest-but-modest; on
     clustered production embeddings it is the standard win).
     """
-    from cosmo_spark.operators.pq import ivf_pq_topk
+    from cosmo_spark.operators.pq import ivf_pq_query
 
     e = _t(spark, sf_dir, "embeddings")
     centroids = spark.sql(
         f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
     )
     queries = e.filter(F.col("vec_id") < 8)
-    out = ivf_pq_topk(
-        e, queries, centroids, "embedding", "vec_id", _pq_rbooks(),
+    index = _ensure_pq_index(spark, sf_dir, residual=True)
+    out = ivf_pq_query(
+        index, e, queries, centroids, "embedding", "vec_id", _pq_rbooks(),
         k=5, nprobe=10, rerank=_PQ_RERANK_RESIDUAL, residual=True,
     )
     return out.select(

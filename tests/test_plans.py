@@ -401,3 +401,58 @@ def test_q93_ri_audit_dimension_parents_broadcast(spark, qs):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_family_compiles_under_no_fallback(spark, qs):
+    """Round-5 verdict #1 regression gate: every generated method in the PQ
+    family must fit Janino's 64 KB limit and actually COMPILE.  With
+    spark.sql.codegen.fallback=false a failed whole-stage compile raises
+    instead of silently executing interpreted — the exact defect the
+    scalar-cell encode rewrite fixed (tools/exp_codegen.py measured the
+    old array-staged encode failing here, 6.2 s -> 1.6 s after).
+
+    Guard validity: .count() would prune the encode columns away, so each
+    query is forced through a full .collect() of its real output."""
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in [
+            "q86_pq_encode",
+            "q87_pq_adc_search",
+            "q88_ivf_pq_search",
+            "q90_ivf_pq_residual",
+        ]:
+            df = qs[name].spark_fn(spark, SF)
+            df.collect()  # raises InternalCompilerException on a 64 KB breach
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_q88_q90_query_at_rest_index_not_reencode(spark, qs):
+    """Round-5 verdict #3: per-query cost must not include re-encoding the
+    corpus.  The q88/q90 plans must scan the materialized pq_index parquet
+    (bucket-partitioned at rest) and carry ZERO encode staging columns —
+    the __c{s}_{ci} distance cells exist only in the build path."""
+    for name in ["q88_ivf_pq_search", "q90_ivf_pq_residual"]:
+        df = qs[name].spark_fn(spark, SF)
+        plan = physical_plan(df)
+        assert "pq_index" in plan, f"{name}: no at-rest index scan"
+        assert "__c0_0" not in plan, f"{name}: corpus encode on query path"
+
+
+def test_no_unbounded_global_windows_anywhere(spark, qs):
+    """Catalog-wide SCALE.md contract: every global (no-partition) window
+    must consume a pre-aggregated/bounded input — O(aggregated), never
+    O(corpus).  Covers all ~98 queries so a regression in ANY of them
+    fails here by name instead of hiding in WindowExec warning noise."""
+    from cosmo_spark.plans.explain import unbounded_global_windows
+
+    bad = {}
+    for name, q in qs.items():
+        try:
+            df = q.spark_fn(spark, SF)
+        except Exception:
+            continue  # construction errors are other tests' business
+        v = unbounded_global_windows(df)
+        if v:
+            bad[name] = v
+    assert not bad, bad
