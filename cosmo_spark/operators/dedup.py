@@ -441,8 +441,9 @@ def embedding_near_dups(
     HOF fold vs 3.9 s for a post-join ``element_at`` chain (per-access
     null checks ×128 lose to both).  The fold order is the same
     left-associated ascending-index sum as the HOF/oracle, so results are
-    bit-identical.  When ``dim`` is omitted it is probed from the first
-    row (one bounded job).  The norm stays a HOF — once per VECTOR.
+    bit-identical.  When ``dim`` is omitted it is probed as the table's
+    single distinct length (one bounded groupBy job; mixed lengths raise
+    — pass ``dim`` to choose).  The norm stays a HOF — once per VECTOR.
     """
     from cosmo_spark.functions.vectors import as_double, l2_norm
 
@@ -452,11 +453,21 @@ def embedding_near_dups(
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
     ).withColumn("__n", l2_norm("__v"))  # norm once per vector, not per pair
     if dim is None:
-        probe = (
+        # modal length, not limit(1): an unordered first row would decide
+        # dim arbitrarily on a mixed-length table and silently filter out
+        # every other length (ADVICE r5) — the groupBy is over at most a
+        # handful of distinct lengths, so the collect is bounded
+        sizes = (
             base.filter(F.col("__v").isNotNull())
-            .select(F.size("__v").alias("d")).limit(1).collect()
+            .groupBy(F.size("__v").alias("d")).count().collect()
         )
-        dim = probe[0]["d"] if probe else 0
+        if len(sizes) > 1:
+            raise ValueError(
+                "embedding_near_dups: mixed embedding lengths "
+                f"{sorted((r['d'], r['count']) for r in sizes)}; pass dim= "
+                "explicitly to select which length to dedup"
+            )
+        dim = sizes[0]["d"] if sizes else 0
     blk = ["__blk"] if block_col else []
     # size guard before unpacking: under ANSI mode element_at past the end
     # ABORTS the job, where the old HOF fold null-dropped the pair — one

@@ -1,0 +1,80 @@
+"""Fixed-iteration PageRank over an edge list — the iterative-graph-
+algorithm pattern (power iteration) expressed as pure DataFrame ops.
+
+Shape: materialize (localCheckpoint) the bare edge list and the degree
+table once, then per iteration join the node-sized rank state into the
+edges on src, groupBy dst summing rank/deg (map-side partial agg), join
+degrees back, and checkpoint the new state.  The per-round barrier is
+the q45/q97 iterative-algorithm discipline: a single fused 5-iteration
+DAG measured 11.3 s at sf0.1 (AQE re-plans every stage of a plan whose
+depth grows with the iteration count) vs ~3 s with per-round
+materialization.  No driver-side collects: the node count rides as a
+broadcast 1-row aggregate off the checkpointed degree table.
+
+``broadcast_state=True`` ships the (node, deg, rank) vector to the edge
+partitions each round — the edge list NEVER shuffles, only the partial
+contribution sums do.  Right whenever the node table is
+dimension-scale (this catalog's 16k-node trade graph); at web scale
+leave it False and both sides shuffle on the node id — the canonical
+distributed PageRank cost, O(edges) per iteration.
+
+Dangling nodes are the caller's contract: every node must have
+outdegree >= 1 (make the graph undirected, or pre-drop sinks); the
+operator defines the node set as the src side of ``edges``.
+
+Determinism note (the catalog's parity discipline): all float constants
+((1-d)/n, d) are Python-computed doubles embedded identically in the
+DuckDB oracle, and rounding happens ONCE at the end — per-node sums are
+order-nondeterministic in the last ulps, which round(6) absorbs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """(node, pagerank) after ``iterations`` rounds of power iteration:
+
+        r'(v) = (1-d)/N + d * sum_{u->v} r(u) / outdeg(u)
+
+    starting from the uniform vector 1/N."""
+    maybe_b = F.broadcast if broadcast_state else (lambda df: df)
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint()
+    deg = e.groupBy(F.col("e_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
+    n_df = deg.agg(F.count(F.lit(1)).alias("n"))
+    state = deg.crossJoin(F.broadcast(n_df)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = e.join(maybe_b(state), e["e_src"] == state["node"]).select(
+            "e_dst", (F.col("rank") / F.col("deg")).alias("contrib")
+        )
+        sums = contrib.groupBy(F.col("e_dst").alias("node")).agg(
+            F.sum("contrib").alias("s")
+        )
+        state = (
+            sums.join(maybe_b(deg), "node")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node", "deg",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.col("s")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("node", F.col("rank").alias("pagerank"))

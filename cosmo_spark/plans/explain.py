@@ -53,3 +53,35 @@ def pushed_filters(df: DataFrame) -> str:
     """Concatenated PushedFilters entries from every scan in the plan."""
     plan = physical_plan(df)
     return " | ".join(m.group(1) for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan))
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Global (empty-partitionSpec) Window nodes whose input subtree has NO
+    Aggregate / LocalRelation / Limit bound — the single-partition windows
+    SCALE.md forbids.  The documented-safe shapes (rolling series over a
+    daily aggregate, CDF over histogram bins, quota rank over source
+    counts) all sit above an Aggregate, so they pass; a window slipped
+    onto raw rows does not (round-5 verdict #7: assert the bound instead
+    of letting expected WindowExec warnings camouflage regressions)."""
+    bounded = {"Aggregate", "LocalRelation", "OneRowRelation", "GlobalLimit",
+               "LocalLimit", "Range"}
+
+    def has_bound(node) -> bool:
+        if node.getClass().getSimpleName() in bounded:
+            return True
+        kids = node.children()
+        return any(has_bound(kids.apply(i)) for i in range(kids.size()))
+
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            if not has_bound(node):
+                bad.append(node.toString().splitlines()[0][:200])
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad

@@ -293,6 +293,160 @@ def q48_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q98_lag_join_batch",
+    operators=("ST5", "J8"),
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+       round(epoch(p.ts) - epoch(e.ts), 3) AS lag_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 100) p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error' AND user_id < 100) e
+  ON p.user_id = e.user_id
+ AND e.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+""",
+)
+def q98_lag_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream tolerated-lag join's BATCH TWIN
+    (streaming/joins.stream_lag_join run on batch frames — identical
+    code path minus the watermarks), oracle-gated against a DuckDB range
+    join: purchases leftOuter-joined to same-user errors within ±5
+    minutes, unmatched purchases surfacing with NULLs exactly as the
+    streaming leftOuter emits them after watermark expiry.  This closes
+    round-5's one oracle-less surface (ST5 strict analog was unit-only).
+    """
+    from cosmo_spark.streaming.joins import stream_lag_join
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    out = stream_lag_join(
+        p, err, "user_id", "p_ts", "e_ts",
+        tolerance="5 minutes", join_type="leftOuter",
+        right_cols=["error_id"],
+    )
+    lag = F.round(
+        (F.unix_micros("p_ts") - F.unix_micros("e_ts_matched")) / 1e6, 3
+    )
+    return out.select("user_id", "purchase_id", "error_id", lag.alias("lag_sec"))
+
+
+def _q100_oracle() -> str:
+    d, iters = 0.85, 5
+    parts = [
+        "e0 AS (SELECT DISTINCT 2 * o_custkey AS src, "
+        "2 * l_suppkey + 1 AS dst "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "edges AS (SELECT src, dst FROM e0 "
+        "UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn)",
+    ]
+    for i in range(iters):
+        # float constants repr'd from the SAME Python doubles the Spark
+        # side uses (1-0.85 is 0.15000000000000002, not 0.15)
+        parts.append(
+            f"r{i + 1} AS (SELECT e.dst AS node, "
+            f"{1.0 - d!r} / nn.n + {d!r} * sum(r.rank / d2.deg) AS rank "
+            f"FROM edges e JOIN r{i} r ON r.node = e.src "
+            f"JOIN deg d2 ON d2.node = e.src CROSS JOIN nn "
+            f"GROUP BY e.dst, nn.n)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS pagerank FROM r{iters}"
+    )
+
+
+@register("q100_pagerank", operators=("A11", "J1"), oracle=_q100_oracle())
+def q100_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/pagerank.py) over the undirected
+    customer-supplier trade graph (distinct (o_custkey, l_suppkey) pairs
+    through orders⋈lineitem), 5 power iterations, d=0.85 — the
+    iterative-graph-algorithm pattern beyond q45's label propagation,
+    oracle-checked against 5 unrolled CTE iterations in DuckDB.
+    Undirectedness guarantees outdeg ≥ 1 everywhere (no dangling-node
+    mass leak); node ids are BIGINTs (2·custkey / 2·suppkey+1 — integer
+    shuffle keys, not strings); the edge list and each round's
+    node-sized rank state materialize via localCheckpoint (plan-tested:
+    the final action rescans no parquet), and the 16k-node state
+    broadcasts so the edge list never shuffles."""
+    from cosmo_spark.operators.pagerank import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = pagerank(edges, iterations=5, damping=0.85, broadcast_state=True)
+    return out.select("node", F.round("pagerank", 6).alias("pagerank"))
+
+
+_Q102_ORACLE = """
+WITH ev AS (SELECT event_id, event_type, value FROM events
+            WHERE value IS NOT NULL),
+ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), med AS (
+  SELECT event_type, sum(value) / count(*) AS median
+  FROM ranked
+  WHERE rn = (n + 1) / 2 OR rn = n / 2 OR rn = n / 2 + 1
+  GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.median) AS adev
+  FROM ev e JOIN med m USING (event_type)
+), rdev AS (
+  SELECT event_type, adev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY adev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, sum(adev) / count(*) AS mad
+  FROM rdev
+  WHERE rn = (n + 1) / 2 OR rn = n / 2 OR rn = n / 2 + 1
+  GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM ev e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE 0.6745 * abs(e.value - med.median) > 3.5 * mad.mad
+"""
+
+
+@register("q102_robust_outliers", operators=("P3", "A7"), oracle=_Q102_ORACLE)
+def q102_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified-z-score outliers per event type
+    (operators/robust.py; Iglewicz & Hoaglin 1993) — the robust sibling
+    of q04's mean±2σ rule (ref: cosmo/monitors/acq_monitors.py:79-90),
+    which heavy-tailed telemetry breaks.  Medians come from per-group
+    ordered windows (middle-rank selection), never a grouped
+    collect_list; the (group, median, mad) table broadcasts back into
+    the fact scan; the outlier test is multiplication-only
+    (0.6745·|x−med| > 3.5·MAD) so no division can diverge in the last
+    ulp."""
+    from cosmo_spark.operators.robust import robust_outliers
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = robust_outliers(e, "event_type", "value", "event_id", z=3.5)
+    return out.select("event_id", "event_type", "value")
+
+
 def _ivf_centroids_duckdb() -> str:
     from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
 

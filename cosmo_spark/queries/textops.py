@@ -2241,3 +2241,265 @@ def q97_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.desc("cnt"), "symbol").limit(20)
     w_rank = _W.orderBy(F.desc("cnt"), "symbol")
     return top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+
+
+# --------------------------------------------------------------------------- #
+# q99 — Gopher/C4-style composite quality-rule filter                          #
+# --------------------------------------------------------------------------- #
+
+#: Gopher rule paper's stop-word presence check (Rae et al. 2021 §A1.1);
+#: 'a' added because the synthetic corpus is lowercase word-soup
+_Q99_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+_Q99_ORACLE = f"""
+WITH tl AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN toks IS NULL THEN NULL
+              ELSE coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+         END AS word_chars,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha_words,
+         len(list_intersect(list_distinct(toks),
+             {list(_Q99_STOPS)!r})) AS n_stop_distinct,
+         len(text) - len(replace(text, '#', ''))
+           + len(text) - len(replace(text, '…', '')) AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'
+                                   OR l LIKE '•%')) AS n_bullet_lines,
+         len(list_filter(lines, l -> l LIKE '%...')) AS n_ellipsis_lines
+  FROM tl
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(word_chars AS BIGINT) AS word_chars,
+       (n_words BETWEEN 20 AND 100000) AS r_count,
+       (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS r_mean_len,
+       (10 * n_alpha_words >= 8 * n_words) AS r_alpha,
+       (n_stop_distinct >= 2) AS r_stop,
+       (10 * n_symbols <= n_words) AS r_symbol,
+       (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet,
+       (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis,
+       ((n_words BETWEEN 20 AND 100000)
+        AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        AND (10 * n_alpha_words >= 8 * n_words)
+        AND (n_stop_distinct >= 2)
+        AND (10 * n_symbols <= n_words)
+        AND (10 * n_bullet_lines <= 9 * n_lines)
+        AND (10 * n_ellipsis_lines <= 3 * n_lines)) AS keep
+FROM m
+"""
+
+
+@register("q99_gopher_quality_filter", operators=("TXT2",), oracle=_Q99_ORACLE)
+def q99_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite quality-rule filter (Rae et al. 2021
+    §A1.1; Raffel et al. 2020 §2.2) — the standard rule battery every
+    large-scale pretraining pipeline runs before anything model-based:
+    word-count bounds, mean-word-length bounds, alphabetic-word fraction,
+    stop-word presence, symbol ratio, bullet-line and ellipsis-line
+    fractions, plus the conjunction ``keep``.
+
+    Every rule is INTEGER arithmetic (``3*n <= chars`` instead of
+    ``chars/n >= 3``) so the DuckDB oracle is bit-exact with no float
+    ratios anywhere; per-doc flags stay row-local over the shared
+    tokenizer (one pass, no shuffle at any corpus size — the filter is a
+    map over documents)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    lines = F.filter(F.split("text", "\n"), lambda l: l != "")
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+        ).cast("long").alias("word_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(s) for s in _Q99_STOPS]),
+            )
+        ).alias("n_stop_distinct"),
+        (
+            F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit("")))
+            + F.length("text") - F.length(F.replace("text", F.lit("…"), F.lit("")))
+        ).alias("n_symbols"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.startswith("-") | l.startswith("*")
+                     | l.startswith("•"))
+        ).alias("n_bullet_lines"),
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).alias(
+            "n_ellipsis_lines"
+        ),
+    )
+    r_count = F.col("n_words").between(20, 100000)
+    r_mean = (3 * F.col("n_words") <= F.col("word_chars")) & (
+        F.col("word_chars") <= 10 * F.col("n_words")
+    )
+    r_alpha = 10 * F.col("n_alpha_words") >= 8 * F.col("n_words")
+    r_stop = F.col("n_stop_distinct") >= 2
+    r_symbol = 10 * F.col("n_symbols") <= F.col("n_words")
+    r_bullet = 10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines")
+    r_elli = 10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines")
+    keep = r_count & r_mean & r_alpha & r_stop & r_symbol & r_bullet & r_elli
+    return m.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"), "word_chars",
+        r_count.alias("r_count"), r_mean.alias("r_mean_len"),
+        r_alpha.alias("r_alpha"), r_stop.alias("r_stop"),
+        r_symbol.alias("r_symbol"), r_bullet.alias("r_bullet"),
+        r_elli.alias("r_ellipsis"), keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q101 — Kneser-Ney-smoothed bigram language-model statistics                  #
+# --------------------------------------------------------------------------- #
+
+_KN_D = 0.75
+
+_Q101_ORACLE = f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT t.pair[1] AS w1, t.pair[2] AS w2
+  FROM tl, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS t(pair)
+  WHERE len(toks) >= 2
+), c2 AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, count(*) AS n1f FROM c2 GROUP BY w1
+), cont AS (
+  SELECT w2, count(*) AS n1b FROM c2 GROUP BY w2
+), tot AS (
+  SELECT count(*) AS t FROM c2
+)
+SELECT c2.w1, c2.w2, c2.c AS c,
+       round(
+         (CASE WHEN c2.c - {_KN_D} > 0 THEN c2.c - {_KN_D} ELSE 0 END) / c1.c1
+         + (({_KN_D} * c1.n1f) / c1.c1) * (CAST(cont.n1b AS DOUBLE) / tot.t),
+         6) AS p_kn
+FROM c2
+JOIN c1 ON c1.w1 = c2.w1
+JOIN cont ON cont.w2 = c2.w2
+CROSS JOIN tot
+"""
+
+
+@register("q101_kneser_ney_bigrams", operators=("TXT4", "A11"), oracle=_Q101_ORACLE)
+def q101_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram probabilities trained distributively over
+    the corpus (Kneser & Ney 1995; the classic n-gram LM used as a
+    perplexity-proxy quality scorer in data pipelines): absolute discount
+    D=0.75 with the continuation-probability backoff,
+
+        P_KN(w2|w1) = max(c(w1,w2)-D, 0)/c(w1)
+                      + (D·N1+(w1,•)/c(w1)) · (N1+(•,w2)/|bigram types|).
+
+    All counts are exact integers (bigram explode → two groupBys and a
+    type count) and the final float expression is written identically in
+    the DuckDB oracle, so the parity check is bit-exact; the n1b/total
+    continuation stats broadcast into the bigram table — the only
+    corpus-sized shuffles are the two count groupBys, both map-side
+    combining."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    tl = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = tl.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tot = c2.agg(F.count(F.lit(1)).alias("t"))
+    D = F.lit(_KN_D)
+    p_kn = (
+        F.when(F.col("c") - D > 0, F.col("c") - D).otherwise(F.lit(0.0))
+        / F.col("c1")
+        + ((D * F.col("n1f")) / F.col("c1"))
+        * (F.col("n1b").cast("double") / F.col("t"))
+    )
+    return (
+        c2.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c", F.round(p_kn, 6).alias("p_kn"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q103 — token co-occurrence lift (PMI's division-only form)                   #
+# --------------------------------------------------------------------------- #
+
+_Q103_MIN_CXY = 5
+
+_Q103_ORACLE = f"""
+WITH td AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tl AS (
+  SELECT doc_id, u.t AS t
+  FROM td, unnest(list_distinct(toks)) AS u(t)
+), cx AS (
+  SELECT t, count(*) AS c FROM tl GROUP BY t
+), tot AS (SELECT count(*) AS t_docs FROM documents),
+cxy AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS c_xy
+  FROM tl a JOIN tl b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT cxy.t1, cxy.t2, cxy.c_xy,
+       round(CAST(cxy.c_xy * tot.t_docs AS DOUBLE) / (c1.c * c2.c), 6) AS lift
+FROM cxy
+JOIN cx c1 ON c1.t = cxy.t1
+JOIN cx c2 ON c2.t = cxy.t2
+CROSS JOIN tot
+WHERE cxy.c_xy >= {_Q103_MIN_CXY}
+"""
+
+
+@register("q103_cooccurrence_lift", operators=("TXT4", "A11"), oracle=_Q103_ORACLE)
+def q103_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence LIFT — PMI's division-only form
+    (lift = P(x,y)/(P(x)P(y)) = c_xy·T / (c_x·c_y), no log, so the
+    parity check stays bit-exact) — the association-mining primitive
+    behind phrase detection and topic co-occurrence audits.
+
+    Shape: per-doc DISTINCT tokens (set semantics), self-join on doc_id
+    with t1 < t2 for unordered pairs — the market-basket join, bounded
+    by (distinct tokens per doc)², never vocab²; the unigram
+    document-frequency table broadcasts into the pair table; support
+    threshold c_xy ≥ {_Q103_MIN_CXY} bounds the output."""
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("t")
+    )
+    cx = tl.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = d.agg(F.count(F.lit(1)).alias("t_docs"))
+    a = tl.select("doc_id", F.col("t").alias("t1"))
+    b = tl.select("doc_id", F.col("t").alias("t2"))
+    cxy = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _Q103_MIN_CXY)
+    )
+    lift = (
+        (F.col("c_xy") * F.col("t_docs")).cast("double")
+        / (F.col("c1") * F.col("c2"))
+    )
+    return (
+        cxy.join(F.broadcast(cx.select(F.col("t").alias("t1"), F.col("c").alias("c1"))), "t1")
+        .join(F.broadcast(cx.select(F.col("t").alias("t2"), F.col("c").alias("c2"))), "t2")
+        .crossJoin(F.broadcast(tot))
+        .select("t1", "t2", "c_xy", F.round(lift, 6).alias("lift"))
+    )

@@ -6,12 +6,12 @@ extraction runs as Arrow-batched ``mapInPandas`` — the only sanctioned
 Python hot path — so each task decodes a batch of blobs without JVM
 round-trips per row.
 
-Codec gating (the figures.py plotly pattern): ``decode_media`` uses PIL
-when it is importable — real JPEG/PNG decode to an 8×8 luminance
-thumbnail feature — and otherwise requires ``deterministic_fake=True``,
-which produces a content-derived fake decode so the full Spark plumbing —
-schema, batching, partitioning, UDF signature — is real and tested
-end-to-end in environments without image libraries (this container).
+Codec selection is EXPLICIT (``codec=``), never environment-inferred:
+``"ppm"`` is a pure-stdlib binary-PPM/PGM pixel decode (the real branch,
+hermetic in any container), ``"pil"`` decodes real JPEG/PNG via Pillow
+(raises cleanly when absent), and ``"fake"`` is a deterministic
+content-derived stand-in that exercises the full Spark plumbing —
+schema, batching, partitioning, UDF signature — with no codec at all.
 """
 
 from __future__ import annotations
@@ -70,28 +70,48 @@ def _pil_available() -> bool:
 
 
 def decode_media(
-    media: DataFrame, deterministic_fake: bool = False, batch_limit: int = 256
+    media: DataFrame, codec: str | None = None, batch_limit: int = 256,
+    deterministic_fake: bool = False,
 ) -> DataFrame:
     """Decode/feature-extract media blobs via Arrow-batched ``mapInPandas``.
 
-    With PIL importable (and ``deterministic_fake`` unset) blobs decode for
-    real: image → greyscale 8×8 thumbnail → 64 luminance values, hashed to
-    the same fingerprint shape as the fake path; undecodable blobs come
-    back ``decode_status='corrupt'`` rather than failing the task (one bad
-    jpeg must not kill a 100 TB scan).  Without PIL, the deterministic
-    content-derived fake keeps the plumbing testable hermetically.
+    ``codec`` is an EXPLICIT choice, never environment-inferred (ADVICE r5:
+    driver-side importability deciding the path meant the same call could
+    yield different feat_hash semantics per environment, and a worker
+    without the library died with a raw task ImportError):
+
+    - ``"ppm"`` — pure-stdlib binary PPM(P6)/PGM(P5) decode: pixels →
+      integer ITU-R 601 luminance → 8×8 box-average thumbnail → 64 values,
+      sha256-fingerprinted.  REAL pixel decode with zero dependencies —
+      runs hermetically in this container and on any cluster.
+    - ``"pil"`` — PIL decode of real JPEG/PNG to the same 8×8 luminance
+      feature shape.  Raises NotImplementedError immediately when PIL is
+      not importable on the driver; choosing it asserts the cluster's
+      workers have Pillow too.
+    - ``"fake"`` — deterministic content-derived stand-in (blob sha256);
+      exercises the full Spark plumbing with no codec at all.
+
+    Undecodable blobs come back ``decode_status='corrupt'`` rather than
+    failing the task (one bad file must not kill a 100 TB scan).
 
     Scale notes: ``mapInPandas`` streams Arrow record batches — blobs never
     materialize on the driver; repartition upstream by size so one task's
     batches fit executor memory (blobs dominate row width).
     """
-    if not deterministic_fake and not _pil_available():
-        raise NotImplementedError(
-            "no image codec importable (PIL) on the driver; pass "
-            "deterministic_fake=True to exercise the pipeline plumbing, or "
-            "install Pillow on the cluster for real decode"
+    if deterministic_fake:  # pre-round-6 spelling
+        codec = "fake"
+    if codec not in ("ppm", "pil", "fake"):
+        raise ValueError(
+            "decode_media requires an explicit codec= of 'ppm' (stdlib "
+            "real decode), 'pil' (JPEG/PNG via Pillow), or 'fake' "
+            "(deterministic stand-in)"
         )
-    use_real = not deterministic_fake
+    if codec == "pil" and not _pil_available():
+        raise NotImplementedError(
+            "codec='pil' but PIL is not importable on the driver; install "
+            "Pillow on driver AND workers, or use codec='ppm' (stdlib) / "
+            "codec='fake'"
+        )
 
     # self-contained closure: no references to cosmo_spark module globals, so
     # cloudpickle ships it by value and workers need no package install
@@ -100,10 +120,63 @@ def decode_media(
 
         import pandas as _pd
 
-        if use_real:
+        if codec == "pil":
             import io as _io
 
             import PIL.Image as _Image  # workers need Pillow too
+
+        def _ppm_luma8x8(raw: bytes) -> bytes | None:
+            """Binary PPM/PGM → 64-byte 8×8 luminance thumbnail, integer
+            arithmetic only (whitespace/comment-insensitive: the features
+            depend on PIXELS, not on header byte spelling)."""
+            import numpy as _np
+
+            # header: magic, width, height, maxval tokens; '#' comments
+            pos, toks = 0, []
+            while len(toks) < 4 and pos < len(raw):
+                c = raw[pos:pos + 1]
+                if c.isspace():
+                    pos += 1
+                elif c == b"#":
+                    pos = raw.find(b"\n", pos)
+                    if pos < 0:
+                        return None
+                else:
+                    end = pos
+                    while end < len(raw) and not raw[end:end + 1].isspace():
+                        end += 1
+                    toks.append(raw[pos:end])
+                    pos = end
+            if len(toks) < 4 or toks[0] not in (b"P5", b"P6"):
+                return None
+            try:
+                w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+            except ValueError:
+                return None
+            if w <= 0 or h <= 0 or not (0 < maxval < 256):
+                return None
+            pos += 1  # single whitespace after maxval
+            ch = 3 if toks[0] == b"P6" else 1
+            need = w * h * ch
+            px = _np.frombuffer(raw, dtype=_np.uint8, count=-1, offset=pos)
+            if px.size < need:
+                return None
+            px = px[:need].astype(_np.int64)
+            if ch == 3:
+                px = px.reshape(h, w, 3)
+                lum = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                       + 114 * px[:, :, 2]) // 1000
+            else:
+                lum = px.reshape(h, w)
+            out = bytearray(64)
+            for i in range(8):
+                r0, r1 = i * h // 8, max(i * h // 8 + 1, (i + 1) * h // 8)
+                for j in range(8):
+                    c0 = j * w // 8
+                    c1 = max(c0 + 1, (j + 1) * w // 8)
+                    blk = lum[r0:r1, c0:c1]
+                    out[i * 8 + j] = int(blk.sum()) // blk.size
+            return bytes(out)
 
         for pdf in batches:
             out = {
@@ -112,7 +185,7 @@ def decode_media(
             for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
                 if blob is None or len(blob) == 0:
                     dim, h, status = 0, "", "empty"
-                elif use_real:
+                elif codec == "pil":
                     try:
                         img = _Image.open(_io.BytesIO(bytes(blob)))
                         thumb = img.convert("L").resize((8, 8))
@@ -122,6 +195,14 @@ def decode_media(
                         status = "ok"
                     except Exception:
                         dim, h, status = 0, "", "corrupt"
+                elif codec == "ppm":
+                    feats = _ppm_luma8x8(bytes(blob))
+                    if feats is None:
+                        dim, h, status = 0, "", "corrupt"
+                    else:
+                        dim = len(feats)
+                        h = _hashlib.sha256(feats).hexdigest()[:16]
+                        status = "ok"
                 else:
                     dim = 64
                     h = _hashlib.sha256(bytes(blob)).hexdigest()[:16]

@@ -238,6 +238,7 @@ def read_xls(path: str, sheet: int = 1) -> list[list[str | None]]:
     shared: list[str] = []
     cells: dict[tuple[int, int], str | None] = {}
     substream = 0          # 1 = workbook globals, 2 = first worksheet, ...
+    depth = 0              # BOF/EOF nesting; >1 = embedded object substream
     sst_frags: list[bytes] | None = None
 
     def _flush_sst() -> None:
@@ -260,10 +261,19 @@ def read_xls(path: str, sheet: int = 1) -> list[list[str | None]]:
             continue
         _flush_sst()
         if rid == _BOF:
-            substream += 1
-        elif rid == _EOF and substream > sheet:
-            break
-        elif substream == sheet + 1:  # globals substream is #1
+            # an embedded chart/VBA object opens a NESTED BOF/EOF inside a
+            # worksheet substream (MS-XLS 2.1.7.20) — only top-level BOFs
+            # advance the sheet counter, and nested records must never be
+            # parsed as sheet cells (ADVICE r5: the flat counter truncated
+            # rows mid-sheet)
+            depth += 1
+            if depth == 1:
+                substream += 1
+        elif rid == _EOF:
+            depth = max(0, depth - 1)
+            if depth == 0 and substream > sheet:
+                break
+        elif depth == 1 and substream == sheet + 1:  # globals substream is #1
             if rid == _LABELSST:
                 r, c, _, isst = struct.unpack_from("<HHHI", body)
                 cells[(r, c)] = shared[isst] if isst < len(shared) else None

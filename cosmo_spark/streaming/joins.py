@@ -56,11 +56,18 @@ def stream_lag_join(
     # keys get a reserved prefix, the time column its _matched alias, and
     # any payload column colliding with a left column gets _right (real
     # telemetry streams share field names, e.g. both sides carrying 'seg')
-    taken = set(l.columns)
-    payload_out = [
-        f"{c}_right" if c in taken or c == f"{right_time}_matched" else c
-        for c in right_cols
-    ]
+    # uniquify ITERATIVELY: '{c}_right' can itself collide (left already
+    # carries 'seg_right', or the right side carries both 'seg' and
+    # 'seg_right') — keep appending _right until the name is free against
+    # BOTH the left columns and every name already emitted (ADVICE r5)
+    taken = set(l.columns) | {f"{right_time}_matched"}
+    payload_out = []
+    for c in right_cols:
+        a = c
+        while a in taken:
+            a = f"{a}_right"
+        taken.add(a)
+        payload_out.append(a)
     r = r.select(
         *[F.col(k).alias(f"__rk_{k}") for k in keys],
         F.col(right_time).alias(f"{right_time}_matched"),

@@ -52,7 +52,7 @@ def test_query_matches_oracle_on_empty_tables(spark, empty_dir, econ, name):
     q = all_queries()[name]
     sdf = q.spark_fn(spark, empty_dir)
     if not q.oracle:
-        assert sdf.collect() == [] or True
-        return
+        sdf.collect()  # no-raise smoke only: oracle-less queries may
+        return         # legitimately emit summary rows on empty input
     problems = compare(name, sdf, econ, q.oracle)
     assert not problems, problems

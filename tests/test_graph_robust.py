@@ -1,0 +1,96 @@
+"""Hand-computed goldens for the round-6 operators: pagerank (vs a pure-
+Python power iteration) and robust median/MAD outliers."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _py_pagerank(edge_list, iterations=5, d=0.85):
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, t in edge_list:
+        out[s].append(t)
+    nodes = sorted(out)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            s = sum(rank[u] / len(out[u]) for u in nodes if v in out[u])
+            nxt[v] = (1.0 - d) / n + d * s
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    from cosmo_spark.operators.pagerank import pagerank
+
+    # undirected triangle + a pendant: 1-2, 2-3, 1-3, 3-4
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edge_list = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edge_list, "src INT, dst INT")
+    got = {
+        r.node: r.pagerank
+        for r in pagerank(df, iterations=5, damping=0.85).collect()
+    }
+    ref = _py_pagerank(edge_list)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], rel=1e-12), v
+    # probability mass is conserved by construction (no dangling nodes)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_broadcast_state_same_result(spark):
+    from cosmo_spark.operators.pagerank import pagerank
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edge_list = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edge_list, "src INT, dst INT")
+    a = {r.node: r.pagerank for r in pagerank(df, broadcast_state=False).collect()}
+    b = {r.node: r.pagerank for r in pagerank(df, broadcast_state=True).collect()}
+    for v in a:
+        assert a[v] == pytest.approx(b[v], rel=1e-12)
+
+
+def test_grouped_median_odd_even_and_ties(spark):
+    from cosmo_spark.operators.robust import grouped_median
+
+    rows = [
+        # odd group: median = 2.0
+        ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 9.0),
+        # even group: median = (2+4)/2 = 3.0
+        ("b", 1, 1.0), ("b", 2, 2.0), ("b", 3, 4.0), ("b", 4, 8.0),
+        # all-ties group: median = 5.0
+        ("c", 1, 5.0), ("c", 2, 5.0), ("c", 3, 5.0), ("c", 4, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, id INT, v DOUBLE")
+    got = {r.g: r.median
+           for r in grouped_median(df, "g", "v", "id").collect()}
+    assert got == {"a": 2.0, "b": 3.0, "c": 5.0}
+
+
+def test_robust_outliers_golden(spark):
+    from cosmo_spark.operators.robust import robust_outliers
+
+    # group: values 1..9 plus a gross outlier 100.
+    # n=10, sorted: 1..9,100 -> median=(5+6)/2=5.5; |dev|: .5,...,4.5,94.5
+    # sorted devs: .5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5 -> MAD=2.5
+    # modified z(100) = .6745*94.5/2.5 = 25.5 > 3.5; z(9)=.6745*3.5/2.5=0.94
+    rows = [("g", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    df = spark.createDataFrame(rows, "g STRING, id INT, v DOUBLE")
+    out = robust_outliers(df, "g", "v", "id", z=3.5).collect()
+    assert [(r.id, r.v) for r in out] == [(9, 100.0)]
+
+
+def test_robust_outliers_zero_mad_flags_any_deviation(spark):
+    from cosmo_spark.operators.robust import robust_outliers
+
+    # 5 identical values and one different: MAD = 0, so ANY deviation is
+    # an outlier under the multiplication-only test (0.6745*|x-med| > 0)
+    rows = [("g", i, 5.0) for i in range(5)] + [("g", 9, 5.1)]
+    df = spark.createDataFrame(rows, "g STRING, id INT, v DOUBLE")
+    out = robust_outliers(df, "g", "v", "id", z=3.5).collect()
+    assert [(r.id, r.v) for r in out] == [(9, 5.1)]

@@ -454,10 +454,24 @@ def test_embedding_near_dups_tolerates_short_and_null_vectors(spark):
         df, "embedding", "vec_id", threshold=0.9, block_col="label", dim=4
     ).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
-    # probe path (dim=None): infers from the FIRST NON-NULL row — here the
-    # majority dim — and must not crash on the null row it skipped over
+    # probe path (dim=None) on MIXED lengths must refuse loudly instead of
+    # letting an arbitrary row decide which length survives (ADVICE r5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed embedding lengths"):
+        embedding_near_dups(
+            df, "embedding", "vec_id", threshold=0.9, block_col="label",
+        )
+    # uniform-length table: probe infers the single distinct length and
+    # must not crash on the null row it skipped over
+    uni = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 0),
+         (2, [1.0, 0.0, 0.0, 0.0], 0),
+         (4, None, 0)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
     out2 = embedding_near_dups(
-        df, "embedding", "vec_id", threshold=0.9, block_col="label",
+        uni, "embedding", "vec_id", threshold=0.9, block_col="label",
     ).collect()
     assert [(r.id_a, r.id_b) for r in out2] == [(1, 2)]
     # degenerate probe: ALL vectors null -> empty result, no crash

@@ -456,3 +456,17 @@ def test_no_unbounded_global_windows_anywhere(spark, qs):
         if v:
             bad[name] = v
     assert not bad, bad
+
+
+def test_q100_pagerank_iterations_truncate_lineage(spark, qs):
+    """The power-iteration loop must materialize the edge table and each
+    round's node-sized rank vector (localCheckpoint — the q45/q97
+    iterative discipline), so the FINAL action's plan contains only the
+    last round: checkpointed RDD scans, and NO parquet rescan of
+    orders⋈lineitem (a fused 5-iteration DAG measured 11.3 s vs ~1.5 s
+    at sf0.1 from per-stage AQE re-planning)."""
+    df = qs["q100_pagerank"].spark_fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan and "Scan parquet" not in plan

@@ -51,10 +51,22 @@ def test_query_dtype_parity(spark, con, name):
         for f in sdf.schema.fields
     }
     dtypes = dict(ddf.dtypes.astype(str))
+
+    def ok(k: str) -> bool:
+        s, d = stypes.get(k), dtypes.get(k)
+        if s == d:
+            return True
+        # pandas has no nullable int64: an outer join's NULL-bearing BIGINT
+        # column fetches as float64 on the DuckDB side only (q98's
+        # error_id).  The value/hash gate still compares them exactly.
+        if s == "int64" and d == "float64" and ddf[k].isna().any():
+            return True
+        return False
+
     diffs = {
         k: (stypes.get(k), dtypes.get(k))
         for k in set(stypes) | set(dtypes)
-        if stypes.get(k) != dtypes.get(k)
+        if not ok(k)
     }
     assert not diffs, diffs
 

@@ -123,3 +123,22 @@ def test_colliding_payload_and_outer_key_survival(spark):
     rows = {x.k: (x.seg, x.seg_right) for x in out.collect()}
     assert rows["a"] == ("L", "R1")
     assert rows["zz"] == (None, "R2")   # key survives the unmatched right row
+
+
+def test_double_collision_uniquifies_iteratively(spark):
+    """'{c}_right' can itself collide: left carries BOTH 'seg' and
+    'seg_right', so the right 'seg' must escalate to 'seg_right_right'
+    (ADVICE r5: one-shot rename produced duplicate output columns)."""
+    l = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:20", "L", "LR")],
+        "k STRING, lt STRING, seg STRING, seg_right STRING",
+    ).selectExpr("k", "CAST(lt AS TIMESTAMP) lt", "seg", "seg_right")
+    r = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:30", "R1")],
+        "k STRING, rt STRING, seg STRING",
+    ).selectExpr("k", "CAST(rt AS TIMESTAMP) rt", "seg")
+    out = stream_lag_join(l, r, "k", "lt", "rt", tolerance="30 seconds")
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    assert "seg_right_right" in out.columns
+    row = out.collect()[0]
+    assert (row.seg, row.seg_right, row.seg_right_right) == ("L", "LR", "R1")

@@ -198,3 +198,37 @@ def test_xls_roundtrip_property(tmp_path_factory, rows):
     n_cols = max(c for _, c in cells) + 1
     want = [[cells.get((r, c)) for c in range(n_cols)] for r in range(n_rows)]
     assert got == want
+
+
+def test_nested_chart_substream_does_not_truncate_sheet(tmp_path):
+    """An embedded chart/VBA object opens a NESTED BOF/EOF inside the
+    worksheet substream (MS-XLS 2.1.7.20).  The reader must (a) keep
+    collecting sheet cells AFTER the nested EOF and (b) never parse the
+    embedded object's records as sheet cells (ADVICE r5: a flat BOF
+    counter truncated rows mid-sheet)."""
+    import struct
+
+    from cosmo_spark.sources.xls_io import _build_cfb, _rec
+
+    _BOF, _EOF, _NUMBER = 0x0809, 0x000A, 0x0203
+
+    def num(r, c, v):
+        return _rec(_NUMBER, struct.pack("<HHHd", r, c, 0, float(v)))
+
+    bof_globals = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bof_sheet = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    bof_chart = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0020, 0, 0, 0, 0))
+    # chart body carries a NUMBER record that must NOT become a sheet cell
+    nested = bof_chart + num(9, 9, 999.0) + _rec(_EOF, b"")
+    sheet = (
+        bof_sheet
+        + num(0, 0, 1.0)
+        + nested            # embedded object mid-sheet
+        + num(1, 0, 2.0)    # cells AFTER the nested EOF must survive
+        + _rec(_EOF, b"")
+    )
+    stream = bof_globals + _rec(_EOF, b"") + sheet
+    p = str(tmp_path / "nested.xls")
+    with open(p, "wb") as f:
+        f.write(_build_cfb({"Workbook": stream}))
+    assert read_xls(p) == [["1"], ["2"]]
