@@ -10,10 +10,19 @@ family.
 Scale shape: medians are computed with per-group ORDERED WINDOWS
 (row_number + count, pick the middle one or two rows, average) — one
 shuffle-and-sort per pass, never a per-group ``collect_list`` (a
-grouped list materializes the whole group in one task; at 100 TB a hot
-group kills the executor).  MAD is the same machinery over
-``|x - median|``, so the full detector is two window passes + one
+grouped list materializes the whole group in ONE ROW of one task; the
+window sort at least streams and spills).  MAD is the same machinery
+over ``|x - median|``, so the full detector is two window passes + one
 broadcastable (group, median, mad) table joined back to the facts.
+
+Parallelism caveat (measured, docs/SCALE.md): a partitioned window
+still sorts each group in a single task, so parallelism equals the
+group count.  Right for telemetry shapes — many monitor keys
+(mnemonic, segment, aperture), bounded rows each, exactly the
+reference's outlier granularity; for FEW huge groups (5 event types x
+20 TB) use the histogram-CDF quantile machinery
+(operators/histogram.quantile_cuts) whose error-bounded cuts stay
+fully partitioned.
 
 Determinism (the catalog's parity discipline): middle-row selection is
 exact (integer ranks, (value, id) tiebreak ordering); the only float
