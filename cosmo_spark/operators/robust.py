@@ -91,3 +91,118 @@ def robust_outliers(
             > F.lit(float(z)) * F.col("mad")
         )
     )
+
+
+def grouped_median_distributed(
+    df: DataFrame, key: str, val: str, tiebreak: str,
+    buckets: int = 4096, out_col: str = "median",
+) -> DataFrame:
+    """EXACT per-group median with NO single-task group sort — the
+    few-huge-groups answer to grouped_median's parallelism caveat
+    (5 event types x 20 TB must not become 5 sort tasks).  Cost: two
+    full scans (stats, bucket counts) plus a third ONLY when a rank
+    lands in a non-degenerate bucket — and that scan windows just the
+    hot bucket's rows.
+
+    Pass A (one groupBy): per-group (n, min, max).  Pass B (one
+    groupBy): per-(group, bucket) count/min/max over a linear
+    value-quantization into ``buckets`` cells — bounded aggregate state,
+    map-side combining, never a sort.  The median's global rank(s)
+    (middle one or two) are then located in the tiny cumulative bucket
+    table; a bucket whose min==max IS the answer for its rank (the
+    common case for discrete/telemetry values — zero extra work), and
+    only otherwise does a final scan rank the ONE hot bucket's rows
+    (expected n/buckets of the group) with a window bounded by that
+    bucket, selecting rank − cum_prev.
+
+    Exactness does not depend on float bucket boundaries: however the
+    quantization splits values, cumulative counts are computed from the
+    same buckets, so rank selection lands on the true order statistics;
+    the only float arithmetic in the result is the same two-row average
+    grouped_median uses.  Adversarial worst case (nearly all of a group
+    inside one non-degenerate bucket) degrades to that bucket's window —
+    recorded, not hidden; raise ``buckets`` for heavy-tailed doubles.
+
+    Contract: ``val`` non-null and FINITE (filter upstream — a ±inf
+    endpoint makes the quantization ratio NaN for its own row).
+    """
+    from pyspark.sql.window import Window
+
+    facts = df.select(
+        F.col(key).alias("__k"), F.col(val).alias("__v"),
+        F.col(tiebreak).alias("__tb"),
+    )
+    stats = facts.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+    )
+    b_expr = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo")) * buckets
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    bucketed = facts.join(F.broadcast(stats), "__k").select(
+        "__k", "__v", "__tb", b_expr.alias("__b")
+    )
+    bt = bucketed.groupBy("__k", "__b").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min("__v").alias("__bmin"),
+        F.max("__v").alias("__bmax"),
+    )
+    w_cum = (
+        Window.partitionBy("__k").orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bt.withColumn("__cum", F.sum("__c").over(w_cum))
+    # the middle rank(s): odd n -> one, even n -> two (same definition as
+    # grouped_median, so the two agree bit-for-bit)
+    ranks = (
+        stats.select(
+            "__k",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        ((F.col("__n") + 1) / 2).cast("long"),
+                        (F.col("__n") / 2 + 1).cast("long"),
+                    )
+                )
+            ).alias("__r"),
+        )
+    )
+    targets = ranks.join(
+        cum,
+        (ranks["__k"] == cum["__k"])
+        & (ranks["__r"] > F.col("__cum") - F.col("__c"))
+        & (ranks["__r"] <= F.col("__cum")),
+    ).select(
+        ranks["__k"].alias("__k"), "__r", "__b",
+        (F.col("__cum") - F.col("__c")).alias("__cum_prev"),
+        "__bmin", "__bmax",
+    )
+    fast = targets.filter(F.col("__bmin") == F.col("__bmax")).select(
+        "__k", "__r", F.col("__bmin").alias("__val")
+    )
+    slow_t = targets.filter(F.col("__bmin") != F.col("__bmax")).select(
+        "__k", "__r", "__b", "__cum_prev"
+    )
+    w_in = Window.partitionBy("__k", "__r").orderBy("__v", "__tb")
+    slow = (
+        bucketed.join(F.broadcast(slow_t), ["__k", "__b"])
+        .withColumn("__rn", F.row_number().over(w_in))
+        .filter(F.col("__rn") == F.col("__r") - F.col("__cum_prev"))
+        .select("__k", "__r", F.col("__v").alias("__val"))
+    )
+    return (
+        fast.unionByName(slow)
+        .groupBy(F.col("__k").alias(key))
+        .agg((F.sum("__val") / F.count(F.lit(1))).alias(out_col))
+    )

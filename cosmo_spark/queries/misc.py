@@ -447,6 +447,42 @@ def q102_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "value")
 
 
+_Q104_ORACLE = """
+WITH ev AS (SELECT event_id, event_type, value FROM events
+            WHERE value IS NOT NULL),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       sum(value) / count(*) AS median
+FROM ranked
+WHERE rn = (n + 1) / 2 OR rn = n / 2 OR rn = n / 2 + 1
+GROUP BY event_type
+"""
+
+
+@register("q104_distributed_median", operators=("A6", "A7"), oracle=_Q104_ORACLE)
+def q104_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median with NO single-task group sort
+    (operators/robust.grouped_median_distributed): per-(group, bucket)
+    counts locate the middle rank(s) in a cumulative bucket table;
+    degenerate buckets answer immediately and only a non-degenerate hot
+    bucket's rows ever see a window.  This is q102's machinery made safe
+    for the few-huge-groups shape (5 event types of 20 TB each) — the
+    oracle is the plain ordered-rank median, so the gate proves the
+    bucketed rank-selection IS the exact order statistic."""
+    from cosmo_spark.operators.robust import grouped_median_distributed
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = grouped_median_distributed(e, "event_type", "value", "event_id")
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return med.join(n, "event_type").select("event_type", "n", "median")
+
+
 def _ivf_centroids_duckdb() -> str:
     from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
 

@@ -2503,3 +2503,122 @@ def q103_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("t1", "t2", "c_xy", F.round(lift, 6).alias("lift"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# q106 — exact set-similarity join via prefix filtering (AllPairs/ppjoin)      #
+# --------------------------------------------------------------------------- #
+
+def _q106_oracle() -> str:
+    p = 1_000_000_007
+    return f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM tl),
+tokh AS (SELECT doc_id, pos, {_DUCK_POLY.replace('{X}', 'tok')} AS th FROM tok),
+shh AS (
+  SELECT DISTINCT a.doc_id,
+         ((a.th * 31 + b.th) % {p} * 31 + c.th) % {p} AS h
+  FROM tokh a
+  JOIN tokh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokh c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), ds AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+  FROM shh x JOIN shh y ON x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT p.id_a, p.id_b, p.inter, a.n AS na, b.n AS nb,
+       round(CAST(p.inter AS DOUBLE) / (a.n + b.n - p.inter), 6) AS jaccard
+FROM pairs p
+JOIN ds a ON a.doc_id = p.id_a
+JOIN ds b ON b.doc_id = p.id_b
+WHERE 5 * p.inter >= 4 * (a.n + b.n - p.inter)
+"""
+
+
+@register("q106_setsim_join", operators=("DD2", "DD4"), oracle=_q106_oracle())
+def q106_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set similarity join (Jaccard ≥ 4/5) via PREFIX
+    FILTERING (Bayardo et al., WWW'07; Xiao et al., ppjoin) — the
+    deterministic, guaranteed-complete complement to q39's probabilistic
+    MinHash: order each document's shingle hashes by ascending document
+    frequency (rarest first), keep only the first n − ⌈4n/5⌉ + 1 as its
+    PREFIX, and generate candidates from shared prefix shingles among
+    size-compatible documents (5·na ≥ 4·nb both ways — a qualifying
+    pair cannot differ in size by more than the threshold factor).
+    Completeness: if all shared shingles hid in a document's suffix, the
+    intersection would be ≤ ⌈4n/5⌉ − 1 < the τ·n a qualifying pair
+    needs — so the rarest shared shingle provably sits in BOTH prefixes,
+    and the oracle (ALL qualifying pairs by exhaustive shared-shingle
+    counting, no prefixes anywhere) certifies nothing was pruned away.
+
+    All threshold arithmetic is integer (⌈4n/5⌉ = (4n+4) div 5, keep
+    rule 5·|∩| ≥ 4·(na+nb−|∩|)): no float ceil can shorten a prefix at
+    a τ boundary.  Scale shape: the only corpus-sized shuffles are the
+    shingle document-frequency groupBy and the (prefix-shingle) bucket
+    join — bucket sizes track shingle rarity, exactly why prefixes hold
+    the RAREST shingles; verification intersects the two bounded
+    per-doc arrays row-locally.  The shingle and prefix tables persist
+    for the query's own multi-branch reuse (self-join + verification):
+    unpersisted, the per-char shingle hashing re-executes in every
+    branch — measured 103 s vs ~4 s at sf0.1."""
+    from cosmo_spark.operators.dedup import shingle_table
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_table(d, "text", "doc_id", shingle_n=3).persist()
+    ex = sh.select(F.col("__id").alias("doc_id"), F.explode("sh").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("h")))
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # prefix p = n - ceil(4n/5) + 1, all-integer via div
+    pfx = ordered.select(
+        "doc_id", "n",
+        F.expr(
+            "transform(slice(s, 1, CAST(n - (4*n + 4) DIV 5 + 1 AS INT)),"
+            " x -> x.h)"
+        ).alias("pfx"),
+    ).select("doc_id", "n", F.explode("pfx").alias("h")).persist()
+    cand = (
+        pfx.alias("a")
+        .join(pfx.alias("b"), "h")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.col("a.n") >= 4 * F.col("b.n"))
+            & (5 * F.col("b.n") >= 4 * F.col("a.n"))
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = sh.select(F.col("__id").alias("doc_id"), "sh")
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"),
+                              F.col("sh").alias("sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"),
+                          F.col("sh").alias("sb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            F.size("sa").cast("long").alias("na"),
+            F.size("sb").cast("long").alias("nb"),
+        )
+        .filter(
+            5 * F.col("inter")
+            >= 4 * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return verified.select(
+        "id_a", "id_b", "inter", "na", "nb", F.round(jac, 6).alias("jaccard")
+    )

@@ -1115,6 +1115,8 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str, residual: bool) -> DataFr
         for old in d.parent.iterdir():
             if old == d or old.name.endswith(f".tmp-{os.getpid()}"):
                 continue
+            if old.name == d.name + "_incr":
+                continue  # current fingerprint's incremental twin (q105)
             src_marker = old / "__source"
             orphan = (
                 src_marker.exists()
@@ -1282,6 +1284,74 @@ pairs AS (
 )
 SELECT query_id, neighbor_id, l2_dist, rank FROM ranked WHERE rank <= 5
 """
+
+
+def _ensure_pq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-MAINTENANCE path: the same at-rest (vec_id, codes, bucket)
+    layout built in two installments — an initial build of half the
+    corpus, then an append-mode write of the arriving half (encode is
+    row-local, so an increment never touches existing index files; the
+    bucket partitioning means each append only adds files under its
+    buckets' directories).  q105 proves search over the incrementally
+    built index is bit-identical to the full-rebuild oracle."""
+    import os
+    import shutil
+
+    from cosmo_spark.operators.pq import ivf_pq_build_index
+
+    d = str(_pq_index_dir(sf_dir, residual=False)) + "_incr"
+    if not os.path.exists(os.path.join(d, "_APPENDED")):
+        shutil.rmtree(d, ignore_errors=True)
+        e = _t(spark, sf_dir, "embeddings")
+        centroids = spark.sql(
+            f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
+        )
+
+        def build(part):
+            return ivf_pq_build_index(
+                part, centroids, "embedding", "vec_id", _pq_books()
+            ).select("vec_id", "codes", "bucket")
+
+        build(e.filter(F.col("vec_id") % 2 == 0)) \
+            .write.partitionBy("bucket").mode("overwrite").parquet(d)
+        build(e.filter(F.col("vec_id") % 2 == 1)) \
+            .write.partitionBy("bucket").mode("append").parquet(d)
+        open(os.path.join(d, "_APPENDED"), "w").close()
+        from pathlib import Path
+
+        Path(d, "__source").write_text(str(Path(sf_dir).resolve()))
+    return spark.read.schema(
+        "vec_id BIGINT, codes ARRAY<INT>, bucket INT"
+    ).parquet(d)
+
+
+@register("q105_incremental_index", operators=("SIM2", "ST3"), oracle=_q88_oracle())
+def q105_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search over an INCREMENTALLY-maintained at-rest index: half
+    the corpus indexed first, the other half appended later (the
+    streaming-ingest maintenance shape — new embeddings arrive, encode
+    row-locally, append under their bucket partitions without rewriting
+    a byte of the existing index).  The oracle is q88's FULL-REBUILD
+    pipeline verbatim, so the gate proves increment-then-search ==
+    rebuild-then-search bit-for-bit — the invariant that makes
+    append-only index maintenance safe at 100 TB."""
+    from cosmo_spark.operators.pq import ivf_pq_query
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = spark.sql(
+        f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    index = _ensure_pq_index_incremental(spark, sf_dir)
+    out = ivf_pq_query(
+        index, e, queries, centroids, "embedding", "vec_id", _pq_books(),
+        k=5, nprobe=10, rerank=_PQ_RERANK,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("l2_dist", 6).alias("l2_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @register("q90_ivf_pq_residual", operators=("SIM2",), oracle=_q90_oracle())

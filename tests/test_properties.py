@@ -590,3 +590,83 @@ def test_snapshot_diff_matches_dict_diff(spark, old, new):
         elif old[k] != new[k]:
             want[k] = "update"
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 999),
+                  st.integers(-1000, 1000)),
+        min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_grouped_median_matches_statistics_median(spark, rows):
+    """Window-rank median == Python statistics.median per group, for any
+    group sizes, duplicate values, and negative values."""
+    import statistics
+
+    from cosmo_spark.operators.robust import grouped_median
+
+    df = spark.createDataFrame(
+        [(g, i, float(v)) for g, i, v in rows], "g INT, id INT, v DOUBLE"
+    )
+    got = {r.g: r.median for r in grouped_median(df, "g", "v", "id").collect()}
+    by_group: dict[int, list[float]] = {}
+    for g, _, v in rows:
+        by_group.setdefault(g, []).append(float(v))
+    assert set(got) == set(by_group)
+    for g, vals in by_group.items():
+        assert got[g] == statistics.median(vals), (g, sorted(vals))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        min_size=1, max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(**_SETTINGS)
+def test_pagerank_conserves_mass_on_random_graphs(spark, raw_edges):
+    """Sum of PageRank over an undirected graph is exactly the total mass
+    1.0 (no dangling leak) for arbitrary random edge sets."""
+    import pytest as _pytest
+
+    from cosmo_spark.operators.pagerank import pagerank
+
+    und = sorted({(a, b) for a, b in raw_edges if a != b})
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = pagerank(df, iterations=3).collect()
+    assert sum(r.pagerank for r in got) == _pytest.approx(1.0, rel=1e-9)
+    assert all(r.pagerank > 0 for r in got)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 999),
+                  st.one_of(st.integers(-50, 50),
+                            st.floats(-1e6, 1e6, allow_nan=False))),
+        min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_distributed_median_is_exact_order_statistic(spark, rows):
+    """Bucketed rank-selection == statistics.median for any mix of
+    discrete, continuous, point-mass, and negative values — including
+    buckets=2 (maximally coarse quantization stresses the slow path)."""
+    import statistics
+
+    from cosmo_spark.operators.robust import grouped_median_distributed
+
+    df = spark.createDataFrame(
+        [(g, i, float(v)) for g, i, v in rows], "g INT, id INT, v DOUBLE"
+    )
+    got = {
+        r.g: r.median
+        for r in grouped_median_distributed(df, "g", "v", "id", buckets=2).collect()
+    }
+    by_group: dict[int, list[float]] = {}
+    for g, _, v in rows:
+        by_group.setdefault(g, []).append(float(v))
+    for g, vals in by_group.items():
+        assert got[g] == statistics.median(vals), (g, sorted(vals))

@@ -258,3 +258,89 @@ def test_stream_rollup_cascade_incremental_equals_batch(spark, tmp_path):
     assert spark.read.parquet(f"{target}/minute").count() == len(
         {(r["event_type"], r["ts"][:16]) for r in b1 + b2}
     )
+
+
+def test_stream_index_upsert_equals_batch_build(spark, tmp_path):
+    """Streaming ANN-index maintenance: embedding micro-batches arrive via
+    a file stream, each batch encodes row-locally inside foreachBatch and
+    APPENDS under its bucket partitions of the at-rest (vec_id, codes,
+    bucket) layout — then a search over the streamed index is row-for-row
+    identical to one over a single batch build (the q105 invariant,
+    driven end-to-end through Structured Streaming)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.operators.kmeans import kmeans_centroids
+    from cosmo_spark.operators.pq import (
+        ivf_pq_build_index,
+        ivf_pq_query,
+    )
+    from cosmo_spark.queries.trainprep import _pq_books
+
+    # deterministic 64-dim corpus, 3 arrival batches
+    rows = []
+    for i in range(60):
+        v = [((i * 37 + d * 11) % 97) / 97.0 - 0.5 for d in range(64)]
+        rows.append({"vec_id": i, "embedding": v})
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for b in range(3):
+        with open(src / f"batch{b}.json", "w") as f:
+            for r in rows[b * 20:(b + 1) * 20]:
+                f.write(json.dumps(r) + "\n")
+
+    corpus = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = kmeans_centroids(corpus, "embedding", "vec_id", k=4, iterations=3)
+    books = _pq_books()
+    idx_dir = str(tmp_path / "pq_index_stream")
+
+    def upsert(batch_df, batch_id):
+        ivf_pq_build_index(
+            batch_df, cents, "embedding", "vec_id", books
+        ).select("vec_id", "codes", "bucket").write.partitionBy(
+            "bucket"
+        ).mode("append").parquet(idx_dir)
+
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.schema(
+        "vec_id BIGINT, codes ARRAY<INT>, bucket INT"
+    ).parquet(idx_dir)
+    batch_idx = ivf_pq_build_index(
+        corpus, cents, "embedding", "vec_id", books
+    ).select("vec_id", "codes", "bucket")
+    # the two indexes hold identical entries (encode is row-local)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch_idx.collect())
+    )
+    queries = corpus.filter(F.col("vec_id") < 3)
+
+    def search(index):
+        out = ivf_pq_query(
+            index, corpus, queries, cents, "embedding", "vec_id", books,
+            k=3, nprobe=2, rerank=10,
+        )
+        return sorted(
+            (r.query_id, r.neighbor_id, round(r.l2_dist, 9), r.rank)
+            for r in out.collect()
+        )
+
+    assert search(streamed) == search(batch_idx)
+    # the appended layout really is bucket-partitioned at rest
+    assert any(
+        d.startswith("bucket=") for d in os.listdir(idx_dir)
+        if not d.startswith(("_", "."))
+    )
