@@ -483,6 +483,234 @@ def q104_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(n, "event_type").select("event_type", "n", "median")
 
 
+#: HLL geometry: m=256 registers, hash domain [0, 1e9+7) -> 22 suffix bits
+_HLL_M = 256
+_HLL_WBITS = 22
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _hll_rho_sql(w: str) -> str:
+    """Leading-zero rank of the 22-bit suffix as a pure integer CASE —
+    rho = 1 for the top bit set, ..., 23 for w = 0.  No log2 anywhere
+    (library transcendentals diverge across engines; PARITY.md rule 6)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (_HLL_WBITS - k)} THEN {k}"
+        for k in range(1, _HLL_WBITS + 1)
+    )
+    return f"(CASE WHEN {w} = 0 THEN {_HLL_WBITS + 1} {branches} END)"
+
+
+def _q107_oracle() -> str:
+    from cosmo_spark.queries.textops import _DUCK_POLY
+
+    h = _DUCK_POLY.replace("{X}", "text")
+    rho = _hll_rho_sql("w")
+    # CAST: DuckDB reads the bare float literal as DECIMAL(18), which
+    # overflows at *256*256 — and DECIMAL math wouldn't match Spark's
+    # doubles anyway
+    est = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M} / "
+        f"(sum(CAST(1.0 AS DOUBLE) / (1 << rho)) + ({_HLL_M} - count(*)))"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT source, {h} AS h FROM documents WHERE text IS NOT NULL
+), rows_ AS (
+  SELECT source, h, h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM hashed
+), regs AS (
+  SELECT source, bucket, max({rho}) AS rho
+  FROM rows_ GROUP BY source, bucket
+), per_source AS (
+  SELECT source, {est} AS est FROM regs GROUP BY source
+), exact AS (
+  SELECT source, count(DISTINCT h) AS n_exact FROM rows_ GROUP BY source
+), all_regs AS (
+  SELECT bucket, max(rho) AS rho FROM regs GROUP BY bucket
+), all_row AS (
+  SELECT '__all__' AS source,
+         (SELECT count(DISTINCT h) FROM rows_) AS n_exact,
+         {est} AS est
+  FROM all_regs
+  HAVING count(*) > 0
+)
+SELECT source, n_exact, round(est, 3) AS hll_est,
+       round(100.0 * (est - n_exact) / n_exact, 3) AS err_pct
+FROM (
+  SELECT e.source, e.n_exact, p.est
+  FROM exact e JOIN per_source p USING (source)
+  UNION ALL
+  SELECT source, n_exact, est FROM all_row
+)
+"""
+
+
+@register("q107_hll_sketch", operators=("A12",), oracle=_q107_oracle())
+def q107_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch (Flajolet et al.
+    2007) per source, PLUS the register-merge row ('__all__') that shows
+    the property sketches exist for: registers from different partitions
+    / sources / days combine by element-wise MAX without rescanning
+    anything — the mergeable-state primitive behind incremental
+    distinct-count dashboards at 100 TB (count(DISTINCT) re-shuffles the
+    world; a 256-byte sketch does not).
+
+    Parity discipline: the element hash is the catalog's arithmetic
+    poly-hash (rule 6 — no library murmur), rho is an integer CASE (no
+    log2), and every register term ``2^-rho`` is a dyadic rational whose
+    256-term harmonic sum is EXACTLY representable at every partial sum
+    (31 < 53 mantissa bits) — so the sum is order-independent and the
+    DuckDB compare is bit-exact with rounding only at the output.
+    Accuracy is the standard ~1.04/√m ≈ 6.5%; the oracle checks
+    identical computation, and err_pct is emitted so the sketch's honest
+    error rides in the result."""
+    from cosmo_spark.functions.text import poly_hash
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    rows = d.select(
+        "source", poly_hash(F.col("text")).alias("h")
+    ).select(
+        "source", "h",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.floor(F.col("h") / _HLL_M).cast("long").alias("w"),
+    )
+    regs = rows.groupBy("source", "bucket").agg(
+        F.max(F.expr(_hll_rho_sql("w"))).alias("rho")
+    )
+
+    def estimate(reg_df, keys):
+        # shiftleft's python wrapper takes only literal bit counts — the
+        # SQL form accepts the rho column
+        s = F.sum(F.expr("CAST(1.0 AS DOUBLE) / shiftleft(1, rho)"))
+        return reg_df.groupBy(*keys).agg(
+            (
+                F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M
+                / (s + (_HLL_M - F.count(F.lit(1))))
+            ).alias("est")
+        )
+
+    per_source = estimate(regs, ["source"])
+    exact = rows.groupBy("source").agg(
+        F.countDistinct("h").alias("n_exact")
+    )
+    all_regs = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    all_est = estimate(all_regs.withColumn("__g", F.lit(1)), ["__g"]).drop("__g")
+    all_exact = rows.agg(F.countDistinct("h").alias("n_exact"))
+    all_row = all_exact.crossJoin(all_est).select(
+        F.lit("__all__").alias("source"), "n_exact", "est"
+    )
+    combined = exact.join(per_source, "source").select(
+        "source", "n_exact", "est"
+    ).unionByName(all_row)
+    return combined.select(
+        "source", "n_exact",
+        F.round("est", 3).alias("hll_est"),
+        F.round(100.0 * (F.col("est") - F.col("n_exact")) / F.col("n_exact"), 3)
+        .alias("err_pct"),
+    )
+
+
+#: CMS geometry: 4 hash rows x 1024 counters; pairwise-independent-ish
+#: affine permutations of the arithmetic token hash (same family as the
+#: MinHash perms)
+_CMS_W = 1024
+_CMS_ROWS = ((131, 7), (257, 101), (521, 1009), (1031, 10007))
+_CMS_TOPK = 20
+_CMS_P = 1_000_000_007
+
+
+def _q108_oracle() -> str:
+    from cosmo_spark.queries.textops import _DUCK_POLY, _DUCK_TOKS
+
+    th = _DUCK_POLY.replace("{X}", "tok")
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS r, ((th * {a} + {b}) % {_CMS_P}) % {_CMS_W} AS bucket, tok "
+        f"FROM tokh"
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    )
+    return f"""
+WITH tl AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS tok FROM tl),
+tokh AS (SELECT tok, {th} AS th FROM tok),
+hashed AS ({rows}),
+counters AS (
+  SELECT r, bucket, count(*) AS cnt FROM hashed GROUP BY r, bucket
+), exact AS (
+  SELECT tok, count(*) AS n_exact FROM tokh GROUP BY tok
+), top AS (
+  SELECT tok, n_exact FROM exact
+  ORDER BY n_exact DESC, tok LIMIT {_CMS_TOPK}
+), toph AS (
+  SELECT tok, n_exact, {th} AS th FROM top
+), probes AS (
+  {" UNION ALL ".join(
+      f"SELECT tok, n_exact, {i} AS r, "
+      f"((th * {a} + {b}) % {_CMS_P}) % {_CMS_W} AS bucket FROM toph"
+      for i, (a, b) in enumerate(_CMS_ROWS)
+  )}
+)
+SELECT p.tok AS token, p.n_exact, min(c.cnt) AS cms_est
+FROM probes p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+GROUP BY p.tok, p.n_exact
+"""
+
+
+@register("q108_countmin_sketch", operators=("A12", "A11"), oracle=_q108_oracle())
+def q108_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) over the
+    corpus token stream, probed for the exact top-20 tokens:
+    4 affine-permuted arithmetic hash rows × 1024 counters, estimate =
+    min over rows — never an underestimate, overestimate bounded by
+    collisions.  The sketch-family sibling of q107's HLL: counters are
+    pure INTEGER state that merges by addition across partitions /
+    days / sources without rescanning anything (heavy-hitter dashboards
+    at 100 TB keep 16 KB of counters, not a token groupBy).
+
+    Everything is integer arithmetic over the catalog's poly-hash (no
+    library murmur, no floats anywhere), so the DuckDB compare is exact
+    by construction."""
+    from cosmo_spark.functions.text import poly_hash, tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    tokh = d.select(
+        F.explode(tokenize(F.col("text"))).alias("tok")
+    ).select("tok", poly_hash(F.col("tok")).alias("th"))
+    # ONE corpus pass for all 4 rows: a union of 4 selects re-evaluates
+    # the per-char token hashing per branch (measured ~4x at 10x scale);
+    # exploding an inline (r, bucket) array computes tokh once
+    rb = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("r"),
+            (((F.col("th") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
+        )
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    ])).alias("rb")
+    counters = (
+        tokh.select(rb)
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = tokh.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), "tok").limit(_CMS_TOPK)
+    # probe buckets recompute ROW-LOCALLY on the 20 top tokens — a
+    # distinct over the 4x-token hashed stream would shuffle the corpus a
+    # second time for information 20 rows already determine (measured
+    # 11.7 s -> below at 10x)
+    toph = top.select("tok", "n_exact", poly_hash(F.col("tok")).alias("th"))
+    probes = None
+    for i, (a, b) in enumerate(_CMS_ROWS):
+        part = toph.select(
+            "tok", "n_exact", F.lit(i).alias("r"),
+            (((F.col("th") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    probes = F.broadcast(probes)
+    return (
+        probes.join(counters, ["r", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
 def _ivf_centroids_duckdb() -> str:
     from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
 
