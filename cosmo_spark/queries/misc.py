@@ -711,6 +711,99 @@ def q108_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: reconciliation geometry: 256 digest buckets over the key hash
+_MRK_B = 256
+_MRK_P = 1_000_000_007
+
+
+def _q109_oracle() -> str:
+    # row fingerprint: arithmetic fold of the business columns (rule 6)
+    rowh = (
+        f"((((o_orderkey * 31 + o_custkey) % {_MRK_P}) * 31 "
+        f"+ CAST(round(o_totalprice * 100) AS BIGINT)) % {_MRK_P})"
+    )
+    return f"""
+WITH primary_ AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+), replica AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 1000 = 7 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 997 <> 3
+), pd AS (
+  SELECT o_orderkey % {_MRK_B} AS bucket,
+         sum({rowh}) % {_MRK_P} AS digest, count(*) AS n
+  FROM primary_ GROUP BY o_orderkey % {_MRK_B}
+), rd AS (
+  SELECT o_orderkey % {_MRK_B} AS bucket,
+         sum({rowh}) % {_MRK_P} AS digest, count(*) AS n
+  FROM replica GROUP BY o_orderkey % {_MRK_B}
+)
+SELECT coalesce(pd.bucket, rd.bucket) AS bucket,
+       pd.n AS n_primary, rd.n AS n_replica,
+       (pd.digest = rd.digest AND pd.n = rd.n) AS in_sync
+FROM pd FULL OUTER JOIN rd ON pd.bucket = rd.bucket
+WHERE pd.digest IS DISTINCT FROM rd.digest OR pd.n IS DISTINCT FROM rd.n
+"""
+
+
+@register("q109_merkle_reconcile", operators=("A11", "U1"), oracle=_q109_oracle())
+def q109_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica reconciliation: both sides fold every row into
+    a per-bucket digest (order-INSENSITIVE by construction — a modular
+    SUM of arithmetic row fingerprints commutes, so no sort anywhere) and
+    only buckets whose (digest, count) disagree need row-level repair —
+    the anti-entropy primitive that lets two 100 TB replicas diff by
+    exchanging 256 longs instead of 100 TB.  The 'replica' here is
+    derived deterministically from orders (one mutated price per 1000
+    keys, one deletion per 997), so the oracle can verify both the
+    honest digests AND that exactly the mutated/deleted buckets surface.
+
+    Scale shape: one map-side-combined groupBy per side (the shuffle
+    carries 256 (digest, count) pairs per map partition), one 256-row
+    full-outer join.  Row fingerprints are the catalog's arithmetic fold
+    (rule 6) over the business columns with exact-cents price encoding."""
+    rowh = (
+        (
+            (F.col("o_orderkey") * 31 + F.col("o_custkey")) % _MRK_P
+        ) * 31
+        + F.round(F.col("o_totalprice") * 100).cast("long")
+    ) % _MRK_P
+
+    def digests(df):
+        return df.groupBy((F.col("o_orderkey") % _MRK_B).alias("bucket")).agg(
+            (F.sum(rowh) % _MRK_P).alias("digest"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    replica = o.filter(F.col("o_orderkey") % 997 != 3).select(
+        "o_orderkey", "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 1000 == 7, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    pd_, rd = digests(o), digests(replica)
+    joined = pd_.alias("p").join(
+        rd.alias("r"), F.col("p.bucket") == F.col("r.bucket"), "fullOuter"
+    )
+    differs = (
+        ~F.col("p.digest").eqNullSafe(F.col("r.digest"))
+        | ~F.col("p.n").eqNullSafe(F.col("r.n"))
+    )
+    return joined.filter(differs).select(
+        F.coalesce(F.col("p.bucket"), F.col("r.bucket")).alias("bucket"),
+        F.col("p.n").alias("n_primary"),
+        F.col("r.n").alias("n_replica"),
+        (
+            F.col("p.digest").eqNullSafe(F.col("r.digest"))
+            & F.col("p.n").eqNullSafe(F.col("r.n"))
+        ).alias("in_sync"),
+    )
+
+
 def _ivf_centroids_duckdb() -> str:
     from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
 
