@@ -20,7 +20,11 @@ distributed PageRank cost, O(edges) per iteration.
 
 Dangling nodes are the caller's contract: every node must have
 outdegree >= 1 (make the graph undirected, or pre-drop sinks); the
-operator defines the node set as the src side of ``edges``.
+operator defines the node set as the src side of ``edges``.  Zero
+IN-degree is fine: each round rebuilds the state from the degree
+table (left join + coalesce), so a node nothing points at keeps its
+teleport mass (1-d)/N and its outgoing contributions — an inner
+sums⋈deg join would silently drop it after round 1 (ADVICE r6).
 
 Determinism note (the catalog's parity discipline): all float constants
 ((1-d)/n, d) are Python-computed doubles embedded identically in the
@@ -65,14 +69,17 @@ def pagerank(
         sums = contrib.groupBy(F.col("e_dst").alias("node")).agg(
             F.sum("contrib").alias("s")
         )
+        # rebuild from deg (the authoritative node set), never from sums:
+        # a zero-in-degree node has no contrib row, and an inner join here
+        # would erase it — and its downstream mass — from every later round
         state = (
-            sums.join(maybe_b(deg), "node")
+            deg.join(maybe_b(sums), "node", "left")
             .crossJoin(F.broadcast(n_df))
             .select(
                 "node", "deg",
                 (
                     F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping) * F.col("s")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint()

@@ -348,13 +348,19 @@ def _q100_oracle() -> str:
     ]
     for i in range(iters):
         # float constants repr'd from the SAME Python doubles the Spark
-        # side uses (1-0.85 is 0.15000000000000002, not 0.15)
+        # side uses (1-0.85 is 0.15000000000000002, not 0.15); the state
+        # rebuild is deg LEFT JOIN sums + coalesce, mirroring the operator
+        # exactly (an inner join drops zero-in-degree nodes after round 1)
         parts.append(
-            f"r{i + 1} AS (SELECT e.dst AS node, "
-            f"{1.0 - d!r} / nn.n + {d!r} * sum(r.rank / d2.deg) AS rank "
+            f"s{i + 1} AS (SELECT e.dst AS node, sum(r.rank / d2.deg) AS s "
             f"FROM edges e JOIN r{i} r ON r.node = e.src "
-            f"JOIN deg d2 ON d2.node = e.src CROSS JOIN nn "
-            f"GROUP BY e.dst, nn.n)"
+            f"JOIN deg d2 ON d2.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT deg.node AS node, "
+            f"{1.0 - d!r} / nn.n + {d!r} * coalesce(s{i + 1}.s, 0.0) AS rank "
+            f"FROM deg LEFT JOIN s{i + 1} ON s{i + 1}.node = deg.node "
+            f"CROSS JOIN nn)"
         )
     return (
         "WITH " + ",\n".join(parts)

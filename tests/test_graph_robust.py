@@ -43,6 +43,34 @@ def test_pagerank_matches_python_reference(spark):
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
 
 
+def test_pagerank_keeps_zero_indegree_nodes(spark):
+    """ADVICE r6 (medium): a DIRECTED graph meeting the documented
+    contract (outdeg >= 1 everywhere) can still have zero-IN-degree
+    nodes — a→b, b→a, c→a leaves c with no contrib row, and an inner
+    sums⋈deg state join erased it (and its outgoing mass) after round
+    1.  The rebuilt-from-deg left join must keep c at teleport mass and
+    keep its contributions flowing into a."""
+    from cosmo_spark.operators.pagerank import pagerank
+
+    edge_list = [(1, 2), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edge_list, "src INT, dst INT")
+    for bcast in (False, True):
+        got = {
+            r.node: r.pagerank
+            for r in pagerank(df, iterations=5, damping=0.85,
+                              broadcast_state=bcast).collect()
+        }
+        ref = _py_pagerank(edge_list)
+        assert set(got) == {1, 2, 3}, f"broadcast_state={bcast}"
+        for v in ref:
+            assert got[v] == pytest.approx(ref[v], rel=1e-12), (bcast, v)
+        # node 3: nothing points at it -> pure teleport mass
+        assert got[3] == pytest.approx((1.0 - 0.85) / 3, rel=1e-12)
+        # no dangling nodes -> mass conserved, which fails if 3's
+        # outgoing contribution into 1 is dropped
+        assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
 def test_pagerank_broadcast_state_same_result(spark):
     from cosmo_spark.operators.pagerank import pagerank
 
