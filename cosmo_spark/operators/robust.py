@@ -68,7 +68,8 @@ def grouped_median(
 
 
 def robust_outliers(
-    df: DataFrame, key: str, val: str, tiebreak: str, z: float = 3.5
+    df: DataFrame, key: str, val: str, tiebreak: str, z: float = 3.5,
+    distributed: bool = False, buckets: int = 4096,
 ) -> DataFrame:
     """Rows whose modified z-score exceeds ``z``:
 
@@ -76,13 +77,28 @@ def robust_outliers(
 
     (multiplication-only form of |modified z| > z).  Returns the input
     rows + the group median and MAD.  The (key, median, mad) table is
-    group-cardinality-sized — broadcast into the fact join."""
-    med = grouped_median(df, key, val, tiebreak)
+    group-cardinality-sized — broadcast into the fact join.
+
+    ``distributed=True`` routes BOTH median passes through
+    ``grouped_median_distributed`` (bucketed rank selection, bounded
+    aggregate state) — mandatory for the few-huge-groups shape (5 event
+    types x 20 TB), where the window path's parallelism collapses to the
+    group count (round-6 verdict #1).  The two median definitions select
+    the same middle ranks and average with the same ``(a+b)/2.0``, so
+    results are bit-identical and the oracle does not change."""
+    if distributed:
+        def _median(d, k, v, tb, out_col="median"):
+            return grouped_median_distributed(
+                d, k, v, tb, buckets=buckets, out_col=out_col
+            )
+    else:
+        _median = grouped_median
+    med = _median(df, key, val, tiebreak)
     dev = df.join(F.broadcast(med), key).select(
         key, F.col(tiebreak).alias("__tb"),
         F.abs(F.col(val) - F.col("median")).alias("__adev"),
     )
-    mad = grouped_median(dev, key, "__adev", "__tb", out_col="mad")
+    mad = _median(dev, key, "__adev", "__tb", out_col="mad")
     stats = med.join(mad, key)
     return (
         df.join(F.broadcast(stats), key)
@@ -167,7 +183,7 @@ def grouped_median_distributed(
     # grouped_median, so the two agree bit-for-bit)
     ranks = (
         stats.select(
-            "__k",
+            F.col("__k").alias("__rk"),  # distinct name: cum shares __k lineage
             F.explode(
                 F.array_distinct(
                     F.array(
@@ -180,11 +196,11 @@ def grouped_median_distributed(
     )
     targets = ranks.join(
         cum,
-        (ranks["__k"] == cum["__k"])
+        (F.col("__rk") == F.col("__k"))
         & (ranks["__r"] > F.col("__cum") - F.col("__c"))
         & (ranks["__r"] <= F.col("__cum")),
     ).select(
-        ranks["__k"].alias("__k"), "__r", "__b",
+        F.col("__rk").alias("__k"), "__r", "__b",
         (F.col("__cum") - F.col("__c")).alias("__cum_prev"),
         "__bmin", "__bmax",
     )

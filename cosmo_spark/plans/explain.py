@@ -63,22 +63,62 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     counts) all sit above an Aggregate, so they pass; a window slipped
     onto raw rows does not (round-5 verdict #7: assert the bound instead
     of letting expected WindowExec warnings camouflage regressions)."""
-    bounded = {"Aggregate", "LocalRelation", "OneRowRelation", "GlobalLimit",
-               "LocalLimit", "Range"}
-
-    def has_bound(node) -> bool:
-        if node.getClass().getSimpleName() in bounded:
-            return True
-        kids = node.children()
-        return any(has_bound(kids.apply(i)) for i in range(kids.size()))
-
     bad: list[str] = []
 
     def walk(node) -> None:
         name = node.getClass().getSimpleName()
         if name == "Window" and node.partitionSpec().isEmpty():
-            if not has_bound(node):
+            if not _has_bound(node):
                 bad.append(node.toString().splitlines()[0][:200])
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+_BOUNDED = {"Aggregate", "LocalRelation", "OneRowRelation", "GlobalLimit",
+            "LocalLimit", "Range"}
+
+
+def _has_bound(node) -> bool:
+    """True iff the subtree's row count is bounded by an Aggregate / Limit /
+    literal relation on EVERY input path.  Requiring ALL children bounded
+    (not any) is what makes multi-child nodes sound: ``corpus JOIN
+    small-aggregate`` is still O(corpus) rows, and the old any-descendant
+    rule let the aggregate side vouch for the whole join (ADVICE r6) —
+    exactly the regression class this checker exists to catch.  Single-child
+    nodes (Project/Filter/...) pass the bound through unchanged."""
+    if node.getClass().getSimpleName() in _BOUNDED:
+        return True
+    kids = node.children()
+    if kids.size() == 0:
+        return False
+    return all(_has_bound(kids.apply(i)) for i in range(kids.size()))
+
+
+def single_key_unbounded_sort_windows(df: DataFrame) -> list[str]:
+    """Window nodes partitioned by a SINGLE expression with an ORDER BY,
+    whose input subtree has no Aggregate/Limit bound — the per-group
+    single-task fact sort (parallelism == group count) that SCALE.md
+    forbids for few-huge-groups shapes (round-6 verdict #1: q102's
+    ``Window.partitionBy(event_type).orderBy(value)`` over the raw fact
+    scan).  The distributed-median machinery's windows pass: its
+    cumulative-bucket window sits above an Aggregate, and its hot-bucket
+    window partitions by (group, rank) — two expressions over a
+    bucket-bounded slice."""
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if (
+            name == "Window"
+            and node.partitionSpec().size() == 1
+            and not node.orderSpec().isEmpty()
+            and not _has_bound(node)
+        ):
+            bad.append(node.toString().splitlines()[0][:200])
         kids = node.children()
         for i in range(kids.size()):
             walk(kids.apply(i))

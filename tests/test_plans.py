@@ -458,6 +458,48 @@ def test_no_unbounded_global_windows_anywhere(spark, qs):
     assert not bad, bad
 
 
+def test_q102_no_per_group_fact_sort_window(spark, qs):
+    """Round-6 verdict #1: q102 groups `events` by its FIVE event types —
+    the few-huge-groups shape where Window.partitionBy(key).orderBy(val)
+    collapses to 5 single-task sorts of a fact table.  q102 must route
+    through the distributed-median machinery (q104's): no Window node
+    partitioned by a single key sorting an unbounded (non-aggregated)
+    input may remain anywhere in its plan."""
+    from cosmo_spark.plans.explain import single_key_unbounded_sort_windows
+
+    df = qs["q102_robust_outliers"].spark_fn(spark, SF)
+    assert single_key_unbounded_sort_windows(df) == []
+    # and the checker actually catches the forbidden shape: the window
+    # path on the same inputs trips it
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.operators.robust import robust_outliers
+    from cosmo_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "events").filter(F.col("value").isNotNull())
+    old = robust_outliers(e, "event_type", "value", "event_id", z=3.5)
+    assert single_key_unbounded_sort_windows(old), (
+        "checker failed to flag the per-group window-sort median"
+    )
+
+
+def test_robust_outliers_distributed_bitwise_equals_window_path(spark):
+    """The two robust_outliers paths select the same middle order
+    statistics by construction — assert bit-identical outlier sets on a
+    heavy-tailed sample so flipping q102 could not change its oracle."""
+    from cosmo_spark.operators.robust import robust_outliers
+
+    rows = [("g%d" % (i % 3), i, float(((i * 7919) % 101) - 50) ** 3)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "g STRING, id INT, v DOUBLE")
+    a = robust_outliers(df, "g", "v", "id", z=2.0).collect()
+    b = robust_outliers(df, "g", "v", "id", z=2.0, distributed=True,
+                        buckets=16).collect()
+    ka = sorted((r.g, r.id, r.v) for r in a)
+    kb = sorted((r.g, r.id, r.v) for r in b)
+    assert ka == kb and len(ka) > 0
+
+
 def test_q100_pagerank_iterations_truncate_lineage(spark, qs):
     """The power-iteration loop must materialize the edge table and each
     round's node-sized rank vector (localCheckpoint — the q45/q97
