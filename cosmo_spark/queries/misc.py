@@ -512,6 +512,17 @@ def _hll_rho_sql(w: str) -> str:
     return f"(CASE WHEN {w} = 0 THEN {_HLL_WBITS + 1} {branches} END)"
 
 
+def _hll_lc_table() -> list[float]:
+    """Linear-counting estimates m*ln(m/V) for every possible count of
+    empty registers V in 1..m, computed ONCE in Python — ln is the one
+    transcendental in the corrected estimator, so BOTH engines read the
+    value from the same embedded double literal (PARITY.md rule 6)
+    instead of calling their own libm."""
+    import math
+
+    return [_HLL_M * math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+
+
 def _q107_oracle() -> str:
     from cosmo_spark.queries.textops import _DUCK_POLY
 
@@ -520,9 +531,18 @@ def _q107_oracle() -> str:
     # CAST: DuckDB reads the bare float literal as DECIMAL(18), which
     # overflows at *256*256 — and DECIMAL math wouldn't match Spark's
     # doubles anyway
-    est = (
+    raw = (
         f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M} / "
         f"(sum(CAST(1.0 AS DOUBLE) / (1 << rho)) + ({_HLL_M} - count(*)))"
+    )
+    lc = "[" + ", ".join(
+        f"CAST({x!r} AS DOUBLE)" for x in _hll_lc_table()
+    ) + "]"
+    # small-range (linear-counting) switch: raw is bit-exact across both
+    # engines (dyadic-rational sum), so the branch decision agrees too
+    est = (
+        f"CASE WHEN v0 > 0 AND raw < {2.5 * _HLL_M!r} "
+        f"THEN {lc}[v0] ELSE raw END"
     )
     return f"""
 WITH hashed AS (
@@ -533,17 +553,23 @@ WITH hashed AS (
   SELECT source, bucket, max({rho}) AS rho
   FROM rows_ GROUP BY source, bucket
 ), per_source AS (
-  SELECT source, {est} AS est FROM regs GROUP BY source
+  SELECT source, {est} AS est FROM (
+    SELECT source, {raw} AS raw, {_HLL_M} - count(*) AS v0
+    FROM regs GROUP BY source
+  )
 ), exact AS (
   SELECT source, count(DISTINCT h) AS n_exact FROM rows_ GROUP BY source
 ), all_regs AS (
   SELECT bucket, max(rho) AS rho FROM regs GROUP BY bucket
+), all_raw AS (
+  SELECT {raw} AS raw, {_HLL_M} - count(*) AS v0
+  FROM all_regs
+  HAVING count(*) > 0
 ), all_row AS (
   SELECT '__all__' AS source,
          (SELECT count(DISTINCT h) FROM rows_) AS n_exact,
          {est} AS est
-  FROM all_regs
-  HAVING count(*) > 0
+  FROM all_raw
 )
 SELECT source, n_exact, round(est, 3) AS hll_est,
        round(100.0 * (est - n_exact) / n_exact, 3) AS err_pct
@@ -574,7 +600,16 @@ def q107_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB compare is bit-exact with rounding only at the output.
     Accuracy is the standard ~1.04/√m ≈ 6.5%; the oracle checks
     identical computation, and err_pct is emitted so the sketch's honest
-    error rides in the result."""
+    error rides in the result.
+
+    Small-range correction (round-6 verdict #2): when empty registers
+    exist (V > 0) and the raw estimate is below 2.5·m, the published
+    estimator switches to linear counting, est = m·ln(m/V) — without it
+    low-cardinality sources inherit the raw estimator's known upward
+    bias (measured ~19x at n=10, m=256).  ln is the one transcendental,
+    so both engines index the SAME Python-computed 256-entry m·ln(m/V)
+    literal table (V is an integer in 1..m) — the branch stays bit-exact
+    because raw itself is."""
     from cosmo_spark.functions.text import poly_hash
 
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -589,16 +624,29 @@ def q107_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.expr(_hll_rho_sql("w"))).alias("rho")
     )
 
+    lc_arr = "array(" + ", ".join(
+        f"{x!r}D" for x in _hll_lc_table()
+    ) + ")"
+
     def estimate(reg_df, keys):
         # shiftleft's python wrapper takes only literal bit counts — the
         # SQL form accepts the rho column
         s = F.sum(F.expr("CAST(1.0 AS DOUBLE) / shiftleft(1, rho)"))
-        return reg_df.groupBy(*keys).agg(
-            (
-                F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M
-                / (s + (_HLL_M - F.count(F.lit(1))))
-            ).alias("est")
+        raw = (
+            F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M
+            / (s + (_HLL_M - F.count(F.lit(1))))
         )
+        agg = reg_df.groupBy(*keys).agg(
+            raw.alias("__raw"),
+            (F.lit(_HLL_M) - F.count(F.lit(1))).alias("__v0"),
+        )
+        # linear-counting switch — one string-built expr, literals shared
+        # with the oracle byte-for-byte
+        est = F.when(
+            (F.col("__v0") > 0) & (F.col("__raw") < F.lit(2.5 * _HLL_M)),
+            F.expr(f"element_at({lc_arr}, cast(__v0 AS int))"),
+        ).otherwise(F.col("__raw"))
+        return agg.select(*keys, est.alias("est"))
 
     per_source = estimate(regs, ["source"])
     exact = rows.groupBy("source").agg(
