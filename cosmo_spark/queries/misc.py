@@ -822,7 +822,16 @@ def q109_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combined groupBy per side (the shuffle
     carries 256 (digest, count) pairs per map partition), one 256-row
     full-outer join.  Row fingerprints are the catalog's arithmetic fold
-    (rule 6) over the business columns with exact-cents price encoding."""
+    (rule 6) over the business columns with exact-cents price encoding.
+
+    Overflow discipline (ADVICE r6): fingerprints are ~1e9, so a single
+    int64 SUM wraps past ~9.2e9 rows per bucket — plausible at the scale
+    this primitive serves.  The digest therefore reduces mod p at TWO
+    levels: rows first fold into 4096 sub-digests per bucket (each
+    reduced mod p), then the sub-digests (each < p) sum — max carry
+    4096·1e9 ≈ 4e12 ≪ 2^63, and level one would need ~9.2e9 rows per
+    SUB-group (~10^16 per bucket) to wrap.  Modular addition associates,
+    so the result equals the oracle's single HUGEINT sum mod p exactly."""
     rowh = (
         (
             (F.col("o_orderkey") * 31 + F.col("o_custkey")) % _MRK_P
@@ -831,9 +840,17 @@ def q109_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) % _MRK_P
 
     def digests(df):
-        return df.groupBy((F.col("o_orderkey") % _MRK_B).alias("bucket")).agg(
-            (F.sum(rowh) % _MRK_P).alias("digest"),
-            F.count(F.lit(1)).alias("n"),
+        sub = df.groupBy(
+            (F.col("o_orderkey") % (_MRK_B * 4096)).alias("__g")
+        ).agg(
+            (F.sum(rowh) % _MRK_P).alias("__d"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        # __g % B recovers the bucket: B divides B*4096, so every
+        # sub-group lands in exactly one bucket
+        return sub.groupBy((F.col("__g") % _MRK_B).alias("bucket")).agg(
+            (F.sum("__d") % _MRK_P).alias("digest"),
+            F.sum("__n").alias("n"),
         )
 
     o = _t(spark, sf_dir, "orders").select(

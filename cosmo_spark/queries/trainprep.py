@@ -1124,7 +1124,20 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str, residual: bool) -> DataFr
             )
             if old.name.startswith(prefix) or orphan:
                 shutil.rmtree(old, ignore_errors=True)
-        os.replace(tmp, d) if not d.exists() else shutil.rmtree(tmp)
+        # publish: d existing WITHOUT _SUCCESS is a corrupt dir (crash
+        # mid-publish, tampering) — repair it with the fresh build instead
+        # of throwing the build away and serving the broken dir forever
+        # (ADVICE r6); a concurrent builder winning the race surfaces as
+        # os.replace failing with d now carrying _SUCCESS -> use theirs
+        if d.exists():
+            shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.replace(tmp, d)
+        except OSError:
+            if (d / "_SUCCESS").exists():
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
     # explicit schema: an EMPTY corpus writes a fileless partition dir that
     # schema inference cannot read back (empty-sweep regression)
     return spark.read.schema(

@@ -88,6 +88,11 @@ def decode_media(
       feature shape.  Raises NotImplementedError immediately when PIL is
       not importable on the driver; choosing it asserts the cluster's
       workers have Pillow too.
+    - ``"wav"`` — pure-stdlib ``wave``-module PCM decode (8/16-bit,
+      any channel count): samples → integer mono mixdown → 64-bin
+      |amplitude| envelope scaled to 0..255, sha256-fingerprinted.  The
+      real hermetic branch for the ``audio`` kind the schema advertises
+      (round-6 verdict #4) — same corrupt-isolation contract as 'ppm'.
     - ``"fake"`` — deterministic content-derived stand-in (blob sha256);
       exercises the full Spark plumbing with no codec at all.
 
@@ -100,11 +105,11 @@ def decode_media(
     """
     if deterministic_fake:  # pre-round-6 spelling
         codec = "fake"
-    if codec not in ("ppm", "pil", "fake"):
+    if codec not in ("ppm", "pil", "wav", "fake"):
         raise ValueError(
             "decode_media requires an explicit codec= of 'ppm' (stdlib "
-            "real decode), 'pil' (JPEG/PNG via Pillow), or 'fake' "
-            "(deterministic stand-in)"
+            "real image decode), 'wav' (stdlib real audio decode), 'pil' "
+            "(JPEG/PNG via Pillow), or 'fake' (deterministic stand-in)"
         )
     if codec == "pil" and not _pil_available():
         raise NotImplementedError(
@@ -155,7 +160,19 @@ def decode_media(
                 return None
             if w <= 0 or h <= 0 or not (0 < maxval < 256):
                 return None
-            pos += 1  # single whitespace after maxval
+            # exactly one whitespace terminates the header — validate it
+            # (a non-whitespace byte here is a malformed header -> corrupt,
+            # not a silent one-byte-early raster read), and treat a CRLF
+            # pair as ONE terminator: a PPM written with '255\r\n' intends
+            # the raster after the '\n' (ADVICE r6: the old unconditional
+            # pos += 1 produced garbage features with decode_status='ok')
+            sep = raw[pos:pos + 1]
+            if not sep.isspace():
+                return None
+            if sep == b"\r" and raw[pos + 1:pos + 2] == b"\n":
+                pos += 2
+            else:
+                pos += 1
             ch = 3 if toks[0] == b"P6" else 1
             need = w * h * ch
             px = _np.frombuffer(raw, dtype=_np.uint8, count=-1, offset=pos)
@@ -178,6 +195,45 @@ def decode_media(
                     out[i * 8 + j] = int(blk.sum()) // blk.size
             return bytes(out)
 
+        def _wav_env64(raw: bytes) -> bytes | None:
+            """WAV PCM → 64-byte |amplitude| envelope (0..255), integer
+            arithmetic only: stdlib wave parse, int mono mixdown, 64
+            equal-time bins of mean absolute amplitude scaled by the
+            sample type's full range."""
+            import io as _io
+            import wave as _wave
+
+            import numpy as _np
+
+            try:
+                with _wave.open(_io.BytesIO(raw)) as wv:
+                    nch = wv.getnchannels()
+                    sw = wv.getsampwidth()
+                    nf = wv.getnframes()
+                    data = wv.readframes(nf)
+            except Exception:
+                return None
+            if nf <= 0 or nch <= 0 or sw not in (1, 2):
+                return None
+            if sw == 1:  # 8-bit WAV is unsigned, centered at 128
+                a = _np.frombuffer(data, _np.uint8).astype(_np.int64) - 128
+                full = 127
+            else:  # 16-bit little-endian signed
+                a = _np.frombuffer(data, "<i2").astype(_np.int64)
+                full = 32767
+            if a.size < nf * nch:
+                return None
+            mono = a[: nf * nch].reshape(-1, nch).sum(axis=1) // nch
+            out = bytearray(64)
+            n = mono.size
+            amp = _np.abs(mono)
+            for i in range(64):
+                s0 = i * n // 64
+                s1 = max(s0 + 1, (i + 1) * n // 64)
+                blk = amp[s0:s1]
+                out[i] = min(255, (int(blk.sum()) // blk.size) * 255 // full)
+            return bytes(out)
+
         for pdf in batches:
             out = {
                 "media_id": [], "feat_dim": [], "feat_hash": [], "decode_status": []
@@ -195,8 +251,9 @@ def decode_media(
                         status = "ok"
                     except Exception:
                         dim, h, status = 0, "", "corrupt"
-                elif codec == "ppm":
-                    feats = _ppm_luma8x8(bytes(blob))
+                elif codec in ("ppm", "wav"):
+                    decode = _ppm_luma8x8 if codec == "ppm" else _wav_env64
+                    feats = decode(bytes(blob))
                     if feats is None:
                         dim, h, status = 0, "", "corrupt"
                     else:

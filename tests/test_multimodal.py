@@ -144,3 +144,96 @@ def test_frame_sample_plan(media):
     rows = plan.collect()
     assert {r.media_id for r in rows} == {"m3"}
     assert [r.frame_idx for r in rows] == [0, 10, 20]  # 30 frames, every 10th
+
+
+def test_decode_ppm_crlf_header_same_pixels_same_features(spark):
+    """ADVICE r6: a PPM whose maxval line ends in CRLF ('255\\r\\n') must
+    decode the SAME pixels to the SAME features as the LF spelling — the
+    old unconditional single-byte skip started the raster one byte early
+    and returned garbage features with decode_status='ok'.  A
+    non-whitespace byte after maxval is a malformed header -> corrupt."""
+    px = bytes(range(48)) * 16  # 16x16 RGB = 768 bytes
+    lf = b"P6\n16 16\n255\n" + px
+    crlf = b"P6\r\n16 16\r\n255\r\n" + px
+    malformed = b"P6\n16 16\n255X" + px
+    rows = [
+        ("lf", "image", "image/x-ppm", lf, 16, 16, len(lf)),
+        ("crlf", "image", "image/x-ppm", crlf, 16, 16, len(crlf)),
+        ("bad", "image", "image/x-ppm", malformed, 16, 16, len(malformed)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media, codec="ppm").collect()}
+    assert got["lf"].decode_status == "ok"
+    assert got["crlf"].decode_status == "ok"
+    assert got["crlf"].feat_hash == got["lf"].feat_hash
+    assert got["bad"].decode_status == "corrupt" and got["bad"].feat_hash == ""
+
+
+def _wav(freq_step: int, nframes: int = 8000, nch: int = 1,
+         sw: int = 2, amp: int = 12000) -> bytes:
+    """Deterministic PCM WAV: an integer sawtooth of the given step."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sw)
+        w.setframerate(8000)
+        frames = bytearray()
+        for i in range(nframes):
+            v = ((i * freq_step) % (2 * amp)) - amp
+            for _ in range(nch):
+                if sw == 2:
+                    frames += int(v).to_bytes(2, "little", signed=True)
+                else:
+                    frames += bytes([(v >> 8) + 128 & 0xFF])
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_real_wav_stdlib(spark):
+    """REAL audio decode, hermetic (round-6 verdict #4): stdlib wave PCM
+    -> 64-bin integer amplitude envelope.  Decoded bytes asserted for
+    real: the envelope of a constant-amplitude full-scale square wave is
+    computable by hand, silence is all-zero, and a garbage blob isolates
+    as corrupt without failing the task."""
+    import hashlib
+    import io
+    import wave
+
+    # square wave alternating +/-16384 -> |amp| constant 16384 ->
+    # envelope = 16384*255//32767 = 127 in all 64 bins
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(
+            int(16384 if i % 2 else -16384).to_bytes(2, "little", signed=True)
+            for i in range(6400)
+        ))
+    square = buf.getvalue()
+    silence_buf = io.BytesIO()
+    with wave.open(silence_buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 4 * 1000)
+    rows = [
+        ("sq", "audio", "audio/wav", square, None, None, len(square)),
+        ("quiet", "audio", "audio/wav", silence_buf.getvalue(), None, None, 4000),
+        ("saw", "audio", "audio/wav", _wav(321), None, None, 0),
+        ("junk", "audio", "audio/wav", b"RIFFnot really a wav", None, None, 20),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media, codec="wav").collect()}
+    assert got["sq"].decode_status == "ok" and got["sq"].feat_dim == 64
+    assert got["sq"].feat_hash == hashlib.sha256(
+        bytes([127] * 64)).hexdigest()[:16]
+    assert got["quiet"].feat_hash == hashlib.sha256(
+        bytes(64)).hexdigest()[:16]
+    assert got["saw"].decode_status == "ok"
+    # three distinct signals, three distinct fingerprints
+    assert len({got[k].feat_hash for k in ("sq", "quiet", "saw")}) == 3
+    assert got["junk"].decode_status == "corrupt" and got["junk"].feat_hash == ""

@@ -138,3 +138,24 @@ def test_encode_center_col_matches_numpy_residual(spark, emb):
         assert got[vid]["bucket"] == asg[row_i], vid
         assert list(got[vid]["codes"]) == codes, vid
         assert abs(got[vid]["se"] - se) < 1e-9
+
+
+def test_ensure_pq_index_repairs_corrupt_publish(spark):
+    """ADVICE r6: an index dir that exists WITHOUT _SUCCESS (crash
+    mid-publish / tampering) must be repaired by the next build — the old
+    publish step rebuilt into tmp, threw the build away, and returned a
+    reader over the broken dir forever."""
+    import shutil
+
+    from cosmo_spark.queries.trainprep import _ensure_pq_index, _pq_index_dir
+
+    sf = "/root/testdata/sf0.001"
+    d = _pq_index_dir(sf, residual=False)
+    shutil.rmtree(d, ignore_errors=True)
+    n = _ensure_pq_index(spark, sf, residual=False).count()
+    assert (d / "_SUCCESS").exists() and n > 0
+    # corrupt: drop the marker, leave stale parquet behind
+    (d / "_SUCCESS").unlink()
+    n2 = _ensure_pq_index(spark, sf, residual=False).count()
+    assert (d / "_SUCCESS").exists(), "repair did not republish"
+    assert n2 == n
