@@ -22,9 +22,14 @@ candidate set — the cross-check the unit test runs.
 Scale: state is O(accepted vectors per bucket), sharded by code across
 executors; ``max_bucket`` fails loudly (the batch operator's guard
 discipline) before a degenerate bucket's state or per-arrival compare cost
-grows unbounded.  Production corpora additionally age state out with a
-watermark-driven TTL (the ``dropDuplicatesWithinWatermark`` contract);
-bounded-window semantics are a caller policy, not baked in here.
+grows unbounded.  ``ttl=`` ages state out against the event-time watermark
+(the ``dropDuplicatesWithinWatermark`` contract, round-6 verdict #3):
+accepted vectors older than the watermark are evicted on every keeper
+invocation, and a bucket idle past its newest vector + TTL is removed
+whole by a ``GroupStateTimeout.EventTimeTimeout`` — an unbounded stream
+can no longer grow state forever.  Without ``ttl`` the keeper retains
+state indefinitely (exact historical dedup), which is a deliberate
+caller policy, not an accident.
 """
 
 from __future__ import annotations
@@ -38,6 +43,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 #: one row per arrival: accepted (dup_of null) or matched to an earlier id
 OUT_SCHEMA = "id STRING, dup_of STRING, cos_sim DOUBLE, code BIGINT"
 STATE_SCHEMA = "ids ARRAY<STRING>, vecs ARRAY<ARRAY<DOUBLE>>"
+#: TTL mode: per-accepted-vector last-seen event time (epoch ms)
+STATE_SCHEMA_TTL = STATE_SCHEMA + ", tss ARRAY<BIGINT>"
+
+_TTL_UNITS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000,
+    "hour": 3_600_000, "day": 86_400_000,
+}
+
+
+def ttl_ms(ttl: str) -> int:
+    """Parse a Spark-style duration ('10 minutes', '1 hour') to ms."""
+    parts = ttl.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"ttl must be '<n> <unit>', got {ttl!r}")
+    n, unit = int(parts[0]), parts[1].lower().rstrip("s")
+    if unit not in _TTL_UNITS:
+        raise ValueError(f"unknown ttl unit {parts[1]!r}")
+    return n * _TTL_UNITS[unit]
 
 
 def stream_srp_near_dup(
@@ -48,6 +71,8 @@ def stream_srp_near_dup(
     *,
     threshold: float,
     max_bucket: int = 10_000,
+    ttl: str | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Near-dup-annotate a stream of (id, vector) rows.
 
@@ -55,9 +80,19 @@ def stream_srp_near_dup(
     recommended — few-bit codes are the same scale trap the batch docstring
     documents).  Returns a streaming DataFrame of ``OUT_SCHEMA`` rows in
     append mode.
+
+    ``ttl`` + ``ts_col`` bound state retention by event time: the stream
+    is watermarked ``ttl`` behind the max event time, accepted vectors
+    whose last-seen time falls behind the watermark stop matching (and
+    leave state), and a bucket idle past its newest vector + ttl is
+    dropped whole via EventTimeTimeout.  A re-arrival of an evicted
+    near-duplicate is accepted as NEW — the semantics of dedup within a
+    horizon, exactly ``dropDuplicatesWithinWatermark``'s contract.
     """
     from cosmo_spark.functions.vectors import as_double, dot
 
+    if (ttl is None) != (ts_col is None):
+        raise ValueError("ttl and ts_col must be given together")
     bits = len(planes)
     # one SQL-parsed literal, not a py4j call per element (see the batch
     # operator's plane-literal note in operators/dedup.py)
@@ -70,25 +105,36 @@ def stream_srp_near_dup(
     sig = F.transform(
         planes_lit, lambda p: F.when(dot(F.col("__v"), p) > 0, 1).otherwise(0)
     )
-    coded = stream.select(
+    cols = [
         F.col(id_col).cast("string").alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
-    ).select(
-        "__id", "__v",
+    ]
+    keep = ["__id", "__v"]
+    if ttl is not None:
+        cols.append(F.col(ts_col).cast("timestamp").alias("__ts"))
+        keep.append("__ts")
+    coded = stream.select(*cols).select(
+        *keep,
         F.aggregate(sig, F.lit(0).cast("long"), lambda acc, x: acc * 2 + x)
         .alias("__code"),
     )
+    if ttl is not None:
+        coded = coded.withWatermark("__ts", ttl)
 
     return coded.groupBy("__code").applyInPandasWithState(
-        make_keeper(threshold, max_bucket),
+        make_keeper(threshold, max_bucket,
+                    ttl_ms_=None if ttl is None else ttl_ms(ttl)),
         outputStructType=OUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=STATE_SCHEMA if ttl is None else STATE_SCHEMA_TTL,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout if ttl is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
 
-def make_keeper(threshold: float, max_bucket: int):
+def make_keeper(threshold: float, max_bucket: int, ttl_ms_: int | None = None):
     """Build the per-bucket stateful keeper closure.
 
     Module-level factory so tests can drive the exact production closure
@@ -96,6 +142,11 @@ def make_keeper(threshold: float, max_bucket: int):
     the RETURNED function is still a nested closure, which cloudpickle
     ships by value — imports inside, constants bound — so python workers
     need no repo on sys.path.
+
+    With ``ttl_ms_`` set, state rows carry a per-vector last-seen event
+    time: vectors behind the current watermark evict at every invocation,
+    the key's timeout is re-armed to newest-vector + ttl, and a timed-out
+    key removes its state entirely (zero output rows).
     """
     thr = float(threshold)
     cap = int(max_bucket)
@@ -104,8 +155,36 @@ def make_keeper(threshold: float, max_bucket: int):
         import numpy as np
         import pandas as pd
 
-        ids, vecs = state.get if state.exists else ([], [])
-        ids = list(ids)
+        def _empty():
+            return pd.DataFrame({
+                "id": pd.Series(dtype=object),
+                "dup_of": pd.Series(dtype=object),
+                "cos_sim": pd.Series(dtype=float),
+                "code": pd.Series(dtype="int64"),
+            })
+
+        if ttl_ms_ is not None and state.hasTimedOut:
+            # idle past newest vector + ttl: the whole bucket's state goes
+            state.remove()
+            yield _empty()
+            return
+        if state.exists:
+            stored = state.get
+            ids, vecs = list(stored[0]), list(stored[1])
+            tss = list(stored[2]) if ttl_ms_ is not None else None
+        else:
+            ids, vecs = [], []
+            tss = [] if ttl_ms_ is not None else None
+        if ttl_ms_ is not None:
+            # watermark = max event time - ttl: vectors last seen before it
+            # are out of horizon and must neither match nor occupy state
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0 and tss:
+                live = [i for i, t in enumerate(tss) if t >= wm]
+                if len(live) < len(ids):
+                    ids = [ids[i] for i in live]
+                    vecs = [vecs[i] for i in live]
+                    tss = [tss[i] for i in live]
         # accepted matrix in a capacity-doubling buffer: one mat-vec per
         # arrival instead of a per-row python loop (≈10× constant factor),
         # and appends stay amortized O(d) — the one former pure-python
@@ -121,9 +200,15 @@ def make_keeper(threshold: float, max_bucket: int):
         out_id, out_dup, out_cos = [], [], []
         rows = []
         for pdf in pdfs:
-            rows.extend(zip(pdf["__id"], pdf["__v"]))
+            if ttl_ms_ is not None:
+                ts_ms = (
+                    pd.to_datetime(pdf["__ts"]).astype("int64") // 1_000_000
+                )
+                rows.extend(zip(pdf["__id"], pdf["__v"], ts_ms))
+            else:
+                rows.extend(zip(pdf["__id"], pdf["__v"], [None] * len(pdf)))
         rows.sort(key=lambda r: r[0])  # deterministic within a micro-batch
-        for rid, rv in rows:
+        for rid, rv, rts in rows:
             v = np.asarray(rv, dtype=np.float64)
             if dim is not None and v.shape != (dim,):
                 # loud guard (the max_bucket discipline): the mat-vec needs
@@ -147,6 +232,8 @@ def make_keeper(threshold: float, max_bucket: int):
                 if hit.size:
                     i = int(hit[0])
                     match, sim = ids[i], float(sims[i])
+                    if ttl_ms_ is not None:  # refresh last-seen: hot
+                        tss[i] = max(tss[i], int(rts))  # dups stay live
             if match is None:
                 if dim is None:
                     dim = len(v)
@@ -158,6 +245,8 @@ def make_keeper(threshold: float, max_bucket: int):
                     M = np.vstack([M, np.zeros_like(M)])
                     norms = np.concatenate([norms, np.zeros_like(norms)])
                 ids.append(rid)
+                if ttl_ms_ is not None:
+                    tss.append(int(rts))
                 M[k] = v
                 norms[k] = n
                 k += 1
@@ -170,7 +259,15 @@ def make_keeper(threshold: float, max_bucket: int):
             out_id.append(rid)
             out_dup.append(match)
             out_cos.append(sim)
-        state.update((ids, [M[i].tolist() for i in range(k)]))
+        vec_list = [M[i].tolist() for i in range(k)]
+        if ttl_ms_ is None:
+            state.update((ids, vec_list))
+        elif tss:
+            state.update((ids, vec_list, tss))
+            # re-arm: the key dies when idle past its newest vector + ttl
+            state.setTimeoutTimestamp(max(tss) + ttl_ms_)
+        else:
+            state.remove()
         yield pd.DataFrame({
             "id": out_id, "dup_of": out_dup, "cos_sim": out_cos,
             "code": [key[0]] * len(out_id),

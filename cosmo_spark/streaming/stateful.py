@@ -9,14 +9,19 @@ aggregations nor windows express: unbounded running state with custom
 update logic.
 
 Scale: state is O(keys) (three doubles per mnemonic), sharded by the
-grouping key across executors; timeouts are not used (telemetry keys are
-long-lived).  The closure is self-contained — no module globals — so
-executors need no package install (cloudpickle ships it by value).
+grouping key across executors.  Telemetry keys are long-lived, so the
+default keeps state forever; ``ttl=`` + ``ts_col=`` watermarks the stream
+and drops any key idle past the horizon via EventTimeTimeout (round-6
+verdict #3) — a decommissioned mnemonic's state evaporates instead of
+accreting, and a later re-appearance restarts its statistics from n=1.
+The closure is self-contained — no module globals — so executors need no
+package install (cloudpickle ships it by value).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: output schema of the running-stats snapshot
@@ -32,20 +37,56 @@ def running_stats(
     key_col: str = "mnemonic",
     value_col: str = "Data",
     k_sigma: float = 3.0,
+    ttl: str | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Attach Welford running statistics per key; emit one snapshot row per
     (key, micro-batch) with an outlier flag for the batch's last value.
 
     Works only on streaming DataFrames (use the batch monitors otherwise).
+    ``ttl`` + ``ts_col`` age out idle keys by event time: the stream is
+    watermarked ``ttl`` behind max event time and a key with no data past
+    its newest event + ttl removes its state (no snapshot emitted).
     """
+    if (ttl is None) != (ts_col is None):
+        raise ValueError("ttl and ts_col must be given together")
+    ttl_ms_ = None
+    if ttl is not None:
+        from cosmo_spark.streaming.neardup import ttl_ms
+
+        ttl_ms_ = ttl_ms(ttl)
+        telemetry = telemetry.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, ttl)
+    ts_name = ts_col
 
     def update(key, pdfs, state: GroupState):
         import math
 
+        import pandas as _pd
+
+        if ttl_ms_ is not None and state.hasTimedOut:
+            state.remove()
+            yield _pd.DataFrame({
+                "mnemonic": _pd.Series(dtype=object),
+                "n": _pd.Series(dtype="int64"),
+                "mean": _pd.Series(dtype=float),
+                "std": _pd.Series(dtype=float),
+                "last_value": _pd.Series(dtype=float),
+                "outlier": _pd.Series(dtype=bool),
+            })
+            return
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         last = None
         last_outlier = False
+        max_ts = None
         for pdf in pdfs:
+            if ttl_ms_ is not None and len(pdf):
+                bt = int(
+                    _pd.to_datetime(pdf[ts_name]).astype("int64").max()
+                    // 1_000_000
+                )
+                max_ts = bt if max_ts is None else max(max_ts, bt)
             for v in pdf[value_col]:
                 if v is None:
                     continue
@@ -65,6 +106,8 @@ def running_stats(
                 m2 += delta * (v - mean)
                 last = v
         state.update((n, mean, m2))
+        if ttl_ms_ is not None and max_ts is not None:
+            state.setTimeoutTimestamp(max_ts + ttl_ms_)
         std = math.sqrt(m2 / (n - 1)) if n > 1 else None
         import pandas as pd
 
@@ -80,6 +123,9 @@ def running_stats(
             outputStructType=SNAPSHOT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout if ttl_ms_ is None
+                else GroupStateTimeout.EventTimeTimeout
+            ),
         )
     )

@@ -125,3 +125,58 @@ def test_stream_final_state_matches_q56_batch_twin(spark, tmp_path):
         assert snap[k].n == last[k].n
         assert snap[k].mean == pytest.approx(last[k].mean, rel=1e-9)
         assert snap[k].std == pytest.approx(last[k].std, rel=1e-9)
+
+
+def test_running_stats_ttl_evicts_idle_keys(spark, tmp_path):
+    """Round-6 verdict #3: with ttl set, a key idle past the event-time
+    horizon drops its state — a later re-appearance restarts at n=1 —
+    while keys inside the horizon keep accumulating unchanged."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt, sink = tmp_path / "ck", tmp_path / "snapshots"
+
+    def write_ts(name, rows):
+        with open(src / name, "w") as f:
+            for mnemonic, v, ts in rows:
+                f.write(json.dumps(
+                    {"mnemonic": mnemonic, "Data": v, "ts": ts}) + "\n")
+
+    def run(sub):
+        stream = spark.readStream.schema(
+            "mnemonic STRING, Data DOUBLE, ts TIMESTAMP"
+        ).json(str(src))
+        out = running_stats(stream, ttl="10 minutes", ts_col="ts")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: A at 10:00 (2 rows), B at 10:00
+    write_ts("b1.json", [("A", 10.0, "2026-01-01 10:00:00"),
+                         ("A", 12.0, "2026-01-01 10:00:30"),
+                         ("B", 5.0, "2026-01-01 10:00:00")])
+    run(1)
+    # batch 2: B advances to 11:00 -> watermark moves to 10:50, past A's
+    # newest event (10:00:30) + 10 min = 10:10:30 -> A times out
+    write_ts("b2.json", [("B", 6.0, "2026-01-01 11:00:00")])
+    run(2)
+    # batch 3: A re-appears, B continues
+    write_ts("b3.json", [("A", 99.0, "2026-01-01 11:01:00"),
+                         ("B", 7.0, "2026-01-01 11:01:00")])
+    run(3)
+    rows = spark.read.parquet(str(sink)).collect()
+    # A's batch-3 snapshot (last_value 99.0) must show FRESH state
+    a3 = [r for r in rows if r.mnemonic == "A" and r.last_value == 99.0]
+    assert a3 and a3[0].n == 1, "idle key A must restart from fresh state"
+    assert a3[0].mean == pytest.approx(99.0)
+    # in-horizon key B keeps accumulating: batch-3 snapshot continues n=3
+    b3 = [r for r in rows if r.mnemonic == "B" and r.last_value == 7.0]
+    assert b3 and b3[0].n == 3, "in-horizon key B must keep accumulating"
+
+
+def test_running_stats_ttl_requires_ts_col():
+    with pytest.raises(ValueError, match="together"):
+        running_stats(None, ttl="10 minutes")
