@@ -113,8 +113,22 @@ def main() -> None:
                 # too so every query's min is the same cold regime (round-5
                 # verdict #4; measured: also relieves memory pressure on
                 # later queries)
-                for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                    jrdd.unpersist()
+                # _jsc is private API (no public PySpark equivalent as of
+                # 4.x) — a PySpark bump must degrade to a VISIBLE warning,
+                # never silently un-fix the uniform-cold-regime discipline
+                try:
+                    jsc = spark.sparkContext._jsc
+                    for jrdd in jsc.getPersistentRDDs().values():
+                        jrdd.unpersist()
+                except Exception as exc:  # pragma: no cover - upgrade guard
+                    import sys as _sys
+
+                    print(
+                        f"WARNING: could not unpersist checkpointed RDDs "
+                        f"between queries ({exc!r}); timings may include "
+                        f"cross-query storage pressure",
+                        file=_sys.stderr,
+                    )
         pass_walls.append(time.time() - t_pass)
     wall = round(time.time() - t_all, 3)
 
