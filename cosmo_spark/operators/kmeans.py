@@ -58,6 +58,7 @@ def kmeans_centroids(
     k: int = 8,
     iterations: int = 3,
     seed_sample_size: int = 2048,
+    seed: int = 0,
 ) -> DataFrame:
     """Return (bucket, centroid) after ``iterations`` Lloyd steps.
 
@@ -68,14 +69,23 @@ def kmeans_centroids(
     driver-side on that sample.  Constant driver cost at any corpus size —
     the former per-seed full-corpus jobs serialized k scans through the
     driver.
+
+    ``seed`` rotates the deterministic sample (it salts the hash ordering):
+    seed=0 is the historical artifact-regeneration behavior, any other
+    value yields a different-but-reproducible quantizer (round-6 verdict
+    #5's retrain-at-a-different-seed contract).
     """
     base = df.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     )
     spark = df.sparkSession
 
+    h = (
+        F.xxhash64(F.col("__id")) if seed == 0
+        else F.xxhash64(F.col("__id"), F.lit(int(seed)))
+    )
     sample_rows = (
-        base.withColumn("__h", F.xxhash64(F.col("__id")))
+        base.withColumn("__h", h)
         .orderBy("__h", "__id")
         .limit(max(seed_sample_size, k))
         .collect()

@@ -1,0 +1,196 @@
+"""In-engine IVF-PQ quantizer training — the committed offline trainers
+(tools/train_ivf_centroids.py, tools/train_pq_codebooks.py) composed into
+an engine API, so a NEW corpus trains its own coarse centroids and PQ
+codebooks directly instead of depending on repo-committed literals
+(round-6 verdict #5).
+
+Shape: the coarse quantizer trains distributed (operators/kmeans —
+bounded seed sample, one shuffle per Lloyd step, corpus never moves);
+the PQ codebooks train driver-side in numpy over a BOUNDED hash sample —
+each training problem is (sample × sub_dim)-sized, and sampling is the
+standard production PQ discipline (quantizers are trained on ~10⁴–10⁵
+vectors even for 10⁹-vector corpora; see the Jégou et al. 2011 setup).
+Everything is RNG-free: seeds only salt the deterministic hash ordering,
+so the same (corpus, seed) always yields bit-identical artifacts — the
+property the determinism test pins.
+
+Artifacts come back in the exact shapes the search operators consume:
+centroids as a (bucket, centroid) frame (operators/similarity,
+operators/pq.ivf_pq_*) and codebooks as [subspace][centroid][dim] floats
+rounded to 6 decimals (the literal-artifact convention that keeps the
+whole pipeline DuckDB-oracle-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cosmo_spark.functions.vectors import as_double
+from cosmo_spark.operators.kmeans import kmeans_centroids
+
+
+def lloyd_subspace(x, k: int, iterations: int):
+    """Deterministic Lloyd over one PQ subspace (numpy, driver-side):
+    farthest-point seeding from the hash-sorted sample, empty clusters
+    re-seeded SEQUENTIALLY against an updated min-distance array (stale
+    reseeding hands every empty cluster the same farthest point —
+    duplicate centroids / dead codes).  Extracted verbatim from
+    tools/train_pq_codebooks.py so tool and engine share one trainer."""
+    import numpy as np
+
+    # hash-stable sample order: sort rows by a polynomial fold of their
+    # rounded coordinates so seeding never depends on input partitioning
+    key = (np.round(x * 1e6).astype("int64") * 31).sum(axis=1)
+    x = x[np.argsort(key, kind="stable")]
+    seeds = [x[0]]
+    d2 = ((x - seeds[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        i = int(np.argmax(d2))
+        seeds.append(x[i])
+        d2 = np.minimum(d2, ((x - seeds[-1]) ** 2).sum(axis=1))
+    c = np.vstack(seeds)
+    for _ in range(iterations):
+        dists = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        mind = dists.min(axis=1)
+        for j in range(k):
+            if not (assign == j).any():
+                i = int(np.argmax(mind))
+                c[j] = x[i]
+                mind = np.minimum(mind, ((x - c[j]) ** 2).sum(axis=1))
+    return c
+
+
+def _sample_vectors(
+    corpus: DataFrame, vec_col: str, id_col: str, n: int, seed: int
+):
+    """Bounded deterministic sample as a numpy matrix: the n rows with the
+    smallest (optionally seed-salted) xxhash64(id) — TakeOrdered, no full
+    shuffle, constant driver cost at any corpus size."""
+    import numpy as np
+
+    h = (
+        F.xxhash64(F.col("__id")) if seed == 0
+        else F.xxhash64(F.col("__id"), F.lit(int(seed)))
+    )
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__h", h)
+        .orderBy("__h", "__id")
+        .limit(n)
+        .collect()
+    )
+    return np.asarray([list(r["__v"]) for r in rows], dtype=np.float64)
+
+
+def _assign_to(x, cents):
+    """Numpy replica of operators/similarity.assign_buckets's rules
+    (cosine, tie -> lowest bucket, zero-norm -> lowest bucket); returns
+    the assigned centroid per row — used for residual codebook training,
+    mirroring tools/train_pq_codebooks._ivf_assign."""
+    import numpy as np
+
+    c = np.asarray(cents, dtype=np.float64)
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    cn = np.linalg.norm(c, axis=1, keepdims=True)
+    denom = xn @ cn.T
+    sims = np.where(denom > 0, (x @ c.T) / np.where(denom > 0, denom, 1.0), -2.0)
+    return c[sims.argmax(axis=1)]  # first max = lowest bucket on ties
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_subspaces: int = 16,
+    codebook_k: int = 16,
+    iterations: int = 12,
+    sample_size: int = 8192,
+    seed: int = 0,
+    centroids: list[list[float]] | None = None,
+) -> list[list[list[float]]]:
+    """[subspace][centroid][dim] PQ codebooks (6-decimal floats) trained
+    on a bounded hash sample of ``corpus``.  With ``centroids`` given,
+    trains on IVF RESIDUALS (vector − assigned coarse centroid) — the
+    q90 refinement."""
+    x = _sample_vectors(corpus, vec_col, id_col, sample_size, seed)
+    if x.shape[0] < codebook_k:
+        raise ValueError(
+            f"train_pq_codebooks: sample has {x.shape[0]} rows < "
+            f"codebook_k={codebook_k}"
+        )
+    dim = x.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(
+            f"train_pq_codebooks: dim {dim} not divisible by "
+            f"n_subspaces={n_subspaces}"
+        )
+    if centroids is not None:
+        x = x - _assign_to(x, centroids)
+    sd = dim // n_subspaces
+    books = []
+    for s in range(n_subspaces):
+        c = lloyd_subspace(x[:, s * sd:(s + 1) * sd], codebook_k, iterations)
+        books.append([[round(float(v), 6) for v in row] for row in c])
+    return books
+
+
+def train_ivf_pq(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 40,
+    n_subspaces: int = 16,
+    codebook_k: int = 16,
+    ivf_iterations: int = 10,
+    pq_iterations: int = 12,
+    residual: bool = False,
+    seed: int = 0,
+    seed_sample_size: int = 2048,
+    pq_sample_size: int = 8192,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Train a full IVF-PQ quantizer pair on ``corpus`` and return
+    ``(centroids_df, codebooks)`` in exactly the shapes the search
+    operators consume:
+
+    - ``centroids_df``: (bucket INT, centroid ARRAY<DOUBLE>) with
+      6-decimal components, k rows — feed to assign_buckets /
+      ivf_pq_build_index / ivf_pq_query, or embed as VALUES literals in
+      an oracle the way queries/misc._ivf_centroids_duckdb does.
+    - ``codebooks``: [n_subspaces][codebook_k][dim/n_subspaces] floats —
+      feed to pq_encode / pq_adc_topk / ivf_pq_*.
+
+    ``residual=True`` trains the codebooks on (vector − assigned coarse
+    centroid), the q90 production refinement.  Deterministic for a fixed
+    (corpus, seed); different seeds give different-but-reproducible
+    quantizers.
+    """
+    cents = kmeans_centroids(
+        corpus, vec_col, id_col, k=k, iterations=ivf_iterations,
+        seed_sample_size=seed_sample_size, seed=seed,
+    )
+    rows = sorted(cents.collect(), key=lambda r: r.bucket)
+    cent_lists = [
+        [round(float(v), 6) for v in r.centroid] for r in rows
+    ]
+    spark = corpus.sparkSession
+    centroids_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent_lists)],
+        "bucket INT, centroid ARRAY<DOUBLE>",
+    )
+    books = train_pq_codebooks(
+        corpus, vec_col, id_col,
+        n_subspaces=n_subspaces, codebook_k=codebook_k,
+        iterations=pq_iterations, sample_size=pq_sample_size, seed=seed,
+        centroids=cent_lists if residual else None,
+    )
+    return centroids_df, books

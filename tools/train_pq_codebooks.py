@@ -49,39 +49,15 @@ ITERATIONS = 12
 
 
 def _train_subspace(x, k: int, iterations: int):
-    """Deterministic Lloyd: farthest-point seeding from the hash-sorted
-    sample, empty clusters re-seeded to the farthest point."""
-    import numpy as np
+    """Deterministic Lloyd — shared with the engine API (r7: the trainer
+    moved to operators/train.lloyd_subspace so tool and engine cannot
+    drift; this wrapper keeps the tool's historical entry point)."""
+    import sys as _sys
 
-    # hash-stable sample order: sort rows by a polynomial fold of their
-    # rounded coordinates so seeding never depends on input partitioning
-    key = (np.round(x * 1e6).astype("int64") * 31).sum(axis=1)
-    x = x[np.argsort(key, kind="stable")]
-    seeds = [x[0]]
-    d2 = ((x - seeds[0]) ** 2).sum(axis=1)
-    for _ in range(1, k):
-        i = int(np.argmax(d2))
-        seeds.append(x[i])
-        d2 = np.minimum(d2, ((x - seeds[-1]) ** 2).sum(axis=1))
-    c = np.vstack(seeds)
-    for _ in range(iterations):
-        dists = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        assign = dists.argmin(axis=1)
-        for j in range(k):
-            m = assign == j
-            if m.any():
-                c[j] = x[m].mean(axis=0)
-        # reseed empty clusters SEQUENTIALLY against an updated min-distance
-        # array: reseeding every empty cluster from the same stale dists
-        # would hand them all the identical farthest point (duplicate
-        # centroids / dead codes)
-        mind = dists.min(axis=1)
-        for j in range(k):
-            if not (assign == j).any():
-                i = int(np.argmax(mind))
-                c[j] = x[i]
-                mind = np.minimum(mind, ((x - c[j]) ** 2).sum(axis=1))
-    return c
+    _sys.path.insert(0, "/root/repo")
+    from cosmo_spark.operators.train import lloyd_subspace
+
+    return lloyd_subspace(x, k, iterations)
 
 
 def _ivf_assign(x):
