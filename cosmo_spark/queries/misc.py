@@ -1090,3 +1090,485 @@ def q51_dark_region_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("x0", "x1", "y0", "y1")
     )
+
+
+#: KMV geometry: k = 64 minimum distinct hash values per scope, hash
+#: domain [0, 1e9+7) (the catalog's arithmetic poly-hash)
+_KMV_K = 64
+_KMV_P = 1_000_000_007
+_KMV_B = 4096
+_KMV_NUMER = (_KMV_K - 1) * _KMV_P  # 6.3e10 < 2^53: exact in a double
+
+
+def _q110_oracle() -> str:
+    from cosmo_spark.queries.textops import _DUCK_POLY, _DUCK_TOKS
+
+    th = _DUCK_POLY.replace("{X}", "tok")
+    est = (
+        f"CASE WHEN {{n}} < {_KMV_K} THEN CAST({{n}} AS DOUBLE) "
+        f"ELSE CAST({_KMV_NUMER} AS DOUBLE) / CAST({{hk}} AS DOUBLE) END"
+    )
+    return f"""
+WITH tl AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT source, unnest(toks) AS tok FROM tl),
+hs AS (SELECT DISTINCT source, {th} AS h FROM tok),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS r
+  FROM hs
+), sk AS (SELECT source, h FROM ranked WHERE r <= {_KMV_K}),
+stats AS (SELECT source, count(*) AS n_sk, max(h) AS hk FROM sk GROUP BY source),
+nex AS (SELECT source, count(*) AS n_exact FROM hs GROUP BY source),
+per_source AS (
+  SELECT s.source AS scope, n.n_exact,
+         {est.format(n="s.n_sk", hk="s.hk")} AS est
+  FROM stats s JOIN nex n USING (source)
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb,
+         a.n_exact AS na, b.n_exact AS nb
+  FROM nex a JOIN nex b ON a.source < b.source
+),
+merged AS (
+  SELECT DISTINCT sa, sb, h FROM (
+    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sb
+  )
+),
+mrank AS (
+  SELECT sa, sb, h,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+  FROM merged
+), msk AS (SELECT sa, sb, h FROM mrank WHERE r <= {_KMV_K}),
+ustats AS (
+  SELECT sa, sb, count(*) AS n_um, max(h) AS huk FROM msk GROUP BY sa, sb
+),
+both_ AS (
+  SELECT m.sa, m.sb, count(*) AS c
+  FROM msk m
+  JOIN sk x ON x.source = m.sa AND x.h = m.h
+  JOIN sk y ON y.source = m.sb AND y.h = m.h
+  GROUP BY m.sa, m.sb
+),
+iex AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS n_int
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+pair_est AS (
+  SELECT p.sa, p.sb,
+         p.na + p.nb - coalesce(i.n_int, 0) AS n_union,
+         coalesce(i.n_int, 0) AS n_int,
+         u.n_um, coalesce(b.c, 0) AS c,
+         {est.format(n="u.n_um", hk="u.huk")} AS uest
+  FROM pairs p
+  JOIN ustats u ON u.sa = p.sa AND u.sb = p.sb
+  LEFT JOIN both_ b ON b.sa = p.sa AND b.sb = p.sb
+  LEFT JOIN iex i ON i.sa = p.sa AND i.sb = p.sb
+),
+unioned AS (
+  SELECT scope, n_exact, est FROM per_source
+  UNION ALL
+  SELECT sa || '|' || sb || '|union', n_union, uest FROM pair_est
+  UNION ALL
+  SELECT sa || '|' || sb || '|intersect', n_int,
+         CASE WHEN n_um < {_KMV_K} THEN CAST(c AS DOUBLE)
+              ELSE (CAST(c AS DOUBLE) / {_KMV_K}) * uest END
+  FROM pair_est
+)
+SELECT scope, n_exact, round(est, 3) AS kmv_est,
+       CASE WHEN n_exact > 0
+            THEN round(100.0 * (est - n_exact) / n_exact, 3) END AS err_pct
+FROM unioned
+"""
+
+
+@register("q110_kmv_theta_sketch", operators=("A12", "A14"), oracle=_q110_oracle())
+def q110_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta distinct sketch (Bar-Yossef et al. 2002; Dasgupta et
+    al. 2016 theta unions) over per-source token vocabularies — the
+    sketch-family member HLL (q107) cannot replace: the retained hash
+    VALUES support set algebra, so two 64-long sketches estimate their
+    UNION (kth smallest of the merged values) and INTERSECTION
+    (inclusion fraction of the union sample) without rescanning either
+    side — vocabulary-overlap dashboards across 100 TB sources exchange
+    512-byte sketches, not vocabularies.  Fewer than k observed values
+    means the sketch IS the exact set (est = n, the exact branch both
+    engines share).
+
+    Scale shape (the q104 rank-selection discipline, never a per-source
+    full sort): distinct token hashes bucket into 4096 hash-range cells;
+    a tiny cumulative bucket table locates the bucket holding the kth
+    value; only rows in buckets <= that cutoff (expected ~k per source)
+    ever reach the ranking window, which sits above the distinct
+    Aggregate.  All pair algebra runs on the 64-row sketches.
+
+    Parity: hashes are the catalog's arithmetic poly-hash; the only
+    float arithmetic is the final (k-1)*P/h_k division (identical
+    operand order both engines; (k-1)*P = 6.3e10 is double-exact) and
+    the intersection's (c/k)*union scaling."""
+    from pyspark.sql.window import Window
+
+    from cosmo_spark.functions.text import poly_hash, tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    hs = (
+        d.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .select("source", poly_hash(F.col("tok")).alias("h"))
+        .groupBy("source", "h").agg(F.lit(1).alias("__one")).drop("__one")
+    )
+    # locate the bucket containing the kth-smallest hash per source
+    bucketed = hs.withColumn(
+        "bucket", ((F.col("h") * _KMV_B) / _KMV_P).cast("long")
+    )
+    w_cum = (
+        Window.partitionBy("source").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(w_cum))
+    )
+    cutoff = cum.groupBy("source").agg(
+        F.coalesce(
+            F.min(F.when(F.col("cum") >= _KMV_K, F.col("bucket"))),
+            F.max("bucket"),
+        ).alias("cut")
+    )
+    kept = bucketed.join(F.broadcast(cutoff), "source").filter(
+        F.col("bucket") <= F.col("cut")
+    )
+    w_rank = Window.partitionBy("source").orderBy("h")
+    sk = (
+        kept.withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= _KMV_K)
+        .select("source", "h")
+    )
+    numer = F.lit(_KMV_NUMER).cast("double")
+
+    def est(n_col, hk_col):
+        return F.when(
+            n_col < _KMV_K, n_col.cast("double")
+        ).otherwise(numer / hk_col.cast("double"))
+
+    stats = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("hk")
+    )
+    nex = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    per_source = stats.join(nex, "source").select(
+        F.col("source").alias("scope"), "n_exact",
+        est(F.col("n_sk"), F.col("hk")).alias("est"),
+    )
+
+    a, b = nex.alias("a"), nex.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("sa"), F.col("b.source").alias("sb"),
+        F.col("a.n_exact").alias("na"), F.col("b.n_exact").alias("nb"),
+    )
+    merged = (
+        pairs.join(sk, sk["source"] == pairs["sa"]).select("sa", "sb", "h")
+        .unionByName(
+            pairs.join(sk, sk["source"] == pairs["sb"]).select("sa", "sb", "h")
+        )
+        .distinct()
+    )
+    w_pair = Window.partitionBy("sa", "sb").orderBy("h")
+    msk = (
+        merged.withColumn("r", F.row_number().over(w_pair))
+        .filter(F.col("r") <= _KMV_K)
+        .select("sa", "sb", "h")
+    )
+    ustats = msk.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_um"), F.max("h").alias("huk")
+    )
+    skx, sky = sk.alias("x"), sk.alias("y")
+    both = (
+        msk.join(skx, (F.col("x.source") == F.col("sa"))
+                 & (F.col("x.h") == msk["h"]))
+        .join(sky, (F.col("y.source") == F.col("sb"))
+              & (F.col("y.h") == msk["h"]))
+        .groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("c"))
+    )
+    ha, hb = hs.alias("ia"), hs.alias("ib")
+    iex = (
+        ha.join(hb, (F.col("ia.h") == F.col("ib.h"))
+                & (F.col("ia.source") < F.col("ib.source")))
+        .groupBy(
+            F.col("ia.source").alias("sa"), F.col("ib.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    pair_est = (
+        pairs.join(ustats, ["sa", "sb"])
+        .join(both, ["sa", "sb"], "left")
+        .join(iex, ["sa", "sb"], "left")
+        .select(
+            "sa", "sb",
+            (F.col("na") + F.col("nb")
+             - F.coalesce(F.col("n_int"), F.lit(0))).alias("n_union"),
+            F.coalesce(F.col("n_int"), F.lit(0)).alias("n_int0"),
+            "n_um",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c0"),
+            est(F.col("n_um"), F.col("huk")).alias("uest"),
+        )
+    )
+    union_rows = pair_est.select(
+        F.concat_ws("|", "sa", "sb", F.lit("union")).alias("scope"),
+        F.col("n_union").alias("n_exact"), F.col("uest").alias("est"),
+    )
+    int_rows = pair_est.select(
+        F.concat_ws("|", "sa", "sb", F.lit("intersect")).alias("scope"),
+        F.col("n_int0").alias("n_exact"),
+        F.when(F.col("n_um") < _KMV_K, F.col("c0").cast("double"))
+        .otherwise((F.col("c0").cast("double") / _KMV_K) * F.col("uest"))
+        .alias("est"),
+    )
+    out = per_source.unionByName(union_rows).unionByName(int_rows)
+    return out.select(
+        "scope", "n_exact",
+        F.round("est", 3).alias("kmv_est"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(100.0 * (F.col("est") - F.col("n_exact"))
+                    / F.col("n_exact"), 3),
+        ).alias("err_pct"),
+    )
+
+
+_Q111_ORACLE = """
+WITH dm AS (
+  SELECT o_orderdate AS d, max(o_totalprice) AS pmax
+  FROM orders GROUP BY o_orderdate
+), sfx AS (
+  SELECT d, pmax,
+         max(pmax) OVER (ORDER BY d DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS later_max
+  FROM dm
+)
+SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice
+FROM orders o JOIN sfx ON o.o_orderdate = sfx.d
+WHERE o.o_totalprice = sfx.pmax
+  AND (sfx.later_max IS NULL OR sfx.pmax > sfx.later_max)
+"""
+
+
+@register("q111_pareto_skyline", operators=("P3", "A14"), oracle=_Q111_ORACLE)
+def q111_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of orders maximizing (o_orderdate,
+    o_totalprice): an order survives iff NO other order is >= on both
+    dimensions with at least one strict — the classic dominance query
+    (Borzsony/Kossmann/Stocker 2001) used in training-data selection
+    ("keep documents no other beats on freshness AND quality").
+
+    The naive formulation is an O(n²) NOT EXISTS self-join; 2-D dominance
+    decomposes exactly into two aggregate-bounded steps: (1) per-date max
+    price (one map-side-combined groupBy — the ONLY fact-table shuffle),
+    (2) a strictly-later-dates running max over the tiny date table
+    (global window OVER the Aggregate, SCALE.md-sanctioned).  A row is on
+    the frontier iff its price equals its date's max (ties: all non-
+    dominated) and strictly exceeds every later date's max.  The fact
+    table is then re-joined once against the broadcast frontier-date
+    table — O(n) total, no self-join at any size."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    dm = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("pmax")
+    )
+    w_sfx = (
+        Window.orderBy(F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sfx = dm.withColumn("later_max", F.max("pmax").over(w_sfx)).filter(
+        F.col("later_max").isNull() | (F.col("pmax") > F.col("later_max"))
+    )
+    return (
+        o.join(F.broadcast(sfx), o["o_orderdate"] == sfx["d"])
+        .filter(F.col("o_totalprice") == F.col("pmax"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+_Q112_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS ym
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), um AS (SELECT DISTINCT user_id, ym FROM ev),
+firsts AS (SELECT user_id, min(ym) AS cohort_ym FROM um GROUP BY user_id),
+sizes AS (SELECT cohort_ym, count(*) AS cohort_size FROM firsts GROUP BY cohort_ym),
+ret AS (
+  SELECT f.cohort_ym, u.ym - f.cohort_ym AS months_since,
+         count(*) AS n_users
+  FROM um u JOIN firsts f USING (user_id)
+  GROUP BY f.cohort_ym, u.ym - f.cohort_ym
+)
+SELECT printf('%04d-%02d', r.cohort_ym // 12, r.cohort_ym % 12 + 1)
+         AS cohort_month,
+       r.months_since, r.n_users,
+       round(100.0 * r.n_users / s.cohort_size, 3) AS retention_pct
+FROM ret r JOIN sizes s USING (cohort_ym)
+"""
+
+
+@register("q112_cohort_retention", operators=("A11", "A13"), oracle=_Q112_ORACLE)
+def q112_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over the event stream: users cohorted by
+    the month of their FIRST event; each later active month contributes
+    to (cohort, months_since) with retention as a percentage of cohort
+    size — the standard growth-analytics rollup, and the user-level
+    sibling of q78's rollup cascade.
+
+    Scale shape: ONE distinct (user, month) aggregate bounds everything
+    downstream (activity table ≤ users × months); first-month and cohort
+    sizes are aggregates of aggregates; the retention join is
+    user-keyed, never fact-scale.  All month arithmetic is integer
+    (year*12 + month), so the two engines agree exactly."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    um = e.select(
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts") - 1).cast("long").alias("ym"),
+    ).distinct()
+    firsts = um.groupBy("user_id").agg(F.min("ym").alias("cohort_ym"))
+    sizes = firsts.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        um.join(firsts, "user_id")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("months_since")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_ym").select(
+        F.format_string(
+            "%04d-%02d",
+            (F.col("cohort_ym") / 12).cast("long"),
+            (F.col("cohort_ym") % 12 + 1).cast("long"),
+        ).alias("cohort_month"),
+        "months_since", "n_users",
+        F.round(
+            100.0 * F.col("n_users") / F.col("cohort_size"), 3
+        ).alias("retention_pct"),
+    )
+
+
+_Q113_ORACLE = """
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'error')
+), vb AS (
+  SELECT value,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ce
+  FROM ev GROUP BY value
+), cum AS (
+  SELECT value, cp, ce,
+         coalesce(sum(ce) OVER (ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce_lt
+  FROM vb
+), tot AS (SELECT sum(cp) AS np, sum(ce) AS ne FROM vb)
+SELECT np AS n_pos, ne AS n_neg,
+       CASE WHEN np * ne > 0 THEN
+         round(CAST(sum(cp * (2 * ce_lt + ce)) AS DOUBLE)
+               / CAST(2 * np * ne AS DOUBLE), 6) END AS auc
+FROM cum CROSS JOIN tot
+GROUP BY np, ne
+"""
+
+
+@register("q113_rank_auc", operators=("A6", "A11"), oracle=_Q113_ORACLE)
+def q113_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of `value` separating purchase from error
+    events — the ranking-quality metric a training pipeline computes over
+    model scores (AUC = P(score_pos > score_neg) + 0.5*P(tie), the
+    rank-sum identity, ties handled exactly).
+
+    Scale shape: NO global rank of raw rows.  Per-VALUE class counts (one
+    fact shuffle, an Aggregate) decompose the below-count into a
+    4096-cell bucket cumulative (tiny window over the bucket Aggregate)
+    plus an in-bucket running sum (window keyed by bucket over the
+    value-Aggregate — expected distinct-values/4096 rows per task, the
+    q104 decomposition; exactness never depends on the float bucket
+    boundaries because both cumulative layers are computed from the same
+    cells).  All accumulation is INTEGER (the tie term rides as
+    2*below + ties), with one final double division mirrored exactly in
+    the oracle.  int64 bound: the numerator is <= 2*n_pos*n_neg, which
+    wraps past ~2e9 rows per class — the q109-style two-level modular
+    trick does not apply to a non-modular ratio, so the bound rides here
+    in the docstring instead."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "error")
+    )
+    vb = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("cp"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .alias("ce"),
+    )
+    stats = vb.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    nbuk = 4096
+    b_expr = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(nbuk - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo")) * nbuk
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    vbb = vb.join(F.broadcast(stats), how="cross").select(
+        "value", "cp", "ce", b_expr.alias("bucket")
+    )
+    bt = vbb.groupBy("bucket").agg(F.sum("ce").alias("bce"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    btc = bt.select(
+        "bucket",
+        F.coalesce(F.sum("bce").over(w_b), F.lit(0)).alias("ce_before"),
+    )
+    w_in = (
+        Window.partitionBy("bucket").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vbc = vbb.join(F.broadcast(btc), "bucket").select(
+        "cp", "ce",
+        (F.col("ce_before")
+         + F.coalesce(F.sum("ce").over(w_in), F.lit(0))).alias("ce_lt"),
+    )
+    tot = vb.agg(F.sum("cp").alias("np"), F.sum("ce").alias("ne"))
+    return (
+        vbc.crossJoin(F.broadcast(tot))
+        .groupBy("np", "ne")
+        .agg(
+            F.sum(
+                F.col("cp") * (2 * F.col("ce_lt") + F.col("ce"))
+            ).alias("num2")
+        )
+        .select(
+            F.col("np").alias("n_pos"), F.col("ne").alias("n_neg"),
+            F.when(
+                F.col("np") * F.col("ne") > 0,
+                F.round(
+                    F.col("num2").cast("double")
+                    / (2 * F.col("np") * F.col("ne")).cast("double"), 6
+                ),
+            ).alias("auc"),
+        )
+    )
