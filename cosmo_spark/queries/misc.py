@@ -1213,6 +1213,13 @@ def q110_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmo_spark.functions.text import poly_hash, tokenize
 
     d = _t(spark, sf_dir, "documents")
+    # hs feeds FOUR consumers, but deliberately NOT .persist()ed: every
+    # consumer sees the IDENTICAL subplan, so AQE's ReusedExchange already
+    # shares the expensive token-hash shuffle (measured at sf0.1: 3.8 s
+    # unpersisted vs 11.0 s persisted — caching only added
+    # InMemoryTableScan overhead).  The q106 persist discipline applies
+    # when branches differ enough (pushed filters) to defeat exchange
+    # reuse; these don't.
     hs = (
         d.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
         .select("source", poly_hash(F.col("tok")).alias("h"))
@@ -1477,7 +1484,11 @@ WITH ev AS (
          coalesce(sum(ce) OVER (ORDER BY value
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce_lt
   FROM vb
-), tot AS (SELECT sum(cp) AS np, sum(ce) AS ne FROM vb)
+), tot AS (
+  -- CAST: DuckDB promotes sum() to HUGEINT (pandas float64), which would
+  -- fail the dtype gate against Spark's BIGINT
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(ce) AS BIGINT) AS ne FROM vb
+)
 SELECT np AS n_pos, ne AS n_neg,
        CASE WHEN np * ne > 0 THEN
          round(CAST(sum(cp * (2 * ce_lt + ce)) AS DOUBLE)

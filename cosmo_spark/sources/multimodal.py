@@ -93,6 +93,11 @@ def decode_media(
       |amplitude| envelope scaled to 0..255, sha256-fingerprinted.  The
       real hermetic branch for the ``audio`` kind the schema advertises
       (round-6 verdict #4) — same corrupt-isolation contract as 'ppm'.
+    - ``"y4m"`` — pure-stdlib YUV4MPEG2 parse (uncompressed video): the
+      FIRST frame's luma plane → the same 8×8 integer box-average
+      thumbnail as 'ppm'.  The real hermetic branch for the ``video``
+      kind; combine with ``frame_sample_plan`` to pick which frames a
+      full pipeline decodes.
     - ``"fake"`` — deterministic content-derived stand-in (blob sha256);
       exercises the full Spark plumbing with no codec at all.
 
@@ -105,11 +110,12 @@ def decode_media(
     """
     if deterministic_fake:  # pre-round-6 spelling
         codec = "fake"
-    if codec not in ("ppm", "pil", "wav", "fake"):
+    if codec not in ("ppm", "pil", "wav", "y4m", "fake"):
         raise ValueError(
             "decode_media requires an explicit codec= of 'ppm' (stdlib "
-            "real image decode), 'wav' (stdlib real audio decode), 'pil' "
-            "(JPEG/PNG via Pillow), or 'fake' (deterministic stand-in)"
+            "real image decode), 'wav' (stdlib real audio decode), 'y4m' "
+            "(stdlib real video decode), 'pil' (JPEG/PNG via Pillow), or "
+            "'fake' (deterministic stand-in)"
         )
     if codec == "pil" and not _pil_available():
         raise NotImplementedError(
@@ -185,6 +191,11 @@ def decode_media(
                        + 114 * px[:, :, 2]) // 1000
             else:
                 lum = px.reshape(h, w)
+            return _box8(lum, w, h)
+
+        def _box8(lum, w: int, h: int) -> bytes:
+            """8×8 integer box-average thumbnail of a luminance plane —
+            shared by the PPM and Y4M decoders."""
             out = bytearray(64)
             for i in range(8):
                 r0, r1 = i * h // 8, max(i * h // 8 + 1, (i + 1) * h // 8)
@@ -194,6 +205,42 @@ def decode_media(
                     blk = lum[r0:r1, c0:c1]
                     out[i * 8 + j] = int(blk.sum()) // blk.size
             return bytes(out)
+
+        def _y4m_luma8x8(raw: bytes) -> bytes | None:
+            """YUV4MPEG2 → 64-byte 8×8 thumbnail of the FIRST frame's luma
+            plane (the Y of planar YCbCr is already ITU-R luminance, so
+            this matches the PPM feature space byte-for-byte)."""
+            import numpy as _np
+
+            nl = raw.find(b"\n")
+            if nl < 0:
+                return None
+            head = raw[:nl].split(b" ")
+            if not head or head[0] != b"YUV4MPEG2":
+                return None
+            w = h = None
+            for tok in head[1:]:
+                try:
+                    if tok[:1] == b"W":
+                        w = int(tok[1:])
+                    elif tok[:1] == b"H":
+                        h = int(tok[1:])
+                except ValueError:
+                    return None
+            if not w or not h or w <= 0 or h <= 0:
+                return None
+            pos = nl + 1
+            if raw[pos:pos + 5] != b"FRAME":
+                return None
+            fnl = raw.find(b"\n", pos)
+            if fnl < 0:
+                return None
+            pos = fnl + 1
+            need = w * h  # luma plane only; chroma follows, unused here
+            y = _np.frombuffer(raw, dtype=_np.uint8, count=-1, offset=pos)
+            if y.size < need:
+                return None
+            return _box8(y[:need].astype(_np.int64).reshape(h, w), w, h)
 
         def _wav_env64(raw: bytes) -> bytes | None:
             """WAV PCM → 64-byte |amplitude| envelope (0..255), integer
@@ -251,8 +298,9 @@ def decode_media(
                         status = "ok"
                     except Exception:
                         dim, h, status = 0, "", "corrupt"
-                elif codec in ("ppm", "wav"):
-                    decode = _ppm_luma8x8 if codec == "ppm" else _wav_env64
+                elif codec in ("ppm", "wav", "y4m"):
+                    decode = {"ppm": _ppm_luma8x8, "wav": _wav_env64,
+                              "y4m": _y4m_luma8x8}[codec]
                     feats = decode(bytes(blob))
                     if feats is None:
                         dim, h, status = 0, "", "corrupt"

@@ -237,3 +237,37 @@ def test_decode_real_wav_stdlib(spark):
     # three distinct signals, three distinct fingerprints
     assert len({got[k].feat_hash for k in ("sq", "quiet", "saw")}) == 3
     assert got["junk"].decode_status == "corrupt" and got["junk"].feat_hash == ""
+
+
+def test_decode_real_y4m_stdlib(spark):
+    """REAL video decode, hermetic: a YUV4MPEG2 blob decodes its first
+    frame's luma plane through the stdlib parser to the same 8x8 feature
+    space as the PPM path.  Decoded bytes asserted for real: a solid-66
+    luma frame produces 64 values of 66; truncated planes and non-Y4M
+    bytes isolate as corrupt."""
+    import hashlib
+
+    def y4m(w, h, lum_bytes, nframes=1):
+        out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+        for _ in range(nframes):
+            out += b"FRAME\n" + lum_bytes + b"\x80" * ((w // 2) * (h // 2) * 2)
+        return out
+
+    solid = y4m(16, 16, bytes([66]) * 256, nframes=2)
+    grad = y4m(16, 16, bytes(range(256)))
+    trunc = y4m(16, 16, bytes([66]) * 100)[:80]
+    rows = [
+        ("solid", "video", "video/x-y4m", solid, 16, 16, len(solid)),
+        ("grad", "video", "video/x-y4m", grad, 16, 16, len(grad)),
+        ("trunc", "video", "video/x-y4m", trunc, 16, 16, len(trunc)),
+        ("junk", "video", "video/mp4", b"\x00mp4 not y4m", 0, 0, 12),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media, codec="y4m").collect()}
+    assert got["solid"].decode_status == "ok" and got["solid"].feat_dim == 64
+    assert got["solid"].feat_hash == hashlib.sha256(
+        bytes([66] * 64)).hexdigest()[:16]
+    assert got["grad"].decode_status == "ok"
+    assert got["grad"].feat_hash != got["solid"].feat_hash
+    assert got["trunc"].decode_status == "corrupt"
+    assert got["junk"].decode_status == "corrupt"
