@@ -98,6 +98,13 @@ def robust_outliers(
         key, F.col(tiebreak).alias("__tb"),
         F.abs(F.col(val) - F.col("median")).alias("__adev"),
     )
+    if distributed:
+        # the MAD pass scans dev three times (stats, bucketing, hot-bucket
+        # rank) with DIFFERENT downstream groupings, so ReusedExchange
+        # cannot share the join+abs work — persisting it measured
+        # 4.9 -> 3.4 s at sf0.1 (persisting the raw facts measured WORSE,
+        # 7.3 s: the parquet scan is cheaper than a cache round-trip)
+        dev = dev.persist()
     mad = _median(dev, key, "__adev", "__tb", out_col="mad")
     stats = med.join(mad, key)
     return (
