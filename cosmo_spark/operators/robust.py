@@ -229,3 +229,77 @@ def grouped_median_distributed(
         .groupBy(F.col("__k").alias(key))
         .agg((F.sum("__val") / F.count(F.lit(1))).alias(out_col))
     )
+
+
+def grouped_percent_rank(
+    df: DataFrame, key: str, val: str,
+    buckets: int = 4096, out_col: str = "pct",
+) -> DataFrame:
+    """Exact SQL ``percent_rank`` per group with NO per-group sort — the
+    q104/q113 decomposition generalized to every row's rank: per-(group,
+    value) counts (one aggregate — ties share a competition rank, so the
+    VALUE is the unit of work, never the row), the strictly-less count
+    split into a bucket-cumulative layer (tiny window over the bucket
+    aggregate) plus an in-bucket running sum (window keyed by (group,
+    bucket) over the value aggregate — expected distinct-values/buckets
+    rows per task).  pct = (rank-1)/(n-1), defined 0.0 for single-row
+    groups, exactly the SQL spec both engines implement.
+
+    Returns one row per DISTINCT (key, val) with ``out_col`` — join back
+    to the facts on (key, val) for row-level normalization (quantile
+    feature scaling, within-source curriculum scores).  Same exactness
+    argument as grouped_median_distributed: float bucket boundaries
+    cannot shift ranks because both cumulative layers come from the same
+    cells.  Contract: ``val`` non-null and finite."""
+    vb = df.groupBy(
+        F.col(key).alias("__k"), F.col(val).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    stats = vb.groupBy("__k").agg(
+        F.sum("__c").alias("__n"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+    )
+    b_expr = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo")) * buckets
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    vbb = vb.join(F.broadcast(stats), "__k").select(
+        "__k", "__v", "__c", "__n", b_expr.alias("__b")
+    )
+    bt = vbb.groupBy("__k", "__b").agg(F.sum("__c").alias("__bc"))
+    w_b = (
+        Window.partitionBy("__k").orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    btc = bt.select(
+        "__k", "__b",
+        F.coalesce(F.sum("__bc").over(w_b), F.lit(0)).alias("__before"),
+    )
+    w_in = (
+        Window.partitionBy("__k", "__b").orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        vbb.join(btc, ["__k", "__b"])
+        .select(
+            "__k", "__v", "__n",
+            (F.col("__before")
+             + F.coalesce(F.sum("__c").over(w_in), F.lit(0))).alias("__less"),
+        )
+        .select(
+            F.col("__k").alias(key), F.col("__v").alias(val),
+            F.when(
+                F.col("__n") > 1,
+                F.col("__less").cast("double") / (F.col("__n") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)).alias(out_col),
+        )
+    )

@@ -1583,3 +1583,41 @@ def q113_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+_Q114_ORACLE = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+         AS pct
+FROM documents
+WHERE n_chars IS NOT NULL AND source IS NOT NULL
+"""
+
+
+@register("q114_percentile_normalize", operators=("A6", "W6"), oracle=_Q114_ORACLE)
+def q114_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile normalization of document length — the
+    quantile feature transform a curriculum/quality pipeline applies
+    before mixing heterogeneous sources (raw n_chars is not comparable
+    across sources; its within-source percent_rank is).
+
+    The oracle is the plain SQL ``percent_rank()`` window — which on the
+    Spark side would sort each source in ONE task (the q102 trap).  The
+    engine instead uses ``grouped_percent_rank`` (operators/robust.py):
+    per-(source, length) counts + the bucket-cumulative / in-bucket
+    decomposition give every row its exact tie-shared rank with
+    parallelism ~ groups x buckets, then one value-keyed join hydrates
+    the per-document rows.  Ties share a rank by construction (the VALUE
+    is the aggregation unit), matching SQL competition ranking bit-for-
+    bit."""
+    from cosmo_spark.operators.robust import grouped_percent_rank
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    pr = grouped_percent_rank(d, "source", "n_chars")
+    return d.select("doc_id", "source", "n_chars").join(
+        pr, ["source", "n_chars"]
+    ).select(
+        "doc_id", "source", "n_chars", F.round("pct", 6).alias("pct")
+    )
