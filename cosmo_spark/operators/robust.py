@@ -105,8 +105,15 @@ def robust_outliers(
         # 4.9 -> 3.4 s at sf0.1 (persisting the raw facts measured WORSE,
         # 7.3 s: the parquet scan is cheaper than a cache round-trip)
         dev = dev.persist()
-    mad = _median(dev, key, "__adev", "__tb", out_col="mad")
-    stats = med.join(mad, key)
+        mad = _median(dev, key, "__adev", "__tb", out_col="mad")
+        # force the group-cardinality stats table NOW so dev's cache can be
+        # released before returning — a library caller must not accumulate
+        # a pinned fact-sized cache per invocation (review r7)
+        stats = med.join(mad, key).localCheckpoint()
+        dev.unpersist()
+    else:
+        mad = _median(dev, key, "__adev", "__tb", out_col="mad")
+        stats = med.join(mad, key)
     return (
         df.join(F.broadcast(stats), key)
         .filter(
@@ -231,29 +238,30 @@ def grouped_median_distributed(
     )
 
 
-def grouped_percent_rank(
-    df: DataFrame, key: str, val: str,
-    buckets: int = 4096, out_col: str = "pct",
+def grouped_less_cumsum(
+    df: DataFrame, key: str | None, val: str, weight: str | None = None,
+    buckets: int = 4096, out_col: str = "less",
 ) -> DataFrame:
-    """Exact SQL ``percent_rank`` per group with NO per-group sort — the
-    q104/q113 decomposition generalized to every row's rank: per-(group,
-    value) counts (one aggregate — ties share a competition rank, so the
-    VALUE is the unit of work, never the row), the strictly-less count
-    split into a bucket-cumulative layer (tiny window over the bucket
-    aggregate) plus an in-bucket running sum (window keyed by (group,
-    bucket) over the value aggregate — expected distinct-values/buckets
-    rows per task).  pct = (rank-1)/(n-1), defined 0.0 for single-row
-    groups, exactly the SQL spec both engines implement.
+    """Per DISTINCT (key, val): the total ``weight`` (row count when None)
+    of same-group rows with STRICTLY smaller ``val``, plus the group total
+    as ``grp_total`` — the q104 two-layer decomposition generalized into
+    the catalog's one exact-rank primitive (review r7: this machinery was
+    written three times — median rank location, percent_rank, q113's
+    below-counts — before being extracted here).
 
-    Returns one row per DISTINCT (key, val) with ``out_col`` — join back
-    to the facts on (key, val) for row-level normalization (quantile
-    feature scaling, within-source curriculum scores).  Same exactness
-    argument as grouped_median_distributed: float bucket boundaries
-    cannot shift ranks because both cumulative layers come from the same
+    No per-group sort anywhere: per-(group, value) weights (one
+    aggregate — the VALUE is the unit of work), a bucket-cumulative layer
+    (tiny window over the bucket aggregate), and an in-bucket running sum
+    (window keyed by (group, bucket) over the value aggregate — expected
+    distinct-values/buckets rows per task).  ``key=None`` computes the
+    global (ungrouped) cumulative.  Exactness never depends on the float
+    bucket boundaries: both cumulative layers are computed from the same
     cells.  Contract: ``val`` non-null and finite."""
+    k_expr = F.lit(0) if key is None else F.col(key)
+    w_expr = F.lit(1) if weight is None else F.col(weight)
     vb = df.groupBy(
-        F.col(key).alias("__k"), F.col(val).alias("__v")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+        k_expr.alias("__k"), F.col(val).alias("__v")
+    ).agg(F.sum(w_expr).alias("__c"))
     stats = vb.groupBy("__k").agg(
         F.sum("__c").alias("__n"),
         F.min("__v").alias("__lo"),
@@ -288,18 +296,36 @@ def grouped_percent_rank(
         Window.partitionBy("__k", "__b").orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        vbb.join(btc, ["__k", "__b"])
-        .select(
-            "__k", "__v", "__n",
-            (F.col("__before")
-             + F.coalesce(F.sum("__c").over(w_in), F.lit(0))).alias("__less"),
-        )
-        .select(
-            F.col("__k").alias(key), F.col("__v").alias(val),
-            F.when(
-                F.col("__n") > 1,
-                F.col("__less").cast("double") / (F.col("__n") - 1).cast("double"),
-            ).otherwise(F.lit(0.0)).alias(out_col),
-        )
+    out = vbb.join(btc, ["__k", "__b"]).select(
+        "__k", F.col("__v").alias(val),
+        (F.col("__before")
+         + F.coalesce(F.sum("__c").over(w_in), F.lit(0))).alias(out_col),
+        F.col("__n").alias("grp_total"),
+    )
+    if key is None:
+        return out.drop("__k")
+    return out.withColumnRenamed("__k", key)
+
+
+def grouped_percent_rank(
+    df: DataFrame, key: str, val: str,
+    buckets: int = 4096, out_col: str = "pct",
+) -> DataFrame:
+    """Exact SQL ``percent_rank`` per group with NO per-group sort: ties
+    share a competition rank because the VALUE is the aggregation unit
+    (see grouped_less_cumsum), and pct = (rank-1)/(n-1) = less/(n-1),
+    defined 0.0 for single-row groups — exactly the SQL spec both engines
+    implement.
+
+    Returns one row per DISTINCT (key, val) with ``out_col`` — join back
+    to the facts on (key, val) for row-level normalization (quantile
+    feature scaling, within-source curriculum scores)."""
+    lc = grouped_less_cumsum(df, key, val, buckets=buckets)
+    return lc.select(
+        key, val,
+        F.when(
+            F.col("grp_total") > 1,
+            F.col("less").cast("double")
+            / (F.col("grp_total") - 1).cast("double"),
+        ).otherwise(F.lit(0.0)).alias(out_col),
     )

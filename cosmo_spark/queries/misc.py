@@ -1506,63 +1506,30 @@ def q113_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-sum identity, ties handled exactly).
 
     Scale shape: NO global rank of raw rows.  Per-VALUE class counts (one
-    fact shuffle, an Aggregate) decompose the below-count into a
-    4096-cell bucket cumulative (tiny window over the bucket Aggregate)
-    plus an in-bucket running sum (window keyed by bucket over the
-    value-Aggregate — expected distinct-values/4096 rows per task, the
-    q104 decomposition; exactness never depends on the float bucket
-    boundaries because both cumulative layers are computed from the same
-    cells).  All accumulation is INTEGER (the tie term rides as
-    2*below + ties), with one final double division mirrored exactly in
-    the oracle.  int64 bound: the numerator is <= 2*n_pos*n_neg, which
-    wraps past ~2e9 rows per class — the q109-style two-level modular
-    trick does not apply to a non-modular ratio, so the bound rides here
-    in the docstring instead."""
-    from pyspark.sql.window import Window
+    fact shuffle, an Aggregate) feed the below-count to
+    ``grouped_less_cumsum`` (operators/robust.py — the catalog's shared
+    exact-rank primitive: bucket-cumulative + in-bucket layers, exactness
+    independent of the float bucket boundaries).  All accumulation is
+    INTEGER (the tie term rides as 2*below + ties), with one final double
+    division mirrored exactly in the oracle.  int64 bound: the numerator
+    is <= 2*n_pos*n_neg, which wraps past ~2e9 rows per class — the
+    q109-style two-level modular trick does not apply to a non-modular
+    ratio, so the bound rides here in the docstring instead."""
+    from cosmo_spark.operators.robust import grouped_less_cumsum
 
     e = _t(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
         & F.col("event_type").isin("purchase", "error")
+    ).select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("wp"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("we"),
     )
     vb = e.groupBy("value").agg(
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .alias("cp"),
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
-        .alias("ce"),
+        F.sum("wp").alias("cp"), F.sum("we").alias("ce")
     )
-    stats = vb.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    nbuk = 4096
-    b_expr = F.when(
-        F.col("hi") > F.col("lo"),
-        F.least(
-            F.lit(nbuk - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo")) * nbuk
-                ).cast("int"),
-            ),
-        ),
-    ).otherwise(F.lit(0))
-    vbb = vb.join(F.broadcast(stats), how="cross").select(
-        "value", "cp", "ce", b_expr.alias("bucket")
-    )
-    bt = vbb.groupBy("bucket").agg(F.sum("ce").alias("bce"))
-    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    btc = bt.select(
-        "bucket",
-        F.coalesce(F.sum("bce").over(w_b), F.lit(0)).alias("ce_before"),
-    )
-    w_in = (
-        Window.partitionBy("bucket").orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    vbc = vbb.join(F.broadcast(btc), "bucket").select(
-        "cp", "ce",
-        (F.col("ce_before")
-         + F.coalesce(F.sum("ce").over(w_in), F.lit(0))).alias("ce_lt"),
-    )
+    lc = grouped_less_cumsum(e, None, "value", weight="we", out_col="ce_lt")
+    vbc = vb.join(lc.select("value", "ce_lt"), "value")
     tot = vb.agg(F.sum("cp").alias("np"), F.sum("ce").alias("ne"))
     return (
         vbc.crossJoin(F.broadcast(tot))

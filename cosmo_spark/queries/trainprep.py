@@ -1127,9 +1127,13 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str, residual: bool) -> DataFr
         # publish: d existing WITHOUT _SUCCESS is a corrupt dir (crash
         # mid-publish, tampering) — repair it with the fresh build instead
         # of throwing the build away and serving the broken dir forever
-        # (ADVICE r6); a concurrent builder winning the race surfaces as
-        # os.replace failing with d now carrying _SUCCESS -> use theirs
-        if d.exists():
+        # (ADVICE r6).  Only the CORRUPT case is deleted: a concurrent
+        # builder that published validly in the meantime carries _SUCCESS,
+        # must not be rmtree'd out from under its readers, and surfaces as
+        # os.replace failing on the non-empty dir -> use theirs.  (The
+        # corrupt->valid TOCTOU window between this check and the rmtree is
+        # inherent without a lock; both sides of it publish a valid index.)
+        if d.exists() and not (d / "_SUCCESS").exists():
             shutil.rmtree(d, ignore_errors=True)
         try:
             os.replace(tmp, d)

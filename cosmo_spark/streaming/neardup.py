@@ -119,7 +119,13 @@ def stream_srp_near_dup(
         .alias("__code"),
     )
     if ttl is not None:
-        coded = coded.withWatermark("__ts", ttl)
+        # null event times would reach the keeper as NaT -> int64-min and
+        # poison setTimeoutTimestamp (negative timestamps kill the whole
+        # streaming query); a row without an event time has no place on an
+        # event-time horizon, so drop it loudly-by-contract here
+        coded = coded.filter(F.col("__ts").isNotNull()).withWatermark(
+            "__ts", ttl
+        )
 
     return coded.groupBy("__code").applyInPandasWithState(
         make_keeper(threshold, max_bucket,

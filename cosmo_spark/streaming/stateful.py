@@ -55,9 +55,12 @@ def running_stats(
         from cosmo_spark.streaming.neardup import ttl_ms
 
         ttl_ms_ = ttl_ms(ttl)
+        # drop null event times: they would surface as NaT -> int64-min in
+        # the keeper and poison setTimeoutTimestamp (negative timestamps
+        # terminate the streaming query)
         telemetry = telemetry.withColumn(
             ts_col, F.col(ts_col).cast("timestamp")
-        ).withWatermark(ts_col, ttl)
+        ).filter(F.col(ts_col).isNotNull()).withWatermark(ts_col, ttl)
     ts_name = ts_col
 
     def update(key, pdfs, state: GroupState):

@@ -330,3 +330,36 @@ def test_ttl_ms_parser():
         ttl_ms("fortnight")
     with pytest.raises(ValueError):
         ttl_ms("3 fortnights")
+
+
+def test_stream_near_dup_ttl_null_event_time_dropped_not_fatal(spark, tmp_path):
+    """Review r7: a NULL event time reached the keeper as NaT -> int64-min
+    and a negative setTimeoutTimestamp killed the whole streaming query.
+    Null-ts rows must be dropped by contract while valid rows process."""
+    import json as _json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    vecs = _vectors()
+    with open(src / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": "bad", "embedding": vecs["d4"],
+                             "ts": None}) + "\n")
+        f.write(_json.dumps({"doc_id": "d0", "embedding": vecs["d0"],
+                             "ts": "2026-01-01 10:00:00"}) + "\n")
+    stream = spark.readStream.schema(
+        "doc_id STRING, embedding ARRAY<DOUBLE>, ts TIMESTAMP"
+    ).json(str(src))
+    out = stream_srp_near_dup(
+        stream, "embedding", "doc_id", _planes(), threshold=0.95,
+        ttl="10 minutes", ts_col="ts",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r.id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert "d0" in rows and rows["d0"].dup_of is None
+    assert "bad" not in rows, "null-ts row must be dropped, not processed"

@@ -180,3 +180,28 @@ def test_running_stats_ttl_evicts_idle_keys(spark, tmp_path):
 def test_running_stats_ttl_requires_ts_col():
     with pytest.raises(ValueError, match="together"):
         running_stats(None, ttl="10 minutes")
+
+
+def test_running_stats_ttl_null_event_time_dropped_not_fatal(spark, tmp_path):
+    """Review r7: a NULL event time under ttl= poisoned
+    setTimeoutTimestamp (NaT -> int64-min) and terminated the query.
+    Null-ts rows are dropped; valid rows keep processing."""
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"mnemonic": "A", "Data": 1.0, "ts": None}) + "\n")
+        f.write(json.dumps({"mnemonic": "A", "Data": 2.0,
+                            "ts": "2026-01-01 10:00:00"}) + "\n")
+    stream = spark.readStream.schema(
+        "mnemonic STRING, Data DOUBLE, ts TIMESTAMP"
+    ).json(str(src))
+    out = running_stats(stream, ttl="10 minutes", ts_col="ts")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "snap"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "snap")).collect()
+    assert len(rows) == 1 and rows[0].n == 1 and rows[0].last_value == 2.0

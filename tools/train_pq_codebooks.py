@@ -48,13 +48,18 @@ K = 16
 ITERATIONS = 12
 
 
+def _repo_on_path():
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 def _train_subspace(x, k: int, iterations: int):
     """Deterministic Lloyd — shared with the engine API (r7: the trainer
     moved to operators/train.lloyd_subspace so tool and engine cannot
     drift; this wrapper keeps the tool's historical entry point)."""
-    import sys as _sys
-
-    _sys.path.insert(0, "/root/repo")
+    _repo_on_path()
     from cosmo_spark.operators.train import lloyd_subspace
 
     return lloyd_subspace(x, k, iterations)
@@ -62,20 +67,14 @@ def _train_subspace(x, k: int, iterations: int):
 
 def _ivf_assign(x):
     """Replicate assign_buckets (cosine, tie -> lowest bucket, zero-norm ->
-    lowest bucket) against the q44 literal centroids."""
-    import numpy as np
-    import sys as _sys
-
-    _sys.path.insert(0, "/root/repo")
+    lowest bucket) against the q44 literal centroids — delegated to the
+    engine's numpy replica (operators/train._assign_to) so the assignment
+    rules live in one place."""
+    _repo_on_path()
+    from cosmo_spark.operators.train import _assign_to
     from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
 
-    c = np.array(IVF_CENTROIDS)
-    xn = np.linalg.norm(x, axis=1, keepdims=True)
-    cn = np.linalg.norm(c, axis=1, keepdims=True)
-    denom = xn @ cn.T
-    sims = np.where(denom > 0, (x @ c.T) / np.where(denom > 0, denom, 1.0), -2.0)
-    assign = sims.argmax(axis=1)  # first max = lowest bucket on ties
-    return c[assign]
+    return _assign_to(x, IVF_CENTROIDS)
 
 
 def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
