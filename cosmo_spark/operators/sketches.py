@@ -1,0 +1,86 @@
+"""Shared sketch machinery — the HLL register/estimator pieces used by the
+q107 batch query and the streaming register maintainer
+(streaming/sketches.py), kept in ONE place so the two can never drift.
+
+Geometry: m=256 registers over the catalog's arithmetic poly-hash domain
+[0, 1e9+7) → 22 suffix bits.  Everything parity-sensitive is shared with
+the DuckDB oracle builders in queries/misc.py: rho is an integer CASE (no
+log2), register terms are dyadic rationals (order-independent harmonic
+sum), and the linear-counting correction reads m·ln(m/V) from a
+Python-computed literal table (PARITY.md rule 6 — no engine libm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: HLL geometry: m=256 registers, hash domain [0, 1e9+7) -> 22 suffix bits
+HLL_M = 256
+HLL_WBITS = 22
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_rho_sql(w: str) -> str:
+    """Leading-zero rank of the 22-bit suffix as a pure integer CASE —
+    rho = 1 for the top bit set, ..., 23 for w = 0.  No log2 anywhere
+    (library transcendentals diverge across engines; PARITY.md rule 6)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (HLL_WBITS - k)} THEN {k}"
+        for k in range(1, HLL_WBITS + 1)
+    )
+    return f"(CASE WHEN {w} = 0 THEN {HLL_WBITS + 1} {branches} END)"
+
+
+def hll_lc_table() -> list[float]:
+    """Linear-counting estimates m*ln(m/V) for every possible count of
+    empty registers V in 1..m, computed ONCE in Python — ln is the one
+    transcendental in the corrected estimator, so BOTH engines read the
+    value from the same embedded double literal instead of calling their
+    own libm."""
+    import math
+
+    return [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+
+
+def hll_registers(df: DataFrame, keys: list[str], text_col: str) -> DataFrame:
+    """(*keys, bucket, rho) register rows for the distinct texts of each
+    key scope — the mergeable sketch state: registers from different
+    partitions / batches / days combine by element-wise MAX without
+    rescanning anything.  One map-side hash pass + one (keys, bucket)
+    aggregate."""
+    from cosmo_spark.functions.text import poly_hash
+
+    rows = df.filter(F.col(text_col).isNotNull()).select(
+        *keys, poly_hash(F.col(text_col)).alias("h")
+    ).select(
+        *keys,
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.floor(F.col("h") / HLL_M).cast("long").alias("w"),
+    )
+    return rows.groupBy(*keys, "bucket").agg(
+        F.max(F.expr(hll_rho_sql("w"))).alias("rho")
+    )
+
+
+def hll_estimate(reg_df: DataFrame, keys: list[str]) -> DataFrame:
+    """(*keys, est) from register rows, with the small-range
+    linear-counting branch live (V empty registers and raw < 2.5·m →
+    est = m·ln(m/V) from the shared literal table)."""
+    lc_arr = "array(" + ", ".join(f"{x!r}D" for x in hll_lc_table()) + ")"
+    # shiftleft's python wrapper takes only literal bit counts — the SQL
+    # form accepts the rho column
+    s = F.sum(F.expr("CAST(1.0 AS DOUBLE) / shiftleft(1, rho)"))
+    raw = (
+        F.lit(HLL_ALPHA) * HLL_M * HLL_M
+        / (s + (HLL_M - F.count(F.lit(1))))
+    )
+    agg = reg_df.groupBy(*keys).agg(
+        raw.alias("__raw"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("__v0"),
+    )
+    est = F.when(
+        (F.col("__v0") > 0) & (F.col("__raw") < F.lit(2.5 * HLL_M)),
+        F.expr(f"element_at({lc_arr}, cast(__v0 AS int))"),
+    ).otherwise(F.col("__raw"))
+    return agg.select(*keys, est.alias("est"))

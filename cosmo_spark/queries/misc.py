@@ -495,32 +495,15 @@ def q104_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(n, "event_type").select("event_type", "n", "median")
 
 
-#: HLL geometry: m=256 registers, hash domain [0, 1e9+7) -> 22 suffix bits
-_HLL_M = 256
-_HLL_WBITS = 22
-_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
-
-
-def _hll_rho_sql(w: str) -> str:
-    """Leading-zero rank of the 22-bit suffix as a pure integer CASE —
-    rho = 1 for the top bit set, ..., 23 for w = 0.  No log2 anywhere
-    (library transcendentals diverge across engines; PARITY.md rule 6)."""
-    branches = " ".join(
-        f"WHEN {w} >= {1 << (_HLL_WBITS - k)} THEN {k}"
-        for k in range(1, _HLL_WBITS + 1)
-    )
-    return f"(CASE WHEN {w} = 0 THEN {_HLL_WBITS + 1} {branches} END)"
-
-
-def _hll_lc_table() -> list[float]:
-    """Linear-counting estimates m*ln(m/V) for every possible count of
-    empty registers V in 1..m, computed ONCE in Python — ln is the one
-    transcendental in the corrected estimator, so BOTH engines read the
-    value from the same embedded double literal (PARITY.md rule 6)
-    instead of calling their own libm."""
-    import math
-
-    return [_HLL_M * math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+# HLL geometry + parity-sensitive fragments live ONCE in
+# operators/sketches.py (shared with the streaming register maintainer);
+# the oracle builders below consume them under the historical names.
+from cosmo_spark.operators.sketches import (  # noqa: E402
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+    hll_lc_table as _hll_lc_table,
+    hll_rho_sql as _hll_rho_sql,
+)
 
 
 def _q107_oracle() -> str:
@@ -609,45 +592,23 @@ def q107_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bias (measured ~19x at n=10, m=256).  ln is the one transcendental,
     so both engines index the SAME Python-computed 256-entry m·ln(m/V)
     literal table (V is an integer in 1..m) — the branch stays bit-exact
-    because raw itself is."""
+    because raw itself is.
+
+    Register construction and the estimator live in operators/sketches.py,
+    shared verbatim with the STREAMING register maintainer
+    (streaming/sketches.stream_hll_registers) — the same state this query
+    computes in one batch is maintained incrementally by merge-by-max
+    there."""
     from cosmo_spark.functions.text import poly_hash
+    from cosmo_spark.operators.sketches import hll_estimate, hll_registers
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    rows = d.select(
+    d = _t(spark, sf_dir, "documents")
+    rows = d.filter(F.col("text").isNotNull()).select(
         "source", poly_hash(F.col("text")).alias("h")
-    ).select(
-        "source", "h",
-        (F.col("h") % _HLL_M).alias("bucket"),
-        F.floor(F.col("h") / _HLL_M).cast("long").alias("w"),
     )
-    regs = rows.groupBy("source", "bucket").agg(
-        F.max(F.expr(_hll_rho_sql("w"))).alias("rho")
-    )
+    regs = hll_registers(d, ["source"], "text")
 
-    lc_arr = "array(" + ", ".join(
-        f"{x!r}D" for x in _hll_lc_table()
-    ) + ")"
-
-    def estimate(reg_df, keys):
-        # shiftleft's python wrapper takes only literal bit counts — the
-        # SQL form accepts the rho column
-        s = F.sum(F.expr("CAST(1.0 AS DOUBLE) / shiftleft(1, rho)"))
-        raw = (
-            F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M
-            / (s + (_HLL_M - F.count(F.lit(1))))
-        )
-        agg = reg_df.groupBy(*keys).agg(
-            raw.alias("__raw"),
-            (F.lit(_HLL_M) - F.count(F.lit(1))).alias("__v0"),
-        )
-        # linear-counting switch — one string-built expr, literals shared
-        # with the oracle byte-for-byte
-        est = F.when(
-            (F.col("__v0") > 0) & (F.col("__raw") < F.lit(2.5 * _HLL_M)),
-            F.expr(f"element_at({lc_arr}, cast(__v0 AS int))"),
-        ).otherwise(F.col("__raw"))
-        return agg.select(*keys, est.alias("est"))
-
+    estimate = hll_estimate
     per_source = estimate(regs, ["source"])
     exact = rows.groupBy("source").agg(
         F.countDistinct("h").alias("n_exact")

@@ -670,3 +670,83 @@ def test_distributed_median_is_exact_order_statistic(spark, rows):
         by_group.setdefault(g, []).append(float(v))
     for g, vals in by_group.items():
         assert got[g] == statistics.median(vals), (g, sorted(vals))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-50, max_value=50).map(float),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1, max_size=60,
+    ),
+    buckets=st.sampled_from([2, 3, 4096]),
+)
+def test_grouped_less_cumsum_matches_bruteforce(spark, rows, buckets):
+    """The shared exact-rank primitive (review r7: one implementation for
+    median location / percent_rank / q113 below-counts) must equal the
+    brute-force strictly-less weighted count for every (group, value) —
+    including at tiny bucket counts where every bucket is hot, with
+    duplicate values (ties share), and with zero weights."""
+    from cosmo_spark.operators.robust import grouped_less_cumsum
+
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE, w INT")
+    got = {
+        (r.g, r.v): (r.less, r.grp_total)
+        for r in grouped_less_cumsum(
+            df, "g", "v", weight="w", buckets=buckets
+        ).collect()
+    }
+    # brute force
+    import collections
+
+    per_group = collections.defaultdict(list)
+    for g, v, w in rows:
+        per_group[g].append((v, w))
+    expected = {}
+    for g, vw in per_group.items():
+        total = sum(w for _, w in vw)
+        for v in {v for v, _ in vw}:
+            less = sum(w for v2, w in vw if v2 < v)
+            expected[(g, v)] = (less, total)
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-20, max_value=20).map(float),
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+def test_grouped_percent_rank_matches_sql_spec(spark, rows):
+    """percent_rank must equal the SQL spec (rank-1)/(n-1) with
+    competition ranking over ties, 0.0 for single-row groups — checked
+    against Spark's own percent_rank window (acceptable here: test-only,
+    tiny data; the operator exists so PRODUCTION plans never run that
+    single-task-per-group window)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cosmo_spark.operators.robust import grouped_percent_rank
+
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = {
+        (r.g, r.v): r.pct
+        for r in grouped_percent_rank(df, "g", "v", buckets=3).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    ref = {
+        (r.g, r.v): r.pr
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == ref[k], k
