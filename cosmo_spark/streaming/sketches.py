@@ -91,3 +91,95 @@ def compact_hll_registers(spark: SparkSession, register_path: str) -> None:
     os.replace(register_path, old)
     os.replace(tmp, register_path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------- #
+# Count-Min counters: the ADDITIVE merge algebra                              #
+# --------------------------------------------------------------------------- #
+
+CMS_SCHEMA = "batch_id BIGINT, r INT, bucket BIGINT, cnt BIGINT"
+
+
+def stream_cms_counters(
+    stream: DataFrame,
+    text_col: str,
+    counter_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Maintain q108's Count-Min counters over a token stream.
+
+    Counters merge by ADDITION — unlike HLL's max, addition is NOT
+    idempotent, so a checkpoint-retried micro-batch re-appending its rows
+    would double-count.  The appended rows therefore carry their
+    ``batch_id`` (foreachBatch's exactly-once handle), and the reader
+    dedupes per (batch_id, r, bucket) before summing — the standard
+    idempotent-sink recipe for non-idempotent state.  Per-batch appended
+    state is at most 4 x 1024 counter rows regardless of batch size."""
+    from cosmo_spark.queries.misc import _CMS_P, _CMS_ROWS, _CMS_W
+
+    def upsert(batch_df, batch_id):
+        from cosmo_spark.functions.text import poly_hash, tokenize
+
+        tokh = batch_df.filter(F.col(text_col).isNotNull()).select(
+            F.explode(tokenize(F.col(text_col))).alias("tok")
+        ).select(poly_hash(F.col("tok")).alias("th"))
+        rb = F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("r"),
+                (((F.col("th") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(_CMS_ROWS)
+        ])).alias("rb")
+        counters = (
+            tokh.select(rb)
+            .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(int(batch_id)).alias("batch_id"), "r", "bucket", "cnt")
+        )
+        counters.write.mode("append").parquet(counter_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_counters(spark: SparkSession, counter_path: str) -> DataFrame:
+    """Merged (r, bucket, cnt): dedupe retried appends per (batch_id, r,
+    bucket) — duplicate rows from a replayed batch are identical, so
+    max()==the value — then SUM across batches."""
+    log = spark.read.schema(CMS_SCHEMA).parquet(counter_path)
+    per_batch = log.groupBy("batch_id", "r", "bucket").agg(
+        F.max("cnt").alias("cnt")
+    )
+    return per_batch.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_frequency_estimates(
+    spark: SparkSession, counter_path: str, tokens: list[str]
+) -> DataFrame:
+    """(token, cms_est) for the probe tokens: min over the 4 hash rows —
+    never an underestimate, overestimate bounded by collisions (q108's
+    estimator over the streaming-maintained counters)."""
+    from cosmo_spark.functions.text import poly_hash
+    from cosmo_spark.queries.misc import _CMS_P, _CMS_ROWS, _CMS_W
+
+    counters = read_cms_counters(spark, counter_path)
+    toks = spark.createDataFrame([(t,) for t in tokens], "token STRING")
+    toks = toks.select("token", poly_hash(F.col("token")).alias("th"))
+    probes = None
+    for i, (a, b) in enumerate(_CMS_ROWS):
+        part = toks.select(
+            "token", F.lit(i).alias("r"),
+            (((F.col("th") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        F.broadcast(probes).join(counters, ["r", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

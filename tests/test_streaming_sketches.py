@@ -106,3 +106,81 @@ def test_stream_registers_equal_batch_recompute(spark, tmp_path):
         for r in hll_distinct_estimates(spark, str(regs)).collect()
     }
     assert ests2 == batch_ests
+
+
+def test_stream_cms_counters_equal_batch_and_dedupe_retries(spark, tmp_path):
+    """The additive sketch's streaming twin: counters maintained across
+    micro-batches equal a from-scratch batch recompute; a replayed
+    batch's duplicate appends (same batch_id) are deduped, NOT
+    double-counted — the algebra difference vs HLL's idempotent max."""
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.functions.text import poly_hash, tokenize
+    from cosmo_spark.queries.misc import _CMS_P, _CMS_ROWS, _CMS_W
+    from cosmo_spark.streaming.sketches import (
+        cms_frequency_estimates,
+        read_cms_counters,
+        stream_cms_counters,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt, ctr = tmp_path / "ck", tmp_path / "ctr"
+    b1 = [("s", "the quick fox jumps"), ("s", "the lazy dog")]
+    b2 = [("s", "the fox sleeps"), ("s", None)]
+    _write_batch(src, "b1.json", b1)
+
+    def run():
+        stream = spark.readStream.schema("source STRING, text STRING").json(
+            str(src)
+        )
+        q = stream_cms_counters(stream, "text", str(ctr), str(ckpt))
+        q.awaitTermination(120)
+
+    run()
+    _write_batch(src, "b2.json", b2)
+    run()
+
+    # batch recompute of the counters over all docs
+    docs = spark.createDataFrame(b1 + b2, "source STRING, text STRING")
+    tokh = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(tokenize(F.col("text"))).alias("tok")
+    ).select(poly_hash(F.col("tok")).alias("th"))
+    rb = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("r"),
+            (((F.col("th") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
+        )
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    ])).alias("rb")
+    expected = {
+        (r.r, r.bucket): r.cnt
+        for r in tokh.select(rb).groupBy(
+            F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got = {
+        (r.r, r.bucket): r.cnt
+        for r in read_cms_counters(spark, str(ctr)).collect()
+    }
+    assert got == expected
+
+    # 'the' appears 3x, 'fox' 2x, 'dog' 1x, 'cat' never (min-over-rows
+    # never underestimates; on this tiny stream collisions are absent)
+    ests = {
+        r.token: r.cms_est
+        for r in cms_frequency_estimates(
+            spark, str(ctr), ["the", "fox", "dog", "cat"]
+        ).collect()
+    }
+    assert ests == {"the": 3, "fox": 2, "dog": 1, "cat": 0}
+
+    # a replayed batch re-appends IDENTICAL rows under the same batch_id:
+    # merged counters must not change (dedupe-then-sum)
+    log = spark.read.parquet(str(ctr))
+    log.filter(F.col("batch_id") == 0).write.mode("append").parquet(str(ctr))
+    got2 = {
+        (r.r, r.bucket): r.cnt
+        for r in read_cms_counters(spark, str(ctr)).collect()
+    }
+    assert got2 == expected, "retried appends must dedupe, not double-count"
