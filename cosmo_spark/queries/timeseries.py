@@ -772,3 +772,134 @@ def q92_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users") / F.nullif(first, F.lit(0)).cast("double"), 6
         ).alias("conv_from_first"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q115 — gap-fill resample with linear interpolation                          #
+# --------------------------------------------------------------------------- #
+
+_Q115_ORACLE = """
+WITH obs AS (
+  SELECT user_id, ts, value FROM events
+  WHERE user_id < 50 AND value IS NOT NULL AND ts IS NOT NULL
+), bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t
+  FROM bounds
+), u AS (
+  SELECT user_id, t, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM grid
+  UNION ALL
+  SELECT user_id, ts AS t, value AS v, 0 AS is_grid FROM obs
+), tagged AS (
+  SELECT user_id, t, epoch_us(t) AS t_us, v, is_grid,
+         CASE WHEN is_grid = 0 THEN epoch_us(t) END AS obs_us
+  FROM u
+), filled AS (
+  SELECT user_id, t, t_us, is_grid,
+         last_value(v IGNORE NULLS) OVER wf AS prev_v,
+         last_value(obs_us IGNORE NULLS) OVER wf AS prev_us,
+         last_value(v IGNORE NULLS) OVER wb AS next_v,
+         last_value(obs_us IGNORE NULLS) OVER wb AS next_us
+  FROM tagged
+  WINDOW
+    wf AS (PARTITION BY user_id ORDER BY t_us, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wb AS (PARTITION BY user_id ORDER BY t_us DESC, is_grid ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+       round(CASE
+         WHEN prev_us IS NULL THEN next_v
+         WHEN next_us IS NULL THEN prev_v
+         WHEN next_us = prev_us THEN prev_v
+         ELSE prev_v + (next_v - prev_v)
+              * (CAST(t_us - prev_us AS DOUBLE)
+                 / CAST(next_us - prev_us AS DOUBLE))
+       END, 6) AS value_interp
+FROM filled WHERE is_grid = 1
+"""
+
+
+@register("q115_resample_interpolate", operators=("W5", "W4"), oracle=_Q115_ORACLE)
+def q115_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill resampling: each user's irregular value series re-sampled
+    onto a fixed hourly grid with LINEAR interpolation between the
+    surrounding observations (endpoints clamp to the nearest value) — the
+    telemetry regularization step upstream of any fixed-step model
+    (ref: the stepwise/as-of interpolation family,
+    cosmo/monitors/telemetry docstrings; q17 carries the LAST value, this
+    blends both neighbors).
+
+    Shape: the q17 union trick generalized to BOTH directions — grid
+    points and observations union into one stream, a forward and a
+    backward ordered window (partitioned per user: the many-keys
+    telemetry shape, bounded rows per key — W-class precedent q16/q17)
+    carry the nearest observation's (value, epoch) each way, and the
+    blend is one arithmetic expression.  No join of grid x observations
+    ever happens.  Exact-hit grid points (next_us == prev_us) take the
+    observed value, so the division can never see a zero denominator;
+    epoch arithmetic is integer microseconds with ONE final double
+    division mirrored in the oracle."""
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 50)
+        & F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", "ts", "value")
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("t"),
+    )
+    u = grid.select(
+        "user_id", "t", F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_grid"),
+    ).unionByName(
+        e.select(
+            "user_id", F.col("ts").alias("t"), F.col("value").alias("v"),
+            F.lit(0).alias("is_grid"),
+        )
+    )
+    tagged = u.select(
+        "user_id", "t", F.unix_micros("t").alias("t_us"), "v", "is_grid",
+        F.when(F.col("is_grid") == 0, F.unix_micros("t")).alias("obs_us"),
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy("t_us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t_us"), F.asc("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.select(
+        "user_id", "t", "t_us", "is_grid",
+        F.last("v", ignorenulls=True).over(wf).alias("prev_v"),
+        F.last("obs_us", ignorenulls=True).over(wf).alias("prev_us"),
+        F.last("v", ignorenulls=True).over(wb).alias("next_v"),
+        F.last("obs_us", ignorenulls=True).over(wb).alias("next_us"),
+    )
+    interp = (
+        F.when(F.col("prev_us").isNull(), F.col("next_v"))
+        .when(F.col("next_us").isNull(), F.col("prev_v"))
+        .when(F.col("next_us") == F.col("prev_us"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (
+                (F.col("t_us") - F.col("prev_us")).cast("double")
+                / (F.col("next_us") - F.col("prev_us")).cast("double")
+            )
+        )
+    )
+    return filled.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.round(interp, 6).alias("value_interp"),
+    )
