@@ -108,8 +108,16 @@ def robust_outliers(
         mad = _median(dev, key, "__adev", "__tb", out_col="mad")
         # force the group-cardinality stats table NOW so dev's cache can be
         # released before returning — a library caller must not accumulate
-        # a pinned fact-sized cache per invocation (review r7)
-        stats = med.join(mad, key).localCheckpoint()
+        # a pinned fact-sized cache per invocation (review r7).  Collect-
+        # and-recreate rather than localCheckpoint: checkpoint blocks are
+        # unreplicated and die with a decommissioned executor, failing the
+        # caller's LATER action unrecoverably (review r7 #2); the stats
+        # frame is groups-sized, so a driver round-trip is the safe
+        # materialization.
+        joined = med.join(mad, key)
+        stats = df.sparkSession.createDataFrame(
+            joined.collect(), joined.schema
+        )
         dev.unpersist()
     else:
         mad = _median(dev, key, "__adev", "__tb", out_col="mad")
@@ -296,7 +304,10 @@ def grouped_less_cumsum(
         Window.partitionBy("__k", "__b").orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = vbb.join(btc, ["__k", "__b"]).select(
+    # btc is at most groups x buckets rows — always broadcastable; without
+    # the hint, stale stats can demote this to a sort-merge join that
+    # shuffles the full distinct-values table (review r7)
+    out = vbb.join(F.broadcast(btc), ["__k", "__b"]).select(
         "__k", F.col("__v").alias(val),
         (F.col("__before")
          + F.coalesce(F.sum("__c").over(w_in), F.lit(0))).alias(out_col),

@@ -84,3 +84,54 @@ def hll_estimate(reg_df: DataFrame, keys: list[str]) -> DataFrame:
         F.expr(f"element_at({lc_arr}, cast(__v0 AS int))"),
     ).otherwise(F.col("__raw"))
     return agg.select(*keys, est.alias("est"))
+
+
+# --------------------------------------------------------------------------- #
+# Count-Min geometry + fragments (shared by q108 and streaming/sketches)      #
+# --------------------------------------------------------------------------- #
+
+#: CMS geometry: 4 hash rows x 1024 counters; pairwise-independent-ish
+#: affine permutations of the arithmetic token hash (same family as the
+#: MinHash perms)
+CMS_W = 1024
+CMS_ROWS = ((131, 7), (257, 101), (521, 1009), (1031, 10007))
+CMS_P = 1_000_000_007
+
+
+def cms_rb_expr(th_col: str = "th"):
+    """Exploded (r, bucket) struct array for a token-hash column — ONE
+    corpus pass computes all 4 hash rows (a union of per-row selects
+    re-evaluates the per-char token hashing per branch; measured ~4x at
+    10x scale, q108)."""
+    return F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("r"),
+            (((F.col(th_col) * a + b) % CMS_P) % CMS_W).alias("bucket"),
+        )
+        for i, (a, b) in enumerate(CMS_ROWS)
+    ]))
+
+
+def cms_counters(tokh: DataFrame, th_col: str = "th") -> DataFrame:
+    """(r, bucket, cnt) counter rows for a token-hash frame — the additive
+    sketch state: counters from different partitions / batches / days
+    combine by SUM."""
+    return (
+        tokh.select(cms_rb_expr(th_col).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_probe_rows(df: DataFrame, carry: list[str], th_col: str = "th") -> DataFrame:
+    """One (carry..., r, bucket) row per (input row, hash row) — the probe
+    side of the min-over-rows estimate, computed ROW-LOCALLY (no corpus
+    re-shuffle; q108's discipline)."""
+    probes = None
+    for i, (a, b) in enumerate(CMS_ROWS):
+        part = df.select(
+            *carry, F.lit(i).alias("r"),
+            (((F.col(th_col) * a + b) % CMS_P) % CMS_W).alias("bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return probes

@@ -607,14 +607,14 @@ def q107_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", poly_hash(F.col("text")).alias("h")
     )
     regs = hll_registers(d, ["source"], "text")
-
-    estimate = hll_estimate
-    per_source = estimate(regs, ["source"])
+    per_source = hll_estimate(regs, ["source"])
     exact = rows.groupBy("source").agg(
         F.countDistinct("h").alias("n_exact")
     )
     all_regs = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
-    all_est = estimate(all_regs.withColumn("__g", F.lit(1)), ["__g"]).drop("__g")
+    all_est = hll_estimate(
+        all_regs.withColumn("__g", F.lit(1)), ["__g"]
+    ).drop("__g")
     all_exact = rows.agg(F.countDistinct("h").alias("n_exact"))
     all_row = all_exact.crossJoin(all_est).select(
         F.lit("__all__").alias("source"), "n_exact", "est"
@@ -630,13 +630,16 @@ def q107_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: CMS geometry: 4 hash rows x 1024 counters; pairwise-independent-ish
-#: affine permutations of the arithmetic token hash (same family as the
-#: MinHash perms)
-_CMS_W = 1024
-_CMS_ROWS = ((131, 7), (257, 101), (521, 1009), (1031, 10007))
+# CMS geometry lives ONCE in operators/sketches.py (shared with the
+# streaming counter maintainer); historical names kept for the oracle
+# builders below.
+from cosmo_spark.operators.sketches import (  # noqa: E402
+    CMS_P as _CMS_P,
+    CMS_ROWS as _CMS_ROWS,
+    CMS_W as _CMS_W,
+)
+
 _CMS_TOPK = 20
-_CMS_P = 1_000_000_007
 
 
 def _q108_oracle() -> str:
@@ -690,26 +693,16 @@ def q108_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     library murmur, no floats anywhere), so the DuckDB compare is exact
     by construction."""
     from cosmo_spark.functions.text import poly_hash, tokenize
+    from cosmo_spark.operators.sketches import cms_counters, cms_probe_rows
 
     d = _t(spark, sf_dir, "documents")
     tokh = d.select(
         F.explode(tokenize(F.col("text"))).alias("tok")
     ).select("tok", poly_hash(F.col("tok")).alias("th"))
-    # ONE corpus pass for all 4 rows: a union of 4 selects re-evaluates
-    # the per-char token hashing per branch (measured ~4x at 10x scale);
-    # exploding an inline (r, bucket) array computes tokh once
-    rb = F.explode(F.array(*[
-        F.struct(
-            F.lit(i).alias("r"),
-            (((F.col("th") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
-        )
-        for i, (a, b) in enumerate(_CMS_ROWS)
-    ])).alias("rb")
-    counters = (
-        tokh.select(rb)
-        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # counter construction is shared verbatim with the streaming
+    # maintainer (operators/sketches.cms_counters): one corpus pass for
+    # all 4 rows via an exploded inline (r, bucket) array
+    counters = cms_counters(tokh)
     exact = tokh.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
     top = exact.orderBy(F.desc("n_exact"), "tok").limit(_CMS_TOPK)
     # probe buckets recompute ROW-LOCALLY on the 20 top tokens — a
@@ -717,14 +710,7 @@ def q108_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second time for information 20 rows already determine (measured
     # 11.7 s -> below at 10x)
     toph = top.select("tok", "n_exact", poly_hash(F.col("tok")).alias("th"))
-    probes = None
-    for i, (a, b) in enumerate(_CMS_ROWS):
-        part = toph.select(
-            "tok", "n_exact", F.lit(i).alias("r"),
-            (((F.col("th") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
-        )
-        probes = part if probes is None else probes.unionByName(part)
-    probes = F.broadcast(probes)
+    probes = F.broadcast(cms_probe_rows(toph, ["tok", "n_exact"]))
     return (
         probes.join(counters, ["r", "bucket"])
         .groupBy(F.col("tok").alias("token"), "n_exact")
@@ -1489,7 +1475,11 @@ def q113_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = e.groupBy("value").agg(
         F.sum("wp").alias("cp"), F.sum("we").alias("ce")
     )
-    lc = grouped_less_cumsum(e, None, "value", weight="we", out_col="ce_lt")
+    # feed the ALREADY-AGGREGATED per-value table to the rank primitive:
+    # passing the raw fact rows would re-shuffle the fact set a second
+    # time to recompute sums vb already holds (review r7) — over vb the
+    # primitive's internal groupBy touches only distinct values
+    lc = grouped_less_cumsum(vb, None, "value", weight="ce", out_col="ce_lt")
     vbc = vb.join(lc.select("value", "ce_lt"), "value")
     tot = vb.agg(F.sum("cp").alias("np"), F.sum("ce").alias("ne"))
     return (

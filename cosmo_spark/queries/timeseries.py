@@ -780,7 +780,7 @@ def q92_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q115_ORACLE = """
 WITH obs AS (
-  SELECT user_id, ts, value FROM events
+  SELECT user_id, ts, value, event_id FROM events
   WHERE user_id < 50 AND value IS NOT NULL AND ts IS NOT NULL
 ), bounds AS (
   SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
@@ -789,11 +789,13 @@ WITH obs AS (
   SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t
   FROM bounds
 ), u AS (
-  SELECT user_id, t, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM grid
+  SELECT user_id, t, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid,
+         CAST(-1 AS BIGINT) AS ev
+  FROM grid
   UNION ALL
-  SELECT user_id, ts AS t, value AS v, 0 AS is_grid FROM obs
+  SELECT user_id, ts AS t, value AS v, 0 AS is_grid, event_id AS ev FROM obs
 ), tagged AS (
-  SELECT user_id, t, epoch_us(t) AS t_us, v, is_grid,
+  SELECT user_id, t, epoch_us(t) AS t_us, v, is_grid, ev,
          CASE WHEN is_grid = 0 THEN epoch_us(t) END AS obs_us
   FROM u
 ), filled AS (
@@ -804,9 +806,12 @@ WITH obs AS (
          last_value(obs_us IGNORE NULLS) OVER wb AS next_us
   FROM tagged
   WINDOW
-    wf AS (PARTITION BY user_id ORDER BY t_us, is_grid
+    -- ev tiebreak: two same-timestamp observations must pick the SAME
+    -- neighbor in both engines (grid rows carry ev = -1, a non-null
+    -- sentinel, because NULL ordering differs across engines)
+    wf AS (PARTITION BY user_id ORDER BY t_us, is_grid, ev
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-    wb AS (PARTITION BY user_id ORDER BY t_us DESC, is_grid ASC
+    wb AS (PARTITION BY user_id ORDER BY t_us DESC, is_grid ASC, ev DESC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS grid_ts,
@@ -845,7 +850,7 @@ def q115_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").filter(
         (F.col("user_id") < 50)
         & F.col("value").isNotNull() & F.col("ts").isNotNull()
-    ).select("user_id", "ts", "value")
+    ).select("user_id", "ts", "value", "event_id")
     bounds = e.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
         F.max("ts").alias("t1"),
@@ -856,26 +861,31 @@ def q115_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
         ).alias("t"),
     )
+    # ev tiebreak (review r7): two same-timestamp observations with
+    # different values must resolve to the SAME neighbor in both engines;
+    # grid rows carry a non-null -1 sentinel because NULL ordering
+    # diverges between Spark (NULLS FIRST) and DuckDB (NULLS LAST)
     u = grid.select(
         "user_id", "t", F.lit(None).cast("double").alias("v"),
-        F.lit(1).alias("is_grid"),
+        F.lit(1).alias("is_grid"), F.lit(-1).cast("long").alias("ev"),
     ).unionByName(
         e.select(
             "user_id", F.col("ts").alias("t"), F.col("value").alias("v"),
-            F.lit(0).alias("is_grid"),
+            F.lit(0).alias("is_grid"), F.col("event_id").alias("ev"),
         )
     )
     tagged = u.select(
         "user_id", "t", F.unix_micros("t").alias("t_us"), "v", "is_grid",
+        "ev",
         F.when(F.col("is_grid") == 0, F.unix_micros("t")).alias("obs_us"),
     )
     wf = (
-        Window.partitionBy("user_id").orderBy("t_us", "is_grid")
+        Window.partitionBy("user_id").orderBy("t_us", "is_grid", "ev")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wb = (
         Window.partitionBy("user_id")
-        .orderBy(F.desc("t_us"), F.asc("is_grid"))
+        .orderBy(F.desc("t_us"), F.asc("is_grid"), F.desc("ev"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = tagged.select(

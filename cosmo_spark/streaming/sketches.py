@@ -78,19 +78,33 @@ def hll_distinct_estimates(
 
 
 def compact_hll_registers(spark: SparkSession, register_path: str) -> None:
-    """Rewrite the append log to its merged minimum (keys × ≤m rows).
+    """Rewrite the append log toward its merged minimum (keys × ≤m rows).
     Safe to skip indefinitely — merge-on-read stays correct — but keeps
-    the log bounded when batches are many."""
-    import os
-    import shutil
+    the log bounded when batches are many.
 
-    merged = read_hll_registers(spark, register_path)
-    tmp = f"{register_path}.compact-{os.getpid()}"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = f"{register_path}.old-{os.getpid()}"
-    os.replace(register_path, old)
-    os.replace(tmp, register_path)
-    shutil.rmtree(old, ignore_errors=True)
+    Crash/concurrency-safe BECAUSE max is idempotent (review r7): the
+    merged rows are APPENDED first, then exactly the data files the merge
+    read are deleted — a batch appended concurrently is never touched, a
+    crash mid-delete leaves redundant rows whose max-merge is unchanged,
+    and the log directory never disappears from under a reader (the old
+    dir-swap could both drop a concurrent batch's files and leave no live
+    log between the two renames)."""
+    import glob
+    import os
+
+    snapshot = sorted(glob.glob(os.path.join(register_path, "*.parquet")))
+    if not snapshot:
+        return
+    merged = (
+        spark.read.schema(REGISTER_SCHEMA).parquet(*snapshot)
+        .groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
+    )
+    merged.write.mode("append").parquet(register_path)
+    for f in snapshot:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
 
 
 # --------------------------------------------------------------------------- #
@@ -115,8 +129,15 @@ def stream_cms_counters(
     ``batch_id`` (foreachBatch's exactly-once handle), and the reader
     dedupes per (batch_id, r, bucket) before summing — the standard
     idempotent-sink recipe for non-idempotent state.  Per-batch appended
-    state is at most 4 x 1024 counter rows regardless of batch size."""
-    from cosmo_spark.queries.misc import _CMS_P, _CMS_ROWS, _CMS_W
+    state is at most 4 x 1024 counter rows regardless of batch size.
+
+    PRECONDITION (review r7): batch_id is the dedupe key, so exactly ONE
+    query with ONE durable checkpoint may ever write a given
+    ``counter_path`` — wiping the checkpoint (batch_id restarts at 0) or
+    pointing a second stream at the same path makes distinct batches
+    collide and max-collapse into undercounts.  Reprocessing a source
+    means a fresh counter_path alongside the fresh checkpoint."""
+    from cosmo_spark.operators.sketches import cms_counters
 
     def upsert(batch_df, batch_id):
         from cosmo_spark.functions.text import poly_hash, tokenize
@@ -124,18 +145,8 @@ def stream_cms_counters(
         tokh = batch_df.filter(F.col(text_col).isNotNull()).select(
             F.explode(tokenize(F.col(text_col))).alias("tok")
         ).select(poly_hash(F.col("tok")).alias("th"))
-        rb = F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("r"),
-                (((F.col("th") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
-            )
-            for i, (a, b) in enumerate(_CMS_ROWS)
-        ])).alias("rb")
-        counters = (
-            tokh.select(rb)
-            .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(int(batch_id)).alias("batch_id"), "r", "bucket", "cnt")
+        counters = cms_counters(tokh).select(
+            F.lit(int(batch_id)).alias("batch_id"), "r", "bucket", "cnt"
         )
         counters.write.mode("append").parquet(counter_path)
 
@@ -166,20 +177,17 @@ def cms_frequency_estimates(
     never an underestimate, overestimate bounded by collisions (q108's
     estimator over the streaming-maintained counters)."""
     from cosmo_spark.functions.text import poly_hash
-    from cosmo_spark.queries.misc import _CMS_P, _CMS_ROWS, _CMS_W
+    from cosmo_spark.operators.sketches import cms_probe_rows
 
     counters = read_cms_counters(spark, counter_path)
     toks = spark.createDataFrame([(t,) for t in tokens], "token STRING")
     toks = toks.select("token", poly_hash(F.col("token")).alias("th"))
-    probes = None
-    for i, (a, b) in enumerate(_CMS_ROWS):
-        part = toks.select(
-            "token", F.lit(i).alias("r"),
-            (((F.col("th") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
-        )
-        probes = part if probes is None else probes.unionByName(part)
+    probes = cms_probe_rows(toks, ["token"])
+    # broadcast the BUILD (right) side: a left-outer join cannot broadcast
+    # its preserved side, so hinting probes would be silently ignored
+    # (review r7); counters is <= 4 x 1024 rows, always broadcastable
     return (
-        F.broadcast(probes).join(counters, ["r", "bucket"], "left")
+        probes.join(F.broadcast(counters), ["r", "bucket"], "left")
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
