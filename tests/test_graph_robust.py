@@ -122,3 +122,65 @@ def test_robust_outliers_zero_mad_flags_any_deviation(spark):
     df = spark.createDataFrame(rows, "g STRING, id INT, v DOUBLE")
     out = robust_outliers(df, "g", "v", "id", z=3.5).collect()
     assert [(r.id, r.v) for r in out] == [(9, 5.1)]
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _py_triangles(edge_list):
+    """Brute-force per-node triangle counts of an undirected simple graph."""
+    from itertools import combinations
+
+    adj = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: (len(adj[n]), tri[n]) for n in adj}
+
+
+def _run_triangles(spark, edges):
+    from cosmo_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangles_k4(spark):
+    # K4: every node has degree 3 and sits in C(3,2)=3 triangles
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert _run_triangles(spark, edges) == {n: (3, 3) for n in (1, 2, 3, 4)}
+
+
+def test_triangles_path_has_none(spark):
+    edges = [(1, 2), (2, 3), (3, 4)]
+    got = _run_triangles(spark, edges)
+    assert got == {1: (1, 0), 2: (2, 0), 3: (2, 0), 4: (1, 0)}
+
+
+def test_triangles_match_bruteforce_on_hashed_graph(spark):
+    # deterministic pseudo-random graph: edge (u,v) present iff a hash bit
+    # fires; includes a deliberate hub (node 0 connected to everyone) so
+    # the degree orientation's skew path is exercised
+    n = 24
+    edges = [(0, v) for v in range(1, n)]
+    for u in range(1, n):
+        for v in range(u + 1, n):
+            if (u * 1000003 + v) % 7 < 2:
+                edges.append((u, v))
+    assert _run_triangles(spark, edges) == _py_triangles(edges)
+
+
+def test_triangles_empty(spark):
+    from cosmo_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([], "u long, v long")
+    assert triangle_counts(df).count() == 0
