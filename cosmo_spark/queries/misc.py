@@ -1636,3 +1636,104 @@ def q116_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)).alias("clust_coeff"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), shared verbatim by the
+# Spark plan and the DuckDB oracle so both engines fold the SAME double
+# literals (the q107 lookup-table discipline: Python computes the
+# transcendental once, both engines do only +-*/ on it).
+_BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def _q117_oracle() -> str:
+    digit_rows = ", ".join(
+        # CAST: DuckDB types bare decimal literals as DECIMAL, whose squared
+        # products overflow DECIMAL(38); both engines must do DOUBLE math.
+        f"({d}, CAST({_BENFORD_P[d - 1]!r} AS DOUBLE))" for d in range(1, 10)
+    )
+    return f"""
+WITH b(digit, p) AS (VALUES {digit_rows}),
+src AS (
+  SELECT o_orderpriority AS grp,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+        AND o_orderpriority IS NOT NULL
+), obs AS (
+  SELECT grp, digit, count(*) AS n_obs FROM src GROUP BY grp, digit
+), tot AS (
+  SELECT grp, sum(n_obs) AS n FROM obs GROUP BY grp
+), grid AS (
+  SELECT t.grp, t.n, b.digit, b.p FROM tot t CROSS JOIN b
+)
+SELECT g.grp, g.digit,
+       coalesce(o.n_obs, 0) AS n_obs,
+       round(g.n * g.p, 4) AS n_expected,
+       round((coalesce(o.n_obs, 0) - g.n * g.p)
+             * (coalesce(o.n_obs, 0) - g.n * g.p) / (g.n * g.p), 6)
+         AS chi2_term
+FROM grid g LEFT JOIN obs o ON o.grp = g.grp AND o.digit = g.digit
+"""
+
+
+@register("q117_benford_profile", operators=("A5", "A11"), oracle=_q117_oracle())
+def q117_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance profile of order totals
+    per priority class — the classic anomaly/fraud data-quality screen
+    (Benford 1938; Nigrini's digit-analysis auditing): for each group and
+    digit 1-9, the observed count, the Benford-expected count, and the
+    chi-square term ((obs - exp)^2 / exp) whose per-group sum is the test
+    statistic.
+
+    Cross-engine determinism: the leading digit comes from integer/string
+    arithmetic (floor -> BIGINT -> VARCHAR -> first char — both engines
+    print integers identically; no double formatting, no log10 at query
+    time), and the expected probabilities are Python-computed literals
+    shared verbatim with the oracle.
+
+    Scale shape: ONE map-side-combined fact shuffle of (group, digit)
+    partial counts — at most 9 x |groups| rows survive; the digit grid
+    (groups x 9, zero-observation digits included so sparse groups still
+    produce their full chi-square) and all arithmetic live on the
+    aggregate.  Pure aggregation: no window, no join against the fact
+    table, 100 TB-safe by construction."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") >= 1)
+        & F.col("o_orderpriority").isNotNull()
+    )
+    obs = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).cast("int").alias("digit"),
+        )
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = obs.groupBy("grp").agg(F.sum("n_obs").alias("n"))
+    b = F.array(*[
+        F.struct(F.lit(d).alias("digit"), F.lit(_BENFORD_P[d - 1]).alias("p"))
+        for d in range(1, 10)
+    ])
+    grid = tot.select(
+        "grp", "n", F.explode(b).alias("bd")
+    ).select("grp", "n", F.col("bd.digit").alias("digit"), F.col("bd.p").alias("p"))
+    exp_n = F.col("n") * F.col("p")
+    dev = F.coalesce(F.col("n_obs"), F.lit(0)) - exp_n
+    return (
+        grid.join(obs, ["grp", "digit"], "left")
+        .select(
+            "grp",
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            F.round(exp_n, 4).alias("n_expected"),
+            F.round(dev * dev / exp_n, 6).alias("chi2_term"),
+        )
+    )
