@@ -2622,3 +2622,120 @@ def q106_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "id_a", "id_b", "inter", "na", "nb", F.round(jac, 6).alias("jaccard")
     )
+
+
+# --------------------------------------------------------------------------- #
+# q118 — per-document LM familiarity score under the q101 bigram model         #
+# --------------------------------------------------------------------------- #
+
+_Q118_ORACLE = f"""
+WITH tl AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, t.pair[1] AS w1, t.pair[2] AS w2
+  FROM tl, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS t(pair)
+  WHERE len(toks) >= 2
+), c2 AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, count(*) AS n1f FROM c2 GROUP BY w1
+), cont AS (
+  SELECT w2, count(*) AS n1b FROM c2 GROUP BY w2
+), tot AS (
+  SELECT count(*) AS t FROM c2
+), model AS (
+  SELECT c2.w1, c2.w2,
+         CAST(round((
+           (CASE WHEN c2.c - {_KN_D} > 0 THEN c2.c - {_KN_D} ELSE 0 END) / c1.c1
+           + (({_KN_D} * c1.n1f) / c1.c1) * (CAST(cont.n1b AS DOUBLE) / tot.t)
+         ) * 1000000, 0) AS BIGINT) AS q
+  FROM c2
+  JOIN c1 ON c1.w1 = c2.w1
+  JOIN cont ON cont.w2 = c2.w2
+  CROSS JOIN tot
+)
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(m.q) AS BIGINT) AS q_sum,
+       round(CAST(sum(m.q) AS DOUBLE) / (1000000.0 * count(*)), 6)
+         AS familiarity
+FROM bg JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+GROUP BY bg.doc_id
+"""
+
+
+@register("q118_lm_familiarity", operators=("TXT4", "A11", "J1"),
+          oracle=_Q118_ORACLE)
+def q118_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model familiarity score: the mean Kneser-Ney
+    bigram probability of the document under the corpus-trained q101
+    model — the perplexity-proxy quality signal pipelines use to rank
+    documents by fluency/typicality (high mean probability = in-domain
+    text, low = noise or boilerplate-free novelty; CCNet/Wenzek et al.
+    2020 rank by LM perplexity the same way).
+
+    Float-sum determinism: a per-document SUM of double probabilities
+    would be partial-order-dependent (Spark and DuckDB add in different
+    orders), so each bigram's probability is first quantized to an
+    integer micro-probability q = round(p_kn * 1e6) — the same double
+    certified bit-exact by q101's parity, rounded once — and the per-doc
+    accumulation is exact BIGINT arithmetic (the q107 order-independence
+    discipline).  One division at output.
+
+    Scale shape: model training is q101's (two map-side-combined count
+    groupBys); scoring is ONE (w1, w2)-keyed join of doc bigrams against
+    the model (both sides corpus-scale, hash-partitioned — the q69
+    hot/cold join shape) and one doc_id groupBy with integer partial
+    aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    tl = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = tl.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tot = c2.agg(F.count(F.lit(1)).alias("t"))
+    D = F.lit(_KN_D)
+    p_kn = (
+        F.when(F.col("c") - D > 0, F.col("c") - D).otherwise(F.lit(0.0))
+        / F.col("c1")
+        + ((D * F.col("n1f")) / F.col("c1"))
+        * (F.col("n1b").cast("double") / F.col("t"))
+    )
+    model = (
+        c2.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.round(p_kn * F.lit(1000000), 0).cast("long").alias("q"),
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("q_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "q_sum",
+            F.round(
+                F.col("q_sum").cast("double")
+                / (F.lit(1000000.0) * F.col("n_bigrams")),
+                6,
+            ).alias("familiarity"),
+        )
+    )
