@@ -105,3 +105,47 @@ def triangle_counts(
         "degree",
         F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """``rounds`` rounds of k-core peeling: repeatedly drop nodes with
+    degree < k and restrict the edge set to surviving endpoints
+    (Matula & Beck 1983; the standard dense-subgraph / spam-farm screen
+    over co-occurrence and similarity graphs).
+
+    Returns ``(node, degree)`` over the subgraph surviving the LAST peel,
+    degree computed on the restricted edges — ``min(degree) >= k`` in the
+    output certifies the peel converged to the true k-core; a smaller
+    minimum means more rounds were needed (bounded-iteration truncation,
+    exactly like pagerank()'s fixed power-iteration count, so an unrolled
+    SQL oracle can replay it).
+
+    Shape per round: one degree aggregation (map-side combined) + two
+    semi-joins of the edge list against the surviving-node set, then a
+    localCheckpoint barrier (the q45/q100 iterative discipline — without
+    it AQE re-plans a DAG whose depth grows per round).  Edges only ever
+    shrink; every shuffle is on integer node keys.
+    """
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).localCheckpoint()
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -1737,3 +1737,73 @@ def q117_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev * dev / exp_n, 6).alias("chi2_term"),
         )
     )
+
+
+_Q119_K = 18
+
+_Q119_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey IS NOT NULL AND b.l_partkey IS NOT NULL
+        AND a.l_orderkey IS NOT NULL
+), e0 AS (
+  SELECT u, v FROM pairs
+  WHERE ((u * 1000003 + v) % 1000000007) % 5 = 0
+), d1 AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) t
+  GROUP BY node
+), k1 AS (SELECT node FROM d1 WHERE deg >= {_Q119_K}),
+e1 AS (
+  SELECT e0.u, e0.v FROM e0
+  JOIN k1 a ON a.node = e0.u JOIN k1 b ON b.node = e0.v
+), d2 AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1) t
+  GROUP BY node
+), k2 AS (SELECT node FROM d2 WHERE deg >= {_Q119_K}),
+e2 AS (
+  SELECT e1.u, e1.v FROM e1
+  JOIN k2 a ON a.node = e1.u JOIN k2 b ON b.node = e1.v
+)
+SELECT node, count(*) AS degree FROM (
+  SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2) t
+GROUP BY node
+"""
+
+
+@register("q119_kcore_peel", operators=("J3", "A11"), oracle=_Q119_ORACLE)
+def q119_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peel rounds toward the 18-core of the sampled part co-purchase
+    graph (same deterministic DOULION thinning as q116): the dense-
+    subgraph screen (Matula & Beck 1983) a pipeline uses to isolate
+    tightly-coupled item/near-dup communities and spam farms.
+
+    Bounded iteration exactly like q100's power iteration: the operator
+    (operators/graph.py kcore_peel) runs a fixed round count with a
+    localCheckpoint barrier per round, and the oracle unrolls the same
+    two rounds as CTEs — min(degree) in the output vs k says whether the
+    peel already converged.  Per round: one map-side degree aggregation
+    + two node-keyed semi-joins; edges only shrink."""
+    from cosmo_spark.operators.graph import kcore_peel
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_orderkey").isNotNull()
+    ).select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e = pairs.filter(
+        ((F.col("u") * F.lit(1000003) + F.col("v")) % F.lit(1000000007))
+        % F.lit(5) == F.lit(0)
+    )
+    return kcore_peel(e, k=_Q119_K, rounds=2)

@@ -184,3 +184,44 @@ def test_triangles_empty(spark):
 
     df = spark.createDataFrame([], "u long, v long")
     assert triangle_counts(df).count() == 0
+
+
+def _py_kcore(edge_list, k):
+    """Full fixpoint k-core: (node -> degree) inside the core."""
+    adj = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        drop = [n for n, nb in adj.items() if len(nb) < k]
+        changed = bool(drop)
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_kcore_converges_to_fixpoint(spark):
+    from cosmo_spark.operators.graph import kcore_peel
+
+    # K5 (a 4-core) plus a tail of pendants hanging off it: peeling the
+    # tail takes multiple rounds (5-6, 6-7, 7-8 unravel one per round)
+    edges = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    edges += [(5, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r["node"]: r["degree"] for r in kcore_peel(df, k=4, rounds=4).collect()
+    }
+    assert got == _py_kcore(edges, 4)
+    assert min(got.values()) >= 4  # converged
+
+
+def test_kcore_zero_rounds_is_input_degrees(spark):
+    from cosmo_spark.operators.graph import kcore_peel
+
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["degree"] for r in kcore_peel(df, k=99, rounds=0).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
