@@ -2739,3 +2739,98 @@ def q118_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("familiarity"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q120 — edit-distance near-dup verification within length-blocked candidates  #
+# --------------------------------------------------------------------------- #
+
+_Q120_PFX = 120       # chars of document prefix compared
+_Q120_BKT = 16        # length-bucket width
+_Q120_MAXD = 20       # max edit distance accepted
+
+_Q120_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, substr(text, 1, {_Q120_PFX}) AS pfx,
+         n_chars // {_Q120_BKT} AS bkt
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+), probes AS (
+  SELECT doc_id, lang, pfx, p.b AS probe
+  FROM d, unnest([bkt, bkt + 1]) AS p(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pfx AS pa, b.pfx AS pb
+  FROM probes a JOIN probes b
+    ON a.lang = b.lang AND a.probe = b.probe AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b, levenshtein(pa, pb) AS dist,
+         greatest(length(pa), length(pb)) AS mx
+  FROM cand
+)
+SELECT doc_a, doc_b, dist,
+       round(1.0 - CAST(dist AS DOUBLE) / mx, 6) AS sim
+FROM scored WHERE dist <= {_Q120_MAXD}
+"""
+
+
+@register("q120_editdist_near_dup", operators=("DD2", "J1"),
+          oracle=_Q120_ORACLE)
+def q120_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs verified by EDIT DISTANCE — the character-level
+    complement to the token-set verifiers already in the catalog (q39
+    exact Jaccard, q106 prefix-filter set similarity, q33 embedding
+    cosine): Levenshtein distance over 120-char document prefixes catches
+    small in-place edits (typo farms, template fills) that token-set
+    measures blur together.
+
+    Blocking, not all-pairs: documents are bucketed by (lang,
+    n_chars div 16) and each doc probes its own and the next-higher
+    length bucket — a near-dup within the accepted edit budget cannot
+    differ by more than a bucket width, and the symmetric two-probe
+    scheme finds straddling pairs regardless of id order.  Candidates
+    are then verified with ONE levenshtein call each; the comparison is
+    capped at a fixed prefix so per-pair cost is O(PFX^2) constant (at
+    cluster scale, Spark's 3-arg ``levenshtein(l, r, threshold)`` early-
+    exit form drops it to O(PFX*maxd)).  Both engines compute the same
+    codepoint-level distance, so parity is exact; the one division is
+    rounded at output."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    ).select(
+        "doc_id", "lang",
+        F.substring("text", 1, _Q120_PFX).alias("pfx"),
+        F.expr(f"n_chars div {_Q120_BKT}").alias("bkt"),
+    )
+    probes = d.select(
+        "doc_id", "lang", "pfx",
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("probe"),
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.probe") == F.col("b.probe"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pfx").alias("pa"),
+            F.col("b.pfx").alias("pb"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "doc_a", "doc_b",
+        F.levenshtein("pa", "pb").alias("dist"),
+        F.greatest(F.length("pa"), F.length("pb")).alias("mx"),
+    )
+    return scored.filter(F.col("dist") <= _Q120_MAXD).select(
+        "doc_a", "doc_b", "dist",
+        F.round(F.lit(1.0) - F.col("dist").cast("double") / F.col("mx"), 6)
+          .alias("sim"),
+    )
