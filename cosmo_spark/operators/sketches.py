@@ -135,3 +135,72 @@ def cms_probe_rows(df: DataFrame, carry: list[str], th_col: str = "th") -> DataF
         )
         probes = part if probes is None else probes.unionByName(part)
     return probes
+
+
+# --------------------------------------------------------------------------- #
+# KMV / theta sketch: per-key k smallest distinct hash values                  #
+# --------------------------------------------------------------------------- #
+
+#: KMV geometry shared by q110 and the streaming maintainer
+KMV_K = 64
+KMV_P = 1_000_000_007
+KMV_B = 4096
+KMV_NUMER = (KMV_K - 1) * KMV_P  # 6.3e10 < 2^53: exact in a double
+
+
+def kmv_k_smallest(
+    hs: DataFrame, keys: list[str], h: str = "h", k: int = KMV_K
+) -> DataFrame:
+    """Per-key k smallest values of a DISTINCT (keys..., h) frame — the KMV
+    sketch body — via bucket-cutoff rank selection, never a per-key full
+    sort (the q104 discipline): hashes bucket into KMV_B hash-range
+    cells, a tiny cumulative bucket table locates the cell holding the
+    kth value, and only rows at or below that cutoff (expected ~k per
+    key) reach the ranking window, which therefore sits above a bounded
+    Aggregate."""
+    from pyspark.sql.window import Window
+
+    bucketed = hs.withColumn(
+        "__bucket", ((F.col(h) * KMV_B) / KMV_P).cast("long")
+    )
+    w_cum = (
+        Window.partitionBy(*keys).orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.groupBy(*keys, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__cum", F.sum("__cnt").over(w_cum))
+    )
+    cutoff = cum.groupBy(*keys).agg(
+        F.coalesce(
+            F.min(F.when(F.col("__cum") >= k, F.col("__bucket"))),
+            F.max("__bucket"),
+        ).alias("__cut")
+    )
+    kept = bucketed.join(F.broadcast(cutoff), list(keys)).filter(
+        F.col("__bucket") <= F.col("__cut")
+    )
+    w_rank = Window.partitionBy(*keys).orderBy(h)
+    return (
+        kept.withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") <= k)
+        .select(*keys, h)
+    )
+
+
+def kmv_estimate(sk: DataFrame, keys: list[str], h: str = "h",
+                 k: int = KMV_K) -> DataFrame:
+    """(keys..., n_sk, est): the KMV distinct estimate (k-1)*P/h_k, with
+    the exact branch est = n when fewer than k values were ever observed
+    (the sketch IS the set) — identical operand order to the q110
+    oracle's expression."""
+    stats = sk.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max(h).alias("hk")
+    )
+    numer = F.lit(KMV_NUMER).cast("double")
+    return stats.select(
+        *keys, "n_sk",
+        F.when(F.col("n_sk") < k, F.col("n_sk").cast("double"))
+        .otherwise(numer / F.col("hk").cast("double")).alias("est"),
+    )

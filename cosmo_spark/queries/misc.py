@@ -1040,11 +1040,14 @@ def q51_dark_region_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: KMV geometry: k = 64 minimum distinct hash values per scope, hash
-#: domain [0, 1e9+7) (the catalog's arithmetic poly-hash)
-_KMV_K = 64
-_KMV_P = 1_000_000_007
-_KMV_B = 4096
-_KMV_NUMER = (_KMV_K - 1) * _KMV_P  # 6.3e10 < 2^53: exact in a double
+#: domain [0, 1e9+7) (the catalog's arithmetic poly-hash).  Shared with
+#: the streaming maintainer via operators/sketches.py (one definition,
+#: zero drift — the q107 HLL extraction discipline).
+from cosmo_spark.operators.sketches import (  # noqa: E402
+    KMV_K as _KMV_K,
+    KMV_NUMER as _KMV_NUMER,
+    KMV_P as _KMV_P,
+)
 
 
 def _q110_oracle() -> str:
@@ -1172,34 +1175,12 @@ def q110_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", poly_hash(F.col("tok")).alias("h"))
         .groupBy("source", "h").agg(F.lit(1).alias("__one")).drop("__one")
     )
-    # locate the bucket containing the kth-smallest hash per source
-    bucketed = hs.withColumn(
-        "bucket", ((F.col("h") * _KMV_B) / _KMV_P).cast("long")
-    )
-    w_cum = (
-        Window.partitionBy("source").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (
-        bucketed.groupBy("source", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("cum", F.sum("cnt").over(w_cum))
-    )
-    cutoff = cum.groupBy("source").agg(
-        F.coalesce(
-            F.min(F.when(F.col("cum") >= _KMV_K, F.col("bucket"))),
-            F.max("bucket"),
-        ).alias("cut")
-    )
-    kept = bucketed.join(F.broadcast(cutoff), "source").filter(
-        F.col("bucket") <= F.col("cut")
-    )
-    w_rank = Window.partitionBy("source").orderBy("h")
-    sk = (
-        kept.withColumn("r", F.row_number().over(w_rank))
-        .filter(F.col("r") <= _KMV_K)
-        .select("source", "h")
-    )
+    # per-source k smallest hashes: the shared bucket-cutoff rank
+    # selection (operators/sketches.py kmv_k_smallest — same fragment the
+    # streaming maintainer uses)
+    from cosmo_spark.operators.sketches import kmv_k_smallest
+
+    sk = kmv_k_smallest(hs, ["source"])
     numer = F.lit(_KMV_NUMER).cast("double")
 
     def est(n_col, hk_col):

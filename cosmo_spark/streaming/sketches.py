@@ -191,3 +191,100 @@ def cms_frequency_estimates(
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# KMV values: the SET-UNION merge algebra                                      #
+# --------------------------------------------------------------------------- #
+
+KMV_SCHEMA = "key STRING, h BIGINT"
+
+
+def stream_kmv_values(
+    stream: DataFrame,
+    key_col: str,
+    text_col: str,
+    value_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Maintain q110's KMV/theta sketches over a document stream: each
+    micro-batch's per-key k smallest distinct token hashes APPEND to an
+    at-rest value log.
+
+    Merge algebra is SET UNION + re-select-k-smallest — like HLL's max
+    (and unlike CMS's addition) it is associative, commutative and
+    IDEMPOTENT: a checkpoint-retried batch re-appends identical (key, h)
+    rows, and the reader's distinct absorbs them — no batch_id
+    bookkeeping needed.  Appended state is at most keys x k rows per
+    batch regardless of batch size, and unlike HLL registers the
+    retained VALUES keep supporting q110's union/intersection set
+    algebra across streamed sources."""
+    from cosmo_spark.operators.sketches import kmv_k_smallest
+
+    def upsert(batch_df, batch_id):
+        from cosmo_spark.functions.text import poly_hash, tokenize
+
+        hs = (
+            batch_df.filter(
+                F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
+            )
+            .select(
+                F.col(key_col).cast("string").alias("key"),
+                F.explode(tokenize(F.col(text_col))).alias("tok"),
+            )
+            .select("key", poly_hash(F.col("tok")).alias("h"))
+            .distinct()
+        )
+        kmv_k_smallest(hs, ["key"]).write.mode("append").parquet(value_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv_values(spark: SparkSession, value_path: str) -> DataFrame:
+    """Merged per-key sketch from the append log: distinct (set union —
+    absorbs retried appends) then the shared k-smallest re-selection.
+    The log holds at most keys x k x batches rows, so the re-selection
+    runs over sketch-sized data, never the corpus."""
+    from cosmo_spark.operators.sketches import kmv_k_smallest
+
+    log = spark.read.schema(KMV_SCHEMA).parquet(value_path).distinct()
+    return kmv_k_smallest(log, ["key"])
+
+
+def kmv_distinct_estimates(spark: SparkSession, value_path: str) -> DataFrame:
+    """(key, n_sk, est) dashboard values from the at-rest log (shared
+    estimator: (k-1)*P/h_k, exact branch below k)."""
+    from cosmo_spark.operators.sketches import kmv_estimate
+
+    return kmv_estimate(read_kmv_values(spark, value_path), ["key"])
+
+
+def compact_kmv_values(spark: SparkSession, value_path: str) -> None:
+    """Rewrite the append log toward its merged minimum (keys x <=k rows).
+    Same crash/concurrency recipe as compact_hll_registers — append the
+    merged rows first, then delete exactly the files the merge read;
+    safe BECAUSE the union-merge is idempotent."""
+    import glob
+    import os
+
+    snapshot = sorted(glob.glob(os.path.join(value_path, "*.parquet")))
+    if not snapshot:
+        return
+    from cosmo_spark.operators.sketches import kmv_k_smallest
+
+    merged = kmv_k_smallest(
+        spark.read.schema(KMV_SCHEMA).parquet(*snapshot).distinct(), ["key"]
+    )
+    merged.write.mode("append").parquet(value_path)
+    for f in snapshot:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
