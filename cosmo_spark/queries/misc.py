@@ -1788,3 +1788,105 @@ def q119_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         % F.lit(5) == F.lit(0)
     )
     return kcore_peel(e, k=_Q119_K, rounds=2)
+
+
+_Q121_ORACLE = """
+WITH f AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS x,
+         epoch(o_orderdate) AS y
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_orderdate IS NOT NULL
+), r AS (
+  SELECT grp,
+         2 * rank() OVER (PARTITION BY grp ORDER BY x)
+           + count(*) OVER (PARTITION BY grp, x) - 1 AS r2x,
+         2 * rank() OVER (PARTITION BY grp ORDER BY y)
+           + count(*) OVER (PARTITION BY grp, y) - 1 AS r2y
+  FROM f
+), s AS (
+  SELECT grp, count(*) AS n,
+         CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+         CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+         CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+         CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+  FROM r GROUP BY grp
+)
+SELECT grp, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN round(
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+              6)
+       END AS spearman_rho
+FROM s
+"""
+
+
+@register("q121_spearman_corr", operators=("A6", "A4"), oracle=_Q121_ORACLE)
+def q121_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Spearman rank correlation between order value and order
+    date — the distribution-free monotone-association screen (price
+    drift over time per priority class) pipelines prefer over Pearson on
+    heavy-tailed metrics.
+
+    Tie-aware average ranks come from the shared exact-rank primitive
+    (operators/robust.py grouped_less_cumsum — the q104/q113/q114
+    machinery; the oracle uses the plain rank()/count() windows the
+    engine refuses to run), DOUBLED to stay integral: r2 = 2*less +
+    ties + 1 = 2*avg_rank, and Pearson's rho is invariant under the
+    per-variable scaling, so every per-group sum (sx, sxx, sxy, ...) is
+    exact BIGINT arithmetic — order-independent across engines.  The
+    single float expression (one division, one IEEE-exact sqrt) is
+    written with identical operand order in both engines and rounded
+    once; single-value groups emit NULL (zero variance).
+
+    Scale shape: two rank tables each built with parallelism ~ groups x
+    buckets (no per-group sort), two (grp, value)-keyed hydration joins,
+    one integer aggregation.  BIGINT products stay exact to n ~ 1.3e6
+    rows/group; the double cast (correctly rounded, identical both
+    engines) keeps parity beyond that."""
+    from cosmo_spark.operators.robust import grouped_less_cumsum
+
+    f = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+        F.unix_timestamp("o_orderdate").alias("y"),
+    )
+
+    def r2(val):
+        lc = grouped_less_cumsum(f, "grp", val)
+        cnt = f.groupBy("grp", val).agg(F.count(F.lit(1)).alias("__cnt"))
+        return lc.join(cnt, ["grp", val]).select(
+            "grp", val,
+            (2 * F.col("less") + F.col("__cnt") + 1).alias(f"r2{val}"),
+        )
+
+    rows = (
+        f.join(r2("x"), ["grp", "x"])
+        .join(r2("y"), ["grp", "y"])
+        .select("grp", "r2x", "r2y")
+    )
+    s = rows.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2x").alias("sx"), F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return s.select(
+        "grp", "n",
+        F.when(
+            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+        ).alias("spearman_rho"),
+    )
