@@ -400,3 +400,144 @@ def q68_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q122 — hybrid retrieval: reciprocal-rank fusion of lexical + embedding lists #
+# --------------------------------------------------------------------------- #
+
+_Q122_K = 10      # depth of each retrieval list
+_Q122_C = 60      # RRF constant (Cormack/Clarke/Buettcher 2009)
+_Q122_NQ = 4      # probe queries: doc/vec ids < 4 (aligned tables)
+
+_Q122_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < {_Q122_NQ}),
+epairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS sim
+  FROM q CROSS JOIN v c WHERE q.vec_id <> c.vec_id
+), em AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM epairs) t WHERE rank <= {_Q122_K}
+), tl AS (
+  SELECT doc_id, u.w AS w
+  FROM (SELECT doc_id,
+               list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 t -> t <> '')) AS toks
+        FROM documents WHERE text IS NOT NULL) d,
+       unnest(d.toks) AS u(w)
+), dfq AS (SELECT w, count(*) AS df FROM tl GROUP BY w),
+probe AS (SELECT doc_id AS query_id, w FROM tl WHERE doc_id < {_Q122_NQ}),
+lpair AS (
+  SELECT p.query_id, t.doc_id AS neighbor_id,
+         CAST(sum(1000000 // d.df) AS BIGINT) AS score
+  FROM probe p
+  JOIN tl t ON t.w = p.w AND t.doc_id <> p.query_id
+  JOIN dfq d ON d.w = p.w
+  GROUP BY p.query_id, t.doc_id
+), le AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM lpair) t WHERE rank <= {_Q122_K}
+), fused AS (
+  SELECT coalesce(le.query_id, em.query_id) AS query_id,
+         coalesce(le.neighbor_id, em.neighbor_id) AS neighbor_id,
+         le.rank AS r_lex, em.rank AS r_emb,
+         coalesce(1.0 / ({_Q122_C} + le.rank), 0.0)
+           + coalesce(1.0 / ({_Q122_C} + em.rank), 0.0) AS rrf
+  FROM le FULL OUTER JOIN em
+    ON le.query_id = em.query_id AND le.neighbor_id = em.neighbor_id
+)
+SELECT query_id, neighbor_id, r_lex, r_emb, round(rrf, 6) AS rrf_score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, neighbor_id) AS fused_rank
+FROM fused
+"""
+
+
+@register("q122_hybrid_rrf_search", operators=("SIM1", "J1", "A11"),
+          oracle=_Q122_ORACLE)
+def q122_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009 — the fusion rule behind today's hybrid RAG search):
+    for each probe document, an EMBEDDING list (exact cosine top-10, the
+    q32 two-phase machinery) and a LEXICAL list (idf-weighted distinct-
+    token overlap) are merged by rrf = sum 1/(60 + rank) — rank fusion
+    needs no score calibration between the two modalities, which is why
+    it wins in practice.
+
+    Determinism discipline: the lexical score sums INTEGER idf weights
+    (1000000 div df — integer division in both engines), so per-pair
+    accumulation is order-independent; cosine sims are the certified
+    q32 element-order expressions; the RRF score is one fixed-shape
+    float expression over small-integer ranks; every ranking window
+    carries the neighbor-id tiebreak.
+
+    Scale shape: probes broadcast against the corpus on both paths
+    (corpus never shuffles for the embedding list; the lexical path is
+    one postings join bounded by probe vocabulary, df table broadcast —
+    the q85 shape); both per-query rankings go through the two-phase
+    top-k (never one reducer per query over the corpus); the fusion
+    join and final window act on <= 2k rows per query."""
+    from cosmo_spark.operators.similarity import _grouped_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    emb = cosine_topk(
+        e, e.filter(F.col("vec_id") < _Q122_NQ), "embedding", "vec_id",
+        k=_Q122_K,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("r_emb"))
+
+    from cosmo_spark.functions.text import tokenize
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tl = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("w"),
+    )
+    dfq = tl.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    probe = tl.filter(F.col("doc_id") < _Q122_NQ).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    lpair = (
+        probe.join(
+            tl.select(F.col("doc_id").alias("neighbor_id"), "w"), "w"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(dfq), "w")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.expr("1000000 div df")).alias("score"))
+    )
+    le = _grouped_topk(
+        lpair.select(
+            "query_id", "neighbor_id",
+            F.col("score").cast("double").alias("cos_sim"),
+        ),
+        _Q122_K,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("r_lex"))
+
+    fused = le.join(emb, ["query_id", "neighbor_id"], "full").select(
+        "query_id", "neighbor_id", "r_lex", "r_emb",
+        (
+            F.coalesce(1.0 / (F.lit(_Q122_C) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_Q122_C) + F.col("r_emb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return fused.select(
+        "query_id", "neighbor_id", "r_lex", "r_emb",
+        F.round("rrf", 6).alias("rrf_score"),
+        F.row_number().over(w).alias("fused_rank"),
+    )
