@@ -512,3 +512,35 @@ def test_q100_pagerank_iterations_truncate_lineage(spark, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     assert "FileScan parquet" not in plan and "Scan parquet" not in plan
+
+
+def test_q116_triangle_joins_are_hash_equi_joins(spark, qs):
+    """The wedge enumeration and closing joins must be hash/sort-merge
+    EQUI-joins on node keys — a BroadcastNestedLoop or CartesianProduct
+    here means the orientation inequality leaked into the join keys and
+    the plan degenerated to all-pairs.  The DOULION sampling filter must
+    also reach the pairs self-join (pre-distinct), not run post-hoc."""
+    df = qs["q116_triangle_count"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # sampling predicate fused into the lineitem self-join condition
+    assert "1000003" in plan
+
+
+def test_q122_fusion_join_no_corpus_window(spark, qs):
+    """Both retrieval lists go through the two-phase top-k; the only
+    cartesian in the plan is the q32-style broadcast of the 4 probe
+    vectors against the corpus (the documented ADC/brute-force
+    primitive), never a corpus x corpus product."""
+    import re
+
+    df = qs["q122_hybrid_rrf_search"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("CartesianProduct") == 0
+    # the probe-side cross join must be a BROADCAST nested loop (tiny
+    # side shipped), and only for the embedding brute-force primitive
+    # (formatted explain prints every operator twice — tree + detail —
+    # so count the detail headers)
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj) <= 1, plan
