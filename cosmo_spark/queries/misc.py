@@ -1890,3 +1890,64 @@ def q121_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
         ).alias("spearman_rho"),
     )
+
+
+_Q123_ORACLE = """
+WITH f AS (
+  SELECT l_returnflag AS flag, l_discount AS d,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+        AND l_quantity IS NOT NULL AND l_quantity > 0
+), vb AS (
+  SELECT flag, d, CAST(sum(q) AS BIGINT) AS c FROM f GROUP BY flag, d
+), cum AS (
+  SELECT flag, d, c,
+         CAST(sum(c) OVER (PARTITION BY flag ORDER BY d) AS BIGINT) AS cw,
+         CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS w
+  FROM vb
+)
+SELECT flag, w AS total_weight, min(d) AS wmedian
+FROM cum WHERE cw >= (w + 1) // 2
+GROUP BY flag, w
+"""
+
+
+@register("q123_weighted_median", operators=("A6", "A11"), oracle=_Q123_ORACLE)
+def q123_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median discount per return flag — the
+    weighted-quantile operator (every unit of quantity votes, not every
+    row): the smallest discount whose cumulative weight reaches
+    ceil(W/2).
+
+    The engine side exercises grouped_less_cumsum's WEIGHT path
+    (operators/robust.py — the same two-layer bucket decomposition as
+    q104, aggregating sum(weight) instead of row counts): per
+    (flag, discount) it yields the weight strictly below; adding the
+    value's own weight (one per-(flag, value) aggregate) and taking the
+    minimum qualifying value is pure integer arithmetic — the oracle's
+    cumulative window over the value table states the same thing.
+    No per-group sort of facts anywhere; weights are exact BIGINTs
+    (quantities are integral by data contract, CAST both engines)."""
+    from cosmo_spark.operators.robust import grouped_less_cumsum
+
+    f = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & (F.col("l_quantity") > 0)
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_discount").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    lc = grouped_less_cumsum(f, "flag", "d", weight="q")
+    cv = f.groupBy("flag", "d").agg(F.sum("q").alias("c"))
+    m = (F.col("grp_total") + 1) - ((F.col("grp_total") + 1) % 2)  # 2*ceil(W/2)
+    qual = (
+        lc.join(cv, ["flag", "d"])
+        .filter(2 * (F.col("less") + F.col("c")) >= m)
+    )
+    return qual.groupBy("flag", F.col("grp_total").alias("total_weight")).agg(
+        F.min("d").alias("wmedian")
+    )

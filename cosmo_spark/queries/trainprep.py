@@ -1600,3 +1600,91 @@ def q96_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0))
         .cast("long").alias("quota"),
     )
+
+
+_Q124_ORACLE = """
+WITH f AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+), vb AS (
+  SELECT source, v, count(*) AS c FROM f GROUP BY source, v
+), cum AS (
+  SELECT source, v, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_less,
+         CAST(coalesce(sum(v * c) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s_less
+  FROM vb
+), agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * c) AS BIGINT) AS s,
+         CAST(sum(c * (v * n_less - s_less)) AS BIGINT) AS half_delta
+  FROM cum GROUP BY source
+)
+SELECT source, n AS n_docs,
+       CASE WHEN s > 0
+            THEN round(CAST(2 * half_delta AS DOUBLE)
+                       / (2.0 * n * s), 6)
+            ELSE 0.0 END AS gini
+FROM agg
+"""
+
+
+@register("q124_gini_concentration", operators=("A6", "A4"),
+          oracle=_Q124_ORACLE)
+def q124_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the concentration
+    /inequality profile a mixing pipeline checks before weighting
+    sources (a source whose token mass sits in a few huge documents
+    behaves very differently under sampling than an even one; same
+    statistic used for label/source imbalance audits).
+
+    Exact mean-difference form, no sort of facts: G = Delta / (2*n*S)
+    with Delta = sum over ordered pairs |x_i - x_j|, decomposed per
+    distinct value as 2*c_v*(v*n_less - s_less) — the strictly-below
+    counts and strictly-below value sums are BOTH grouped_less_cumsum
+    runs (weight=None and weight=value), so every term is exact BIGINT
+    and order-independent; one division + round at output.  Work unit =
+    distinct (source, length) values (the q104 class), replication-
+    invariant; int64 is exact to ~n*v*n < 2^63 (documented bound, the
+    q109 two-level-mod recipe applies beyond)."""
+    from cosmo_spark.operators.robust import grouped_less_cumsum
+
+    f = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") >= 0)
+    ).select("source", F.col("n_chars").cast("long").alias("v"))
+    lc_n = grouped_less_cumsum(f, "source", "v", out_col="n_less")
+    lc_s = grouped_less_cumsum(
+        f.withColumn("w", F.col("v")), "source", "v", weight="w",
+        out_col="s_less",
+    ).select("source", "v", "s_less")
+    cv = f.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        cv.join(lc_n, ["source", "v"])
+        .join(lc_s, ["source", "v"])
+    )
+    agg = cells.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("s"),
+        F.sum(
+            F.col("c") * (F.col("v") * F.col("n_less") - F.col("s_less"))
+        ).alias("half_delta"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.when(
+            F.col("s") > 0,
+            F.round(
+                (2 * F.col("half_delta")).cast("double")
+                / (F.lit(2.0) * F.col("n") * F.col("s")),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("gini"),
+    )
