@@ -149,3 +149,41 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def copurchase_edges(
+    lineitem: DataFrame, sample_mod: int | None = 5
+) -> DataFrame:
+    """Distinct undirected (u < v) part co-purchase edges: parts adjacent
+    iff they appear in the same order — the market-basket graph q116 and
+    q119 analyze (ONE definition so the two queries and their oracles can
+    never drift).
+
+    ``sample_mod`` applies the DOULION deterministic Bernoulli thinning
+    (Tsourakakis et al., KDD 2009): keep an edge iff an integer hash of
+    (u, v) lands in 1/sample_mod of the space — reproducible in ANSI SQL,
+    the published cost/accuracy lever for superlinear graph statistics.
+    None disables sampling.
+
+    Shape: per-order pair explosion bounded by (lines-per-order choose 2),
+    the sampling predicate pushes INTO the self-join (plan-gated in
+    tests/test_plans.py), and one (u, v) distinct shuffle follows."""
+    l = lineitem.filter(
+        F.col("l_partkey").isNotNull() & F.col("l_orderkey").isNotNull()
+    ).select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    if sample_mod is None:
+        return pairs
+    return pairs.filter(
+        ((F.col("u") * F.lit(1000003) + F.col("v")) % F.lit(1000000007))
+        % F.lit(sample_mod) == F.lit(0)
+    )

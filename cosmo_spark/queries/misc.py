@@ -1583,25 +1583,9 @@ def q116_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical sampled graph with the naive
     3-way join (exact at sf0.01), so the orientation machinery is
     certified against the textbook definition."""
-    from cosmo_spark.operators.graph import triangle_counts
+    from cosmo_spark.operators.graph import copurchase_edges, triangle_counts
 
-    l = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_partkey").isNotNull() & F.col("l_orderkey").isNotNull()
-    ).select("l_orderkey", "l_partkey")
-    a, b = l.alias("a"), l.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    e = pairs.filter(
-        ((F.col("u") * F.lit(1000003) + F.col("v")) % F.lit(1000000007))
-        % F.lit(5) == F.lit(0)
-    )
+    e = copurchase_edges(_t(spark, sf_dir, "lineitem"))
     tc = triangle_counts(e)
     return tc.select(
         "node",
@@ -1768,25 +1752,9 @@ def q119_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     two rounds as CTEs — min(degree) in the output vs k says whether the
     peel already converged.  Per round: one map-side degree aggregation
     + two node-keyed semi-joins; edges only shrink."""
-    from cosmo_spark.operators.graph import kcore_peel
+    from cosmo_spark.operators.graph import copurchase_edges, kcore_peel
 
-    l = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_partkey").isNotNull() & F.col("l_orderkey").isNotNull()
-    ).select("l_orderkey", "l_partkey")
-    a, b = l.alias("a"), l.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    e = pairs.filter(
-        ((F.col("u") * F.lit(1000003) + F.col("v")) % F.lit(1000000007))
-        % F.lit(5) == F.lit(0)
-    )
+    e = copurchase_edges(_t(spark, sf_dir, "lineitem"))
     return kcore_peel(e, k=_Q119_K, rounds=2)
 
 
