@@ -90,3 +90,58 @@ def read_sharded_jsonl(
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path + "_manifest")
+
+
+def write_sharded_columnar(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    fmt: str = "orc",
+    max_records_per_file: int = 0,
+    compression: str | None = None,
+) -> None:
+    """Columnar twin of ``write_sharded_jsonl`` for the interchange formats
+    downstream training stacks actually mount: ``fmt`` is ``"orc"`` or
+    ``"parquet"`` (both built into Spark — no external jars), same
+    deterministic content-keyed shard layout ``path/shard=K/part-*`` and
+    the same sibling ``<path>_manifest`` parquet (n_rows, n_docs; no
+    approx_bytes — columnar encoding sizes are codec-dependent, and a
+    fabricated number is worse than none).
+
+    Why both: JSONL is the lingua franca for text pipelines; ORC/parquet
+    shards keep types (arrays, binaries, timestamps) and push column
+    pruning/predicates to readers — a 100 TB corpus re-read by many
+    consumers wants the columnar form."""
+    if fmt not in ("orc", "parquet"):
+        raise ValueError(f"fmt must be 'orc' or 'parquet', got {fmt!r}")
+    sharded = with_shard(df, key_col, n_shards).persist()
+    try:
+        writer = (
+            sharded.repartition(n_shards, "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+        )
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.format(fmt).save(path)
+
+        manifest = sharded.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key_col).alias("n_docs"),
+        )
+        manifest.coalesce(1).write.mode("overwrite").parquet(path + "_manifest")
+    finally:
+        sharded.unpersist()
+
+
+def read_sharded_columnar(
+    spark: SparkSession, path: str, fmt: str = "orc"
+) -> DataFrame:
+    """Read a columnar sharded export back; ``shard`` returns as a
+    partition column (pruned when filtered — the point of the layout)."""
+    if fmt not in ("orc", "parquet"):
+        raise ValueError(f"fmt must be 'orc' or 'parquet', got {fmt!r}")
+    return spark.read.format(fmt).load(path)

