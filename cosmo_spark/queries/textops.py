@@ -2871,7 +2871,10 @@ def q120_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("dist") >= 0).select(
-        "doc_a", "doc_b", "dist",
+        "doc_a", "doc_b",
+        # DuckDB's levenshtein yields BIGINT; Spark's yields INT — match
+        # the oracle's width (the dtype-parity gate is type-sensitive)
+        F.col("dist").cast("long").alias("dist"),
         F.round(F.lit(1.0) - F.col("dist").cast("double") / F.col("mx"), 6)
           .alias("sim"),
     )

@@ -494,7 +494,9 @@ def q122_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cosine_topk(
         e, e.filter(F.col("vec_id") < _Q122_NQ), "embedding", "vec_id",
         k=_Q122_K,
-    ).select("query_id", "neighbor_id", F.col("rank").alias("r_emb"))
+    ).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("r_emb")
+    )
 
     from cosmo_spark.functions.text import tokenize
 
@@ -522,7 +524,9 @@ def q122_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("double").alias("cos_sim"),
         ),
         _Q122_K,
-    ).select("query_id", "neighbor_id", F.col("rank").alias("r_lex"))
+    ).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("r_lex")
+    )
 
     fused = le.join(emb, ["query_id", "neighbor_id"], "full").select(
         "query_id", "neighbor_id", "r_lex", "r_emb",
@@ -539,5 +543,5 @@ def q122_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         "query_id", "neighbor_id", "r_lex", "r_emb",
         F.round("rrf", 6).alias("rrf_score"),
-        F.row_number().over(w).alias("fused_rank"),
+        F.row_number().over(w).cast("long").alias("fused_rank"),
     )
