@@ -2822,7 +2822,15 @@ def q120_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``levenshtein(l, r, maxd)`` (O(PFX*maxd) per pair, exact for every
     distance <= maxd, -1 beyond).  Both engines agree on codepoint-level
     distance; the one division is rounded at output."""
-    d = _t(spark, sf_dir, "documents").filter(
+    docs = _t(spark, sf_dir, "documents")
+    return editdist_near_dup_pairs(docs)
+
+
+def editdist_near_dup_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, dist, sim) Pass-Join edit-distance near-dup pairs of
+    a raw ``documents`` frame — the q120 pipeline as a reusable stage (also
+    one of q125's evidence sources; ONE definition, zero drift)."""
+    d = docs.filter(
         F.col("text").isNotNull()
         & F.col("lang").isNotNull()
         & F.col("n_chars").isNotNull()
@@ -2878,3 +2886,98 @@ def q120_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - F.col("dist").cast("double") / F.col("mx"), 6)
           .alias("sim"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q125 — composite entity resolution: three evidence channels, one closure     #
+# --------------------------------------------------------------------------- #
+
+
+def _q125_oracle() -> str:
+    from cosmo_spark.queries.vectorops import EMB_NEARDUP_SQL
+
+    mh = _minhash_oracle().strip()
+    ed = _q120_oracle().strip()
+    emb = EMB_NEARDUP_SQL.strip()
+    return f"""
+WITH RECURSIVE mh AS (
+  {mh}
+), emb AS (
+  {emb}
+), ed AS (
+  {ed}
+), pr AS (
+  SELECT id_a, id_b FROM mh
+  UNION SELECT id_a, id_b FROM emb
+  UNION SELECT doc_a AS id_a, doc_b AS id_b FROM ed
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pr
+), reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+), comp AS (
+  SELECT id, CAST(least(id, min(peer)) AS BIGINT) AS cluster
+  FROM reach GROUP BY id
+), sizes AS (
+  SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster
+)
+SELECT c.id, c.cluster, s.cluster_size
+FROM comp c JOIN sizes s USING (cluster)
+"""
+
+
+@register("q125_entity_resolution", operators=("DD6", "DD2", "DD5"),
+          oracle=_q125_oracle())
+def q125_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite entity resolution: near-duplicate clusters over the UNION
+    of three independent evidence channels — token-set (q39's LSH-found,
+    exact-Jaccard-verified pairs), embedding cosine (q33's label-blocked
+    pairs at 0.90), and character-level edit distance (q120's Pass-Join
+    pairs) — closed transitively into entities.  This is the production
+    ER shape: no single similarity measure catches every duplicate
+    surface form, so evidence sets are unioned BEFORE the closure (two
+    docs linked lexically to a third merge into one entity even if they
+    never matched each other directly).
+
+    Every evidence channel is the catalog's own certified pipeline
+    (shared code AND shared oracle text — minhash/q120 builders and
+    vectorops.EMB_NEARDUP_SQL are composed verbatim), the closure is the
+    q45 machinery (iterative min-label propagation, localCheckpoint per
+    round) against a recursive-CTE oracle, and cluster sizes ride one
+    aggregate + join.  Scale: each channel is independently bounded
+    (LSH bands / blocked cosine / chunk equijoin); the union graph's CC
+    cost is O(diameter) rounds over pair edges only."""
+    from cosmo_spark.operators.dedup import (
+        duplicate_clusters,
+        embedding_near_dups,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_table(d, "text", "doc_id", shingle_n=3).persist()
+    mh = ngram_jaccard_pairs(
+        d, "text", "doc_id",
+        candidate_pairs=minhash_candidates(
+            d, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3, shingles=sh
+        ),
+        shingles=sh,
+    ).select("id_a", "id_b")
+
+    e = _t(spark, sf_dir, "embeddings")
+    emb = embedding_near_dups(
+        e, "embedding", "vec_id", threshold=0.90, block_col="label", dim=64
+    ).select("id_a", "id_b")
+
+    ed = editdist_near_dup_pairs(d).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+
+    pairs = mh.unionByName(emb).unionByName(ed).distinct()
+    comp = duplicate_clusters(pairs).select("id", "cluster")
+    sizes = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster").select("id", "cluster", "cluster_size")

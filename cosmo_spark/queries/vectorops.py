@@ -118,10 +118,8 @@ def q32_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q33_embedding_near_dup",
-    operators=("DD5",),
-    oracle="""
+#: q33's oracle, shared with q125's composite-evidence oracle (textops)
+EMB_NEARDUP_SQL = """
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -132,7 +130,13 @@ pairs AS (
 )
 SELECT id_a, id_b, round(sim, 6) AS cos_sim
 FROM pairs WHERE sim >= 0.90
-""",
+"""
+
+
+@register(
+    "q33_embedding_near_dup",
+    operators=("DD5",),
+    oracle=EMB_NEARDUP_SQL,
 )
 def q33_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection, blocked by label — the
