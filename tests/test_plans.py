@@ -544,3 +544,27 @@ def test_q122_fusion_join_no_corpus_window(spark, qs):
     # so count the detail headers)
     bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
     assert len(bnlj) <= 1, plan
+
+
+def test_no_cartesian_product_anywhere(spark, qs):
+    """Catalog-wide join-shape contract (the window gate's sibling): a
+    CartesianProduct node means BOTH sides of a cross join were too big
+    to broadcast — at corpus scale that is quadratic I/O no matter what
+    follows it.  Every intentional cross join in the catalog is a
+    broadcast one (global-stat scalars cross-joined back, the q32/q87
+    brute-force primitives), which plans as BroadcastNestedLoopJoin;
+    surveyed at round 7: 23 queries carry BNLJ, zero carry
+    CartesianProduct — this keeps it that way, failing by query name."""
+    import re
+
+    bad = {}
+    for name, q in qs.items():
+        try:
+            df = q.spark_fn(spark, SF)
+        except Exception:
+            continue  # construction errors are other tests' business
+        plan = physical_plan(df)
+        n = len(re.findall(r"^\(\d+\) CartesianProduct", plan, re.M))
+        if n:
+            bad[name] = n
+    assert not bad, bad
