@@ -206,3 +206,48 @@ def atomic_overwrite(df, path: str) -> None:
         fs.delete(dst, True)
     if not fs.rename(src, dst):
         raise IOError(f"atomic_overwrite: rename {tmp} -> {path} failed")
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    quarantine_path: str | None = None,
+):
+    """PERMISSIVE JSONL ingest with a corrupt-record quarantine channel:
+    returns ``(clean, bad)`` DataFrames; ``bad`` carries the raw offending
+    line in ``_corrupt_record`` (and is also appended to
+    ``quarantine_path`` as parquet when given, so a 100 TB backfill can
+    triage breakage without re-reading the source).
+
+    The reference aborts a whole SMS file on one bad line
+    (ref: cosmo/sms/sms.py SmsFileParseError); at corpus scale the right
+    contract is per-RECORD isolation: every parseable row flows, every
+    unparseable byte string is retained as evidence.  FAILFAST remains
+    available by just reading with the schema directly.
+
+    Spark caveat encoded here: queries over a raw PERMISSIVE scan refuse
+    to plan once column pruning leaves ONLY the corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — even
+    ``clean.count()`` trips it, because the corrupt-null filter is all
+    that remains).  So the two channels come from two independent
+    single-pass scans: ``clean`` reads with mode=DROPMALFORMED (no
+    corrupt column anywhere in its plan — every query shape works), and
+    ``bad`` reads PERMISSIVE with the column declared (aggregate the
+    PARQUET quarantine or collect it; both reference all columns)."""
+    clean = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    full_schema = schema.rstrip() + ", _corrupt_record STRING"
+    bad = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .filter(F.col("_corrupt_record").isNotNull())
+    )
+    if quarantine_path:
+        bad.write.mode("append").parquet(quarantine_path)
+    return clean, bad

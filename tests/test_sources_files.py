@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import json
+
+from pyspark.sql import functions as F
 import os
 import subprocess
 import sys
@@ -143,3 +145,52 @@ def test_attach_prop_typ(spark):
     )
     got = {r.ROOTNAME: r.PROP_TYP for r in attach_prop_typ(df, anc).collect()}
     assert got == {"r1": "CAL", "r2": None}  # dedupe + left join (ref :151-157)
+
+
+# ----------------------------------------------------------- quarantine
+
+
+def test_jsonl_quarantine_splits_and_retains_evidence(spark, tmp_path):
+    """Per-record isolation: parseable rows flow, unparseable lines are
+    retained verbatim in the quarantine channel (and at rest when a
+    path is given) — never a whole-file abort, never silent drops."""
+    from cosmo_spark.sources.files import read_jsonl_quarantine
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "not-an-int", "text": "gamma"}\n'
+        '{broken\n'
+    )
+    qdir = tmp_path / "quarantine"
+    clean, bad = read_jsonl_quarantine(
+        spark, str(src), "doc_id BIGINT, text STRING", str(qdir)
+    )
+    got = {(r["doc_id"], r["text"]) for r in clean.collect()}
+    assert got == {(1, "alpha"), (2, "beta")}
+    raws = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(raws) == 3
+    assert "THIS IS NOT JSON" in raws and "{broken" in raws
+    # at-rest evidence matches the channel (the parquet quarantine is
+    # the aggregable copy — the raw reader refuses corrupt-only queries)
+    ondisk = spark.read.parquet(str(qdir))
+    assert ondisk.count() == 3
+    assert ondisk.filter(F.col("_corrupt_record").isNotNull()).count() == 3
+
+
+def test_jsonl_quarantine_all_clean_and_all_bad(spark, tmp_path):
+    from cosmo_spark.sources.files import read_jsonl_quarantine
+
+    ok = tmp_path / "ok.jsonl"
+    ok.write_text('{"doc_id": 7, "text": "x"}\n')
+    clean, bad = read_jsonl_quarantine(spark, str(ok), "doc_id BIGINT, text STRING")
+    assert clean.count() == 1 and len(bad.collect()) == 0
+
+    nope = tmp_path / "nope.jsonl"
+    nope.write_text("}{\nnot json either\n")
+    clean, bad = read_jsonl_quarantine(
+        spark, str(nope), "doc_id BIGINT, text STRING"
+    )
+    assert clean.count() == 0 and len(bad.collect()) == 2
