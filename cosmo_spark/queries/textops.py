@@ -2981,3 +2981,64 @@ def q125_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = duplicate_clusters(pairs).select("id", "cluster")
     sizes = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster").select("id", "cluster", "cluster_size")
+
+
+# --------------------------------------------------------------------------- #
+# q126 — exact-k-per-stratum deterministic sample                              #
+# --------------------------------------------------------------------------- #
+
+_Q126_K = 8
+
+_Q126_TEXT_HASH = _DUCK_POLY.replace("{X}", "text")
+
+_Q126_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, {_Q126_TEXT_HASH} AS h
+  FROM (SELECT source, doc_id, text FROM documents
+        WHERE source IS NOT NULL AND text IS NOT NULL)
+), ranked AS (
+  SELECT source, doc_id, h,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY h, doc_id) AS rank
+  FROM d
+)
+SELECT source, doc_id, h, rank FROM ranked WHERE rank <= {_Q126_K}
+"""
+
+
+@register("q126_exact_k_sample", operators=("A8", "P16"), oracle=_Q126_ORACLE)
+def q126_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k documents per stratum, deterministically: the k smallest
+    content-hash values per source (ties by doc_id) — the quota-based
+    complement to q46's rate-based stratified sampling, and the standard
+    way eval/holdout sets are cut (same k rows re-emerge run after run
+    and under incremental ingest, because membership depends only on
+    content, never on partitioning or RNG state).
+
+    Scale shape: hash-per-doc is map-side; the per-source selection goes
+    through the two-phase top-k (operators/similarity._grouped_topk —
+    rank within (source, input partition) first, then rank the
+    surviving sources x partitions x k rows), so a 4-source corpus never
+    funnels into 4 reducers sorting everything — the exact trap the
+    oracle's plain row_number window would be."""
+    from cosmo_spark.operators.similarity import _grouped_topk
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        "source", "doc_id", poly_hash(F.col("text")).alias("h")
+    )
+    scored = d.select(
+        F.col("source").alias("query_id"),
+        F.col("doc_id").alias("neighbor_id"),
+        (-F.col("h")).cast("double").alias("cos_sim"),
+    )
+    top = _grouped_topk(scored, _Q126_K)
+    return (
+        top.join(d, (d["source"] == top["query_id"])
+                 & (d["doc_id"] == top["neighbor_id"]))
+        .select(
+            "source", "doc_id", "h",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
