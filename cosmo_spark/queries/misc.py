@@ -1919,3 +1919,112 @@ def q123_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qual.groupBy("flag", F.col("grp_total").alias("total_weight")).agg(
         F.min("d").alias("wmedian")
     )
+
+
+_Q127_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type || '|' || CAST(hour(ts) AS VARCHAR) AS k,
+         event_type, hour(ts) AS hod, value
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), ranked AS (
+  SELECT k, event_id, value,
+         row_number() OVER (PARTITION BY k ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM ev
+), med AS (
+  SELECT k, sum(value) / count(*) AS median
+  FROM ranked WHERE rn = (n + 1) / 2 OR rn = n / 2 OR rn = n / 2 + 1
+  GROUP BY k
+), dev AS (
+  SELECT e.k, e.event_id, abs(e.value - m.median) AS adev
+  FROM ev e JOIN med m USING (k)
+), rdev AS (
+  SELECT k, adev,
+         row_number() OVER (PARTITION BY k ORDER BY adev, event_id) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM dev
+), mad AS (
+  SELECT k, sum(adev) / count(*) AS mad
+  FROM rdev WHERE rn = (n + 1) / 2 OR rn = n / 2 OR rn = n / 2 + 1
+  GROUP BY k
+), stats AS (
+  SELECT k, min(event_type) AS event_type, min(hod) AS hod,
+         count(*) AS n FROM ev GROUP BY k
+), anom AS (
+  SELECT e.k, count(*) AS n_anomalies
+  FROM ev e JOIN med USING (k) JOIN mad USING (k)
+  WHERE 0.6745 * abs(e.value - med.median) > 3.5 * mad.mad
+  GROUP BY e.k
+)
+SELECT s.event_type, s.hod AS hour_of_day, s.n,
+       round(med.median, 6) AS median,
+       round(mad.mad, 6) AS mad,
+       coalesce(a.n_anomalies, 0) AS n_anomalies
+FROM stats s
+JOIN med ON med.k = s.k
+JOIN mad ON mad.k = s.k
+LEFT JOIN anom a ON a.k = s.k
+"""
+
+
+@register("q127_seasonal_anomaly", operators=("P3", "A7", "A13"),
+          oracle=_Q127_ORACLE)
+def q127_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly profile: robust median/MAD per
+    (event_type, hour-of-day) cell, and how many events violate the
+    modified-z rule AGAINST THEIR OWN HOUR's baseline — the
+    periodic-key decomposition telemetry monitoring actually needs (a
+    value normal at peak hour is anomalous at 4am; q102's one baseline
+    per type cannot see that).
+
+    Same determinism contract as q102: medians are exact middle-rank
+    SELECTIONS (grouped_median_distributed — bucketed rank machinery,
+    no per-group sort; 120 composite cells instead of 5 types makes the
+    decomposition cheaper, not harder), the only float arithmetic is
+    the shared (a+b)/2 middle average and the multiplication-only z
+    rule, identical in the oracle.  Output is the 120-row cell profile,
+    not per-row flags."""
+    from cosmo_spark.operators.robust import grouped_median_distributed
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "event_id", "event_type", "value",
+        F.hour("ts").alias("hod"),
+        F.concat_ws("|", "event_type", F.hour("ts").cast("string")).alias("k"),
+    )
+    med = grouped_median_distributed(ev, "k", "value", "event_id",
+                                     out_col="median")
+    dev = ev.join(F.broadcast(med), "k").select(
+        "k", "event_id",
+        F.abs(F.col("value") - F.col("median")).alias("adev"),
+    )
+    mad = grouped_median_distributed(dev, "k", "adev", "event_id",
+                                     out_col="mad")
+    stats = ev.groupBy("k").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("hod").alias("hod"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    anom = (
+        ev.join(F.broadcast(med), "k").join(F.broadcast(mad), "k")
+        .filter(
+            F.lit(0.6745) * F.abs(F.col("value") - F.col("median"))
+            > F.lit(3.5) * F.col("mad")
+        )
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n_anomalies"))
+    )
+    return (
+        stats.join(med, "k").join(mad, "k").join(anom, "k", "left")
+        .select(
+            "event_type",
+            F.col("hod").cast("long").alias("hour_of_day"),
+            "n",
+            F.round("median", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            F.coalesce(F.col("n_anomalies"), F.lit(0)).alias("n_anomalies"),
+        )
+    )
