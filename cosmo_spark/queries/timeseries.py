@@ -913,3 +913,83 @@ def q115_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
         F.round(interp, 6).alias("value_interp"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q128 — exponential time-decay activity scores (integer decay table)          #
+# --------------------------------------------------------------------------- #
+
+_Q128_HALF_LIFE = 30  # days
+_Q128_HORIZON = 365   # ages beyond this decay to exactly 0
+
+#: decay weights round(2^(-age/half_life) * 1e6), Python-computed ONCE so
+#: neither engine calls pow() at query time (q107 lookup-table discipline)
+_Q128_W = [
+    round((2.0 ** (-(a / _Q128_HALF_LIFE))) * 1_000_000)
+    for a in range(_Q128_HORIZON)
+]
+
+
+def _q128_oracle() -> str:
+    table = ", ".join(str(w) for w in _Q128_W)
+    return f"""
+WITH ref AS (SELECT CAST(max(ts) AS DATE) AS refd FROM events),
+ev AS (
+  SELECT e.event_type,
+         date_diff('day', CAST(e.ts AS DATE), r.refd) AS age
+  FROM events e CROSS JOIN ref r
+  WHERE e.ts IS NOT NULL AND e.event_type IS NOT NULL
+), wtd AS (
+  SELECT event_type,
+         CASE WHEN age >= 0 AND age < {_Q128_HORIZON}
+              THEN [{table}][age + 1] ELSE 0 END AS w
+  FROM ev
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(w) AS BIGINT) AS decayed_millionths,
+       round(CAST(sum(w) AS DOUBLE) / 1000000.0, 6) AS decayed_count
+FROM wtd GROUP BY event_type
+"""
+
+
+@register("q128_time_decay_score", operators=("A4", "P10"),
+          oracle=_q128_oracle())
+def q128_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity score per event type: every event votes
+    2^(-age/30d), so the score IS the half-life-decayed event count —
+    the standard freshness signal for trending/engagement dashboards
+    and for recency-weighted source mixing.
+
+    Determinism: the decay curve is a 365-entry INTEGER table
+    (round(2^(-a/30) * 1e6)) computed once in Python and embedded in
+    both engines — no pow() at query time (engine libm divergence), and
+    the per-group accumulation is exact BIGINT, order-independent (the
+    q118/q107 discipline).  The reference date is max(ts) — data-derived,
+    so the query is reproducible on a frozen corpus (no wall clock; a
+    live deployment would pass today's date).
+
+    Scale shape: the reference date is a broadcast 1-row aggregate; the
+    weight lookup is a per-row array index (element_at over a literal
+    array); ONE map-side-combined groupBy ends it."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ref = ev.agg(F.max(F.to_date("ts")).alias("refd"))
+    aged = ev.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.datediff(F.col("refd"), F.to_date("ts")).alias("age"),
+    )
+    wtab = F.array(*[F.lit(w) for w in _Q128_W])
+    wtd = aged.select(
+        "event_type",
+        F.when(
+            (F.col("age") >= 0) & (F.col("age") < _Q128_HORIZON),
+            F.element_at(wtab, F.col("age") + 1),
+        ).otherwise(F.lit(0)).alias("w"),
+    )
+    return wtd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("decayed_millionths"),
+        F.round(F.sum("w").cast("double") / F.lit(1000000.0), 6)
+          .alias("decayed_count"),
+    )
