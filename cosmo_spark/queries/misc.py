@@ -1996,6 +1996,10 @@ def q127_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hod"),
         F.concat_ws("|", "event_type", F.hour("ts").cast("string")).alias("k"),
     )
+    # ev feeds four consumers but is deliberately NOT persisted: the
+    # branches see identical subplans, so ReusedExchange already shares
+    # the scan (the q110 lesson — persisting measured 8.7 s vs 6.7 s at
+    # sf0.1: InMemoryTableScan only added overhead)
     med = grouped_median_distributed(ev, "k", "value", "event_id",
                                      out_col="median")
     dev = ev.join(F.broadcast(med), "k").select(
