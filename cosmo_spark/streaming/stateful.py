@@ -132,3 +132,82 @@ def running_stats(
             ),
         )
     )
+
+
+#: output schema of the gap detector: one row per detected silence
+GAP_SCHEMA = "key STRING, last_seen TIMESTAMP, n_events BIGINT"
+_GAP_STATE = "last_ms BIGINT, n BIGINT"
+
+
+def heartbeat_gaps(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    horizon: str,
+) -> DataFrame:
+    """Missed-heartbeat detector: EMIT a gap record for every key that goes
+    silent past ``horizon`` of event time — the monitoring primitive for
+    'this instrument/mnemonic/feed stopped reporting' (the reference can
+    only notice missing data on the next batch recomputation; ref:
+    cosmo/monitors/data_models.py ingest cadence).
+
+    This is running_stats' TTL machinery inverted: there the timeout path
+    silently evicts; here the ``state.hasTimedOut`` branch is the PRODUCT
+    — it emits (key, last_seen, n_events) and clears state, so a later
+    re-appearance starts a fresh liveness episode (and can gap again).
+    Timeouts fire when the watermark (``horizon`` behind max event time)
+    passes a key's newest event + horizon, i.e. detection is driven by
+    OTHER keys' progress — the standard event-time liveness contract: a
+    fully-stalled stream reports nothing until data moves somewhere.
+
+    State is O(live keys) x 16 bytes, sharded by key; every branch yields
+    a typed (possibly empty) frame so the operator is schema-stable.
+    """
+    from cosmo_spark.streaming.neardup import ttl_ms
+
+    horizon_ms = ttl_ms(horizon)
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")) \
+        .filter(F.col(ts_col).isNotNull()).withWatermark(ts_col, horizon)
+    ts_name, key_name = ts_col, key_col
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            last_ms, n = state.get
+            state.remove()
+            yield _pd.DataFrame({
+                "key": [key[0]],
+                "last_seen": [_pd.Timestamp(last_ms, unit="ms")],
+                "n_events": [int(n)],
+            })
+            return
+        last_ms, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            bt = int(
+                _pd.to_datetime(pdf[ts_name]).astype("int64").max()
+                // 1_000_000
+            )
+            last_ms = bt if last_ms is None else max(last_ms, bt)
+            n += len(pdf)
+        if last_ms is not None:
+            state.update((last_ms, n))
+            state.setTimeoutTimestamp(last_ms + horizon_ms)
+        yield _pd.DataFrame({
+            "key": _pd.Series(dtype=object),
+            "last_seen": _pd.Series(dtype="datetime64[ns]"),
+            "n_events": _pd.Series(dtype="int64"),
+        })
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=GAP_SCHEMA,
+            stateStructType=_GAP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

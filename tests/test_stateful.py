@@ -205,3 +205,60 @@ def test_running_stats_ttl_null_event_time_dropped_not_fatal(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(str(tmp_path / "snap")).collect()
     assert len(rows) == 1 and rows[0].n == 1 and rows[0].last_value == 2.0
+
+
+def test_heartbeat_gaps_emit_on_silence_and_reset(spark, tmp_path):
+    """The timeout branch as PRODUCT: a key silent past the horizon emits
+    one gap record carrying its last_seen and event count; a later
+    re-appearance starts a fresh episode that can gap again; keys inside
+    the horizon never appear in the sink."""
+    from cosmo_spark.streaming.stateful import heartbeat_gaps
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt, sink = tmp_path / "ck", tmp_path / "gaps"
+
+    def write_ts(name, rows):
+        with open(src / name, "w") as f:
+            for k, ts in rows:
+                f.write(json.dumps({"k": k, "ts": ts}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema("k STRING, ts TIMESTAMP").json(
+            str(src)
+        )
+        out = heartbeat_gaps(stream, "k", "ts", "10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # episode 1: A beats twice, B beats once
+    write_ts("b1.json", [("A", "2026-01-01 10:00:00"),
+                         ("A", "2026-01-01 10:00:30"),
+                         ("B", "2026-01-01 10:00:00")])
+    run()
+    # B advances to 11:00 -> watermark 10:50 > A's 10:00:30 + 10 min -> A gaps
+    write_ts("b2.json", [("B", "2026-01-01 11:00:00")])
+    run()
+    rows = spark.read.parquet(str(sink)).collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert g.key == "A" and g.n_events == 2
+    assert str(g.last_seen).startswith("2026-01-01 10:00:30")
+
+    # episode 2: A re-appears, then goes silent again -> a SECOND gap with
+    # a fresh count (state was cleared at the first gap)
+    write_ts("b3.json", [("A", "2026-01-01 11:05:00")])
+    run()
+    write_ts("b4.json", [("B", "2026-01-01 12:00:00")])
+    run()
+    rows = sorted(spark.read.parquet(str(sink)).collect(),
+                  key=lambda r: str(r.last_seen))
+    assert [r.key for r in rows] == ["A", "A"]
+    assert rows[1].n_events == 1  # fresh episode, not 3
+    # B has always been inside the horizon: no B gap
+    assert all(r.key != "B" for r in rows)
