@@ -993,3 +993,89 @@ def q128_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("w").cast("double") / F.lit(1000000.0), 6)
           .alias("decayed_count"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q129 — conversion-latency deciles: exact distributed multi-quantile          #
+# --------------------------------------------------------------------------- #
+
+_Q129_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_conv
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), lat AS (
+  SELECT epoch_us(p.t_conv) - epoch_us(v.t_view) AS lat_us
+  FROM p JOIN v ON v.user_id = p.user_id
+), vb AS (
+  SELECT lat_us, count(*) AS c FROM lat GROUP BY lat_us
+), cum AS (
+  SELECT lat_us, c,
+         CAST(sum(c) OVER (ORDER BY lat_us) AS BIGINT) AS cw,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM vb
+), dec AS (SELECT unnest(range(10, 100, 10)) AS decile)
+SELECT d.decile, min(cum.lat_us) // 1000000 AS latency_sec,
+       min(cum.n) AS n_converted
+FROM dec d JOIN cum ON 100 * cum.cw >= d.decile * cum.n
+GROUP BY d.decile
+"""
+
+
+@register("q129_conversion_latency", operators=("A6", "J1"),
+          oracle=_Q129_ORACLE)
+def q129_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact view→purchase conversion-latency deciles — the
+    time-to-convert distribution (p10..p90) product analytics reports
+    next to q92's step rates.  Latency = first purchase at-or-after the
+    user's first view, in whole seconds.
+
+    Exact distributed MULTI-quantile selection, generalizing q104's
+    single median: per-value counts + the cumulative table give every
+    decile as min{v : 100*cum(v) >= d*n} — INTEGER arithmetic end to end
+    (epoch-second latencies, integer thresholds; ceil(d*n/100) <= cum is
+    exactly 100*cum >= d*n for integer cum), so parity needs no float
+    discipline at all.  No sort of user rows anywhere: two keyed min
+    aggregations (events scan -> one row per converting user), a
+    value-level aggregate, and a 9-literal broadcast grid."""
+    from cosmo_spark.operators.robust import grouped_less_cumsum
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    lat = p.join(v, "user_id").select(
+        (F.unix_micros("t_conv") - F.unix_micros("t_view"))
+        .alias("lat_us")
+    )
+    lc = grouped_less_cumsum(lat, None, "lat_us")
+    cv = lat.groupBy("lat_us").agg(F.count(F.lit(1)).alias("c"))
+    cum = lc.join(cv, "lat_us").select(
+        "lat_us",
+        (F.col("less") + F.col("c")).alias("cw"),
+        F.col("grp_total").alias("n"),
+    )
+    dec = F.explode(F.array(*[F.lit(d).cast("long") for d in range(10, 100, 10)]))
+    grid = cum.select("lat_us", "cw", "n", dec.alias("decile"))
+    return (
+        grid.filter(100 * F.col("cw") >= F.col("decile") * F.col("n"))
+        .groupBy("decile")
+        .agg(
+            F.expr("min(lat_us) div 1000000").alias("latency_sec"),
+            F.min("n").alias("n_converted"),
+        )
+    )
