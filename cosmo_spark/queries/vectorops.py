@@ -509,13 +509,20 @@ def q122_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(tokenize(F.col("text")))).alias("w"),
     )
-    dfq = tl.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     probe = tl.filter(F.col("doc_id") < _Q122_NQ).select(
         F.col("doc_id").alias("query_id"), "w"
     )
+    # probe vocabulary broadcast FIRST (q85's IN-list shape): the corpus
+    # postings are filtered map-side to probe terms before any counting,
+    # so the df table is probe-vocab-sized — broadcasting the FULL
+    # vocabulary df table (the first cut) is the q69 anti-pattern at
+    # 100 TB; df values are unchanged (per-term counts are within-term)
+    pv = probe.select("w").distinct()
+    tl_f = tl.join(F.broadcast(pv), "w", "left_semi")
+    dfq = tl_f.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     lpair = (
         probe.join(
-            tl.select(F.col("doc_id").alias("neighbor_id"), "w"), "w"
+            tl_f.select(F.col("doc_id").alias("neighbor_id"), "w"), "w"
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(dfq), "w")
