@@ -1688,3 +1688,171 @@ def q124_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)).alias("gini"),
     )
+
+
+_Q130_ORACLE = """
+WITH f AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+), vb AS (
+  SELECT source, v, count(*) AS c FROM f GROUP BY source, v
+), cum AS (
+  SELECT source, v, c,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cw,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM vb
+), lo AS (
+  SELECT source, min(v) AS p10 FROM cum WHERE 10 * cw >= n GROUP BY source
+), hi AS (
+  SELECT source, min(v) AS p90 FROM cum WHERE 10 * cw >= 9 * n GROUP BY source
+)
+SELECT f.source,
+       min(lo.p10) AS p10, min(hi.p90) AS p90, count(*) AS n,
+       round(CAST(sum(CASE WHEN f.v < lo.p10 THEN lo.p10
+                           WHEN f.v > hi.p90 THEN hi.p90
+                           ELSE f.v END) AS DOUBLE) / count(*), 6)
+         AS winsorized_mean
+FROM f JOIN lo ON lo.source = f.source JOIN hi ON hi.source = f.source
+GROUP BY f.source
+"""
+
+
+@register("q130_winsorized_mean", operators=("A6", "A4"), oracle=_Q130_ORACLE)
+def q130_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean document length per source: values clipped at the
+    exact within-source p10/p90 before averaging — the robust location
+    estimate pipelines report when a handful of megadocuments would
+    otherwise own the mean (and the clipping rule quality filters apply
+    before length normalization).
+
+    Percentiles are exact rank SELECTIONS from the value-level
+    cumulative table (min{v : 10*cum >= n} and min{v : 10*cum >= 9n} —
+    integer thresholds, the q129 multi-quantile pattern), clipping and
+    summation are exact BIGINT over integer lengths, and the single
+    division is rounded at output.  Two passes over the value table,
+    one over the facts; no per-group sort anywhere."""
+    from cosmo_spark.operators.robust import grouped_less_cumsum
+
+    f = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.col("n_chars").cast("long").alias("v"))
+    lc = grouped_less_cumsum(f, "source", "v")
+    cv = f.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    cum = lc.join(cv, ["source", "v"]).select(
+        "source", "v",
+        (F.col("less") + F.col("c")).alias("cw"),
+        F.col("grp_total").alias("n"),
+    )
+    lo = cum.filter(10 * F.col("cw") >= F.col("n")).groupBy("source").agg(
+        F.min("v").alias("p10")
+    )
+    hi = cum.filter(10 * F.col("cw") >= 9 * F.col("n")).groupBy("source").agg(
+        F.min("v").alias("p90")
+    )
+    clipped = (
+        f.join(F.broadcast(lo), "source").join(F.broadcast(hi), "source")
+        .select(
+            "source", "p10", "p90",
+            F.when(F.col("v") < F.col("p10"), F.col("p10"))
+            .when(F.col("v") > F.col("p90"), F.col("p90"))
+            .otherwise(F.col("v")).alias("w"),
+        )
+    )
+    return clipped.groupBy("source").agg(
+        F.min("p10").alias("p10"),
+        F.min("p90").alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("w").cast("double") / F.count(F.lit(1)), 6)
+          .alias("winsorized_mean"),
+    )
+
+
+_Q131_BINS = 32
+_Q131_W = 32  # fixed bin width in chars: documents are 0..~1000 chars
+
+_Q131_ORACLE = f"""
+WITH f AS (
+  SELECT source,
+         least({_Q131_BINS - 1}, CAST(n_chars AS BIGINT) // {_Q131_W}) AS b
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+), hb AS (
+  SELECT source, b, count(*) AS c FROM f GROUP BY source, b
+), n AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hb GROUP BY source
+), grid AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.b AS bin,
+         a.c AS ca, coalesce(bb.c, 0) AS cb, na.n AS na, nb.n AS nb
+  FROM hb a
+  JOIN n na ON na.source = a.source
+  CROSS JOIN (SELECT DISTINCT source FROM f) b
+  JOIN n nb ON nb.source = b.source
+  LEFT JOIN hb bb ON bb.source = b.source AND bb.b = a.b
+  WHERE a.source < b.source
+)
+SELECT src_a, src_b,
+       round(sum(
+         CASE WHEN CAST(ca AS DOUBLE) / na <= CAST(cb AS DOUBLE) / nb
+              THEN CAST(ca AS DOUBLE) / na ELSE CAST(cb AS DOUBLE) / nb END
+       ), 6) AS overlap
+FROM grid GROUP BY src_a, src_b
+"""
+
+
+@register("q131_distribution_drift", operators=("A5", "A11"),
+          oracle=_Q131_ORACLE)
+def q131_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise histogram-intersection similarity of the document-length
+    distribution between sources — the distribution-drift screen
+    (train/serve skew, ingest regression between snapshots): overlap =
+    sum_bins min(p_i, q_i), 1.0 for identical shapes, 0 for disjoint.
+
+    Everything heavy is ONE map-side (source, bin) count aggregate;
+    the pair grid lives on sources x 32 bins (dimension-scale).  The
+    only floats are the per-bin c/n proportions — each a SINGLE
+    division of exact integers, compared and summed per pair over a
+    fixed 32-term bin list, identical expression shape in the oracle
+    (sum order over <=32 doubles is the groupBy's, but every term is a
+    quotient of the same integers in both engines and the min() choice
+    is made BEFORE summation, so 6-dp rounding absorbs the tail)."""
+    f = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        "source",
+        F.least(
+            F.lit(_Q131_BINS - 1),
+            F.expr(f"CAST(n_chars AS BIGINT) div {_Q131_W}"),
+        ).alias("b"),
+    )
+    hb = f.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    n = hb.groupBy("source").agg(F.sum("c").alias("n"))
+    srcs = f.select("source").distinct()
+    a = (
+        hb.join(n, "source")
+        .select(
+            F.col("source").alias("src_a"), F.col("b").alias("bin"),
+            F.col("c").alias("ca"), F.col("n").alias("na"),
+        )
+    )
+    bside = srcs.select(F.col("source").alias("src_b")).join(
+        n.select(F.col("source").alias("src_b"), F.col("n").alias("nb")),
+        "src_b",
+    )
+    hbb = hb.select(
+        F.col("source").alias("src_b"), F.col("b").alias("bin"),
+        F.col("c").alias("cb"),
+    )
+    grid = (
+        a.crossJoin(F.broadcast(bside))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(hbb), ["src_b", "bin"], "left")
+        .select(
+            "src_a", "src_b", "bin", "ca", "na", "nb",
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    term = F.when(pa <= pb, pa).otherwise(pb)
+    return grid.groupBy("src_a", "src_b").agg(
+        F.round(F.sum(term), 6).alias("overlap")
+    )
