@@ -2001,11 +2001,17 @@ def q127_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan (the q110 lesson — persisting measured 8.7 s vs 6.7 s at
     # sf0.1: InMemoryTableScan only added overhead)
     med = grouped_median_distributed(ev, "k", "value", "event_id",
-                                     out_col="median")
+                                     out_col="median").persist()
+    # the deviation table is persisted exactly as robust_outliers does
+    # (r7 commit "Persist the deviation table ..."): without it the MAD
+    # pass re-expands the entire median pipeline inside ITS bucket
+    # machinery and the initial plan balloons to ~220 exchange nodes
+    # (ReusedExchange hides most at runtime, but the anomaly join then
+    # re-expands it all again)
     dev = ev.join(F.broadcast(med), "k").select(
         "k", "event_id",
         F.abs(F.col("value") - F.col("median")).alias("adev"),
-    )
+    ).persist()
     mad = grouped_median_distributed(dev, "k", "adev", "event_id",
                                      out_col="mad")
     stats = ev.groupBy("k").agg(
