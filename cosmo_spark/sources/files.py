@@ -251,3 +251,35 @@ def read_jsonl_quarantine(
     if quarantine_path:
         bad.write.mode("append").parquet(quarantine_path)
     return clean, bad
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    quarantine_path: str | None = None,
+    header: bool = False,
+):
+    """CSV twin of ``read_jsonl_quarantine`` — same two-scan contract
+    (clean rows via DROPMALFORMED, offending raw lines retained via a
+    PERMISSIVE scan with the corrupt column declared, optional parquet
+    quarantine).  Malformed here means un-parseable under the declared
+    schema: wrong column count or an uncastable field."""
+    clean = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .option("header", header)
+        .csv(path)
+    )
+    full_schema = schema.rstrip() + ", _corrupt_record STRING"
+    bad = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", header)
+        .csv(path)
+        .filter(F.col("_corrupt_record").isNotNull())
+    )
+    if quarantine_path:
+        bad.write.mode("append").parquet(quarantine_path)
+    return clean, bad

@@ -482,3 +482,31 @@ def test_embedding_near_dups_tolerates_short_and_null_vectors(spark):
     assert embedding_near_dups(
         allnull, "embedding", "vec_id", threshold=0.9, block_col="label"
     ).count() == 0
+
+
+# ------------------------------------------------------------------ KMV
+
+
+def test_kmv_k_smallest_equals_sorted_prefix(spark):
+    """Operator-level certification of the shared KMV selection: for a
+    mixed-shape distinct (key, h) frame (one key below k, one exactly
+    k, one far above with adversarial bucket clustering), the result is
+    exactly the per-key sorted prefix."""
+    from cosmo_spark.operators.sketches import KMV_K, kmv_k_smallest
+
+    rows = []
+    rows += [("tiny", h) for h in (7, 3, 999)]
+    rows += [("edge", h) for h in range(1000, 1000 + KMV_K)]
+    # "big": 500 values clustered into few hash-range buckets plus a
+    # spread tail, so the bucket-cutoff path has to cross bucket edges
+    rows += [("big", 10_000 + 2 * i) for i in range(250)]
+    rows += [("big", 900_000_000 + 17 * i) for i in range(250)]
+    df = spark.createDataFrame(rows, "key string, h long")
+    got = {}
+    for r in kmv_k_smallest(df, ["key"]).collect():
+        got.setdefault(r["key"], []).append(r["h"])
+    expected = {}
+    for k, h in rows:
+        expected.setdefault(k, []).append(h)
+    expected = {k: sorted(v)[:KMV_K] for k, v in expected.items()}
+    assert {k: sorted(v) for k, v in got.items()} == expected

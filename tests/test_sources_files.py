@@ -194,3 +194,23 @@ def test_jsonl_quarantine_all_clean_and_all_bad(spark, tmp_path):
         spark, str(nope), "doc_id BIGINT, text STRING"
     )
     assert clean.count() == 0 and len(bad.collect()) == 2
+
+
+def test_csv_quarantine_splits(spark, tmp_path):
+    from cosmo_spark.sources.files import read_csv_quarantine
+
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "1,alpha\n"
+        "not-an-int,beta\n"
+        "2,gamma\n"
+        "3,delta,extra-column\n"
+    )
+    clean, bad = read_csv_quarantine(
+        spark, str(src), "doc_id BIGINT, text STRING"
+    )
+    got = {(r["doc_id"], r["text"]) for r in clean.collect()}
+    assert got == {(1, "alpha"), (2, "gamma")}
+    raws = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(raws) == 2
+    assert "not-an-int,beta" in raws and "3,delta,extra-column" in raws
