@@ -2038,3 +2038,60 @@ def q127_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_anomalies"), F.lit(0)).alias("n_anomalies"),
         )
     )
+
+
+_Q133_K = 8
+
+_Q133_ORACLE = f"""
+WITH f AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+), g AS (
+  SELECT nation, segment, count(*) AS n FROM f GROUP BY nation, segment
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN n < {_Q133_K} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating_groups,
+  CAST(sum(n) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN n < {_Q133_K} THEN n ELSE 0 END) AS BIGINT)
+    AS n_rows_at_risk,
+  CAST(min(n) AS BIGINT) AS min_group,
+  round(100.0 * sum(CASE WHEN n < {_Q133_K} THEN n ELSE 0 END) / sum(n), 6)
+    AS pct_at_risk
+FROM g
+"""
+
+
+@register("q133_k_anonymity_audit", operators=("A11", "A4"),
+          oracle=_Q133_ORACLE)
+def q133_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-identifier
+    tuple: how many equivalence classes fall below k=8 members and what
+    fraction of individuals sit in them — the privacy screen run before
+    releasing or training on user-attributable records (Sweeney 2002),
+    complementing q77's direct-identifier PII scan with the
+    LINKAGE-risk dimension PII regexes cannot see.
+
+    Pure aggregation: one map-side-combined (nation, segment) count —
+    the audit table is |QI-combinations|-sized — then scalar rollups;
+    integer everywhere, one percentage division rounded at output."""
+    f = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isNotNull() & F.col("c_mktsegment").isNotNull()
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    g = f.groupBy("nation", "segment").agg(F.count(F.lit(1)).alias("n"))
+    viol = F.when(F.col("n") < _Q133_K, F.col("n")).otherwise(F.lit(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n") < _Q133_K, 1).otherwise(0))
+          .alias("n_violating_groups"),
+        F.sum("n").alias("n_rows"),
+        F.sum(viol).alias("n_rows_at_risk"),
+        F.min("n").alias("min_group"),
+        F.round(
+            F.lit(100.0) * F.sum(viol) / F.sum("n"), 6
+        ).alias("pct_at_risk"),
+    )

@@ -1856,3 +1856,82 @@ def q131_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("src_a", "src_b").agg(
         F.round(F.sum(term), 6).alias("overlap")
     )
+
+
+_Q132_BUDGET = 120  # target number of sampled documents
+
+_Q132_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         {{H}} AS h
+  FROM (SELECT doc_id, source, n_chars, text FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+              AND n_chars > 0 AND text IS NOT NULL)
+), tot AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM f),
+kept AS (
+  SELECT f.doc_id, f.source, f.w
+  FROM f CROSS JOIN tot
+  WHERE (f.h % 1000000) * tot.s < {_Q132_BUDGET} * f.w * 1000000
+)
+SELECT f.source,
+       count(*) AS n_docs,
+       CAST(sum(f.w) AS BIGINT) AS w_total,
+       count(k.doc_id) AS n_sampled,
+       CAST(coalesce(sum(k.w), 0) AS BIGINT) AS w_sampled
+FROM f LEFT JOIN kept k ON k.doc_id = f.doc_id
+GROUP BY f.source
+"""
+
+
+def _q132_oracle() -> str:
+    from cosmo_spark.queries.textops import _DUCK_POLY
+
+    return _Q132_ORACLE.replace("{H}", _DUCK_POLY.replace("{X}", "text"))
+
+
+@register("q132_weighted_sample", operators=("P16", "A11"),
+          oracle=_q132_oracle())
+def q132_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-proportional Bernoulli sampling: each document
+    is kept with probability budget * w / sum(w) (w = length), decided
+    by its own content hash — the 'sample tokens, not documents' rule
+    length-skewed corpora need (uniform doc sampling under-represents
+    long documents' token mass), completing the sampling trio: q46
+    fixed per-stratum rates, q126 exact-k quotas, THIS weighted rates.
+
+    Reproducible-by-content like both siblings: membership is
+    (h mod 1e6) * S < budget * w * 1e6 — INTEGER arithmetic throughout
+    (S broadcast from one aggregate; products bounded by 1e6*S*w — the
+    int64 ceiling is documented at S*w < ~9e12, beyond which the same
+    rule runs in DECIMAL/two-level mod, the q109 recipe).  Output is the
+    per-source audit: docs/weight totals vs sampled counts, so the
+    realized inclusion tracks the design rate."""
+    f = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+        & F.col("text").isNotNull()
+    ).select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("w"),
+        poly_hash(F.col("text")).alias("h"),
+    )
+    tot = f.agg(F.sum("w").alias("s"))
+    kept = (
+        f.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("h") % F.lit(1000000)) * F.col("s")
+            < F.lit(_Q132_BUDGET) * F.col("w") * F.lit(1000000)
+        )
+        .select(F.col("doc_id").alias("k_id"), F.col("w").alias("kw"))
+    )
+    return (
+        f.join(kept, f["doc_id"] == kept["k_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("w_total"),
+            F.count("k_id").alias("n_sampled"),
+            F.coalesce(F.sum("kw"), F.lit(0)).alias("w_sampled"),
+        )
+    )
