@@ -145,7 +145,6 @@ def cms_probe_rows(df: DataFrame, carry: list[str], th_col: str = "th") -> DataF
 KMV_K = 64
 KMV_P = 1_000_000_007
 KMV_B = 4096
-KMV_NUMER = (KMV_K - 1) * KMV_P  # 6.3e10 < 2^53: exact in a double
 
 
 def kmv_k_smallest(
@@ -198,7 +197,11 @@ def kmv_estimate(sk: DataFrame, keys: list[str], h: str = "h",
     stats = sk.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_sk"), F.max(h).alias("hk")
     )
-    numer = F.lit(KMV_NUMER).cast("double")
+    # numerator follows the k PARAMETER (advice r7: the fixed KMV_NUMER
+    # constant silently mis-scaled estimates for any caller passing
+    # k != KMV_K); (k-1)*P stays exactly representable in a double for
+    # every reasonable k (k-1 < 2^53 / P ~ 9e6)
+    numer = F.lit((k - 1) * KMV_P).cast("double")
     return stats.select(
         *keys, "n_sk",
         F.when(F.col("n_sk") < k, F.col("n_sk").cast("double"))

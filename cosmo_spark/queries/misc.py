@@ -1045,9 +1045,13 @@ def q51_dark_region_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: zero drift — the q107 HLL extraction discipline).
 from cosmo_spark.operators.sketches import (  # noqa: E402
     KMV_K as _KMV_K,
-    KMV_NUMER as _KMV_NUMER,
     KMV_P as _KMV_P,
 )
+
+#: (k-1)*P — 6.3e10 < 2^53, exact in a double.  Derived here because the
+#: operator computes it from its k parameter (advice r7); the oracle and
+#: the q110 pair-algebra need the default-geometry literal.
+_KMV_NUMER = (_KMV_K - 1) * _KMV_P
 
 
 def _q110_oracle() -> str:

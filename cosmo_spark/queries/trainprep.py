@@ -1920,8 +1920,18 @@ def q132_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         f.crossJoin(F.broadcast(tot))
         .filter(
-            (F.col("h") % F.lit(1000000)) * F.col("s")
-            < F.lit(_Q132_BUDGET) * F.col("w") * F.lit(1000000)
+            # membership comparison in DECIMAL(38,0) (advice r7): the
+            # int64 form silently WRAPS once S*1e6 passes 2^63 (~9.2e12
+            # total corpus weight — exactly the 100 TB regime), because
+            # non-ANSI Spark wraps instead of erroring; decimal widens
+            # headroom to 1e38 so the documented ceiling is enforced by
+            # arithmetic, not prose.  DuckDB computes the same product in
+            # HUGEINT (exact), so parity is unchanged.
+            (F.col("h") % F.lit(1000000)).cast("decimal(7,0)")
+            * F.col("s").cast("decimal(20,0)")
+            < F.lit(_Q132_BUDGET).cast("decimal(7,0)")
+            * F.col("w").cast("decimal(20,0)")
+            * F.lit(1000000).cast("decimal(7,0)")
         )
         .select(F.col("doc_id").alias("k_id"), F.col("w").alias("kw"))
     )

@@ -233,8 +233,9 @@ def read_jsonl_quarantine(
     that remains).  So the two channels come from two independent
     single-pass scans: ``clean`` reads with mode=DROPMALFORMED (no
     corrupt column anywhere in its plan — every query shape works), and
-    ``bad`` reads PERMISSIVE with the column declared (aggregate the
-    PARQUET quarantine or collect it; both reference all columns)."""
+    ``bad`` reads PERMISSIVE with the column declared and is CACHED, which
+    pins the materialized rows and lifts the restriction — ``bad.count()``
+    and aggregates plan normally."""
     clean = (
         spark.read.schema(schema)
         .option("mode", "DROPMALFORMED")
@@ -248,6 +249,12 @@ def read_jsonl_quarantine(
         .json(path)
         .filter(F.col("_corrupt_record").isNotNull())
     )
+    # cache the quarantine channel (advice r7): a raw PERMISSIVE scan
+    # refuses natural calls like bad.count() once pruning leaves only the
+    # corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching pins the
+    # full row set so every downstream shape plans.  The frame is
+    # breakage-sized (bad rows only), so the pin is bounded.
+    bad = bad.cache()
     if quarantine_path:
         bad.write.mode("append").parquet(quarantine_path)
     return clean, bad
@@ -280,6 +287,9 @@ def read_csv_quarantine(
         .csv(path)
         .filter(F.col("_corrupt_record").isNotNull())
     )
+    # same bounded cache as the JSONL twin: lifts the corrupt-only-column
+    # planning restriction so bad.count()/aggregates work directly
+    bad = bad.cache()
     if quarantine_path:
         bad.write.mode("append").parquet(quarantine_path)
     return clean, bad

@@ -128,9 +128,15 @@ def test_columnar_roundtrip_matches_jsonl_assignment(spark, docs, tmp_path, fmt)
         for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert mf == per_shard
-    # partition pruning: a shard filter reads only that directory
+    # partition pruning: a shard filter must reach the scan as a
+    # PartitionFilter (advice r7: the old string check was a tautology;
+    # inputFiles() doesn't apply pruning, so assert on the physical plan)
     one = back.filter(F.col("shard") == 0)
-    assert "shard=0" not in "" and one.count() == per_shard.get(0, 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    assert one.count() == per_shard.get(0, 0)
 
 
 def test_columnar_rejects_unknown_format(docs, tmp_path):

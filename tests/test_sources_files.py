@@ -170,6 +170,10 @@ def test_jsonl_quarantine_splits_and_retains_evidence(spark, tmp_path):
     )
     got = {(r["doc_id"], r["text"]) for r in clean.collect()}
     assert got == {(1, "alpha"), (2, "beta")}
+    # natural aggregate shapes plan directly on the returned channel
+    # (advice r7: the cached frame lifts the corrupt-only-column
+    # restriction — count() used to raise QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    assert bad.count() == 3
     raws = [r["_corrupt_record"] for r in bad.collect()]
     assert len(raws) == 3
     assert "THIS IS NOT JSON" in raws and "{broken" in raws
@@ -186,14 +190,14 @@ def test_jsonl_quarantine_all_clean_and_all_bad(spark, tmp_path):
     ok = tmp_path / "ok.jsonl"
     ok.write_text('{"doc_id": 7, "text": "x"}\n')
     clean, bad = read_jsonl_quarantine(spark, str(ok), "doc_id BIGINT, text STRING")
-    assert clean.count() == 1 and len(bad.collect()) == 0
+    assert clean.count() == 1 and bad.count() == 0
 
     nope = tmp_path / "nope.jsonl"
     nope.write_text("}{\nnot json either\n")
     clean, bad = read_jsonl_quarantine(
         spark, str(nope), "doc_id BIGINT, text STRING"
     )
-    assert clean.count() == 0 and len(bad.collect()) == 2
+    assert clean.count() == 0 and bad.count() == 2
 
 
 def test_csv_quarantine_splits(spark, tmp_path):
@@ -211,6 +215,7 @@ def test_csv_quarantine_splits(spark, tmp_path):
     )
     got = {(r["doc_id"], r["text"]) for r in clean.collect()}
     assert got == {(1, "alpha"), (2, "gamma")}
+    assert bad.count() == 2  # aggregates plan on the cached channel
     raws = [r["_corrupt_record"] for r in bad.collect()]
     assert len(raws) == 2
     assert "not-an-int,beta" in raws and "3,delta,extra-column" in raws

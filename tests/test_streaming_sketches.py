@@ -278,3 +278,28 @@ def test_stream_kmv_values_equal_batch_and_survive_compaction(spark, tmp_path):
         r.key: (r.n_sk, r.est)
         for r in kmv_distinct_estimates(spark, str(vals)).collect()
     } == batch_ests
+
+
+def test_kmv_estimate_numerator_follows_k(spark):
+    """advice r7: the estimator numerator must scale with the k PARAMETER
+    ((k-1)*P/h_k), not the module constant — a k=32 sketch over >32
+    distinct hashes previously returned estimates scaled by the wrong
+    (KMV_K-1).  The exact branch below k is k-sensitive too."""
+    from cosmo_spark.operators.sketches import (
+        KMV_P,
+        kmv_estimate,
+        kmv_k_smallest,
+    )
+
+    rows = [("a", (i * 2654435761) % KMV_P) for i in range(1, 201)]
+    hs = spark.createDataFrame(rows, "key STRING, h BIGINT")
+    got = kmv_estimate(kmv_k_smallest(hs, ["key"], k=32), ["key"], k=32) \
+        .collect()[0]
+    hk = sorted(h for _, h in rows)[31]
+    assert got.n_sk == 32
+    assert abs(got.est - (31 * KMV_P) / hk) < 1e-6
+
+    small = spark.createDataFrame(rows[:5], "key STRING, h BIGINT")
+    ex = kmv_estimate(kmv_k_smallest(small, ["key"], k=32), ["key"], k=32) \
+        .collect()[0]
+    assert (ex.n_sk, ex.est) == (5, 5.0)
