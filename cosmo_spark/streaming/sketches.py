@@ -21,10 +21,180 @@ merged minimum whenever bookkeeping matters.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 REGISTER_SCHEMA = "key STRING, bucket BIGINT, rho INT"
+
+# --------------------------------------------------------------------------- #
+# Crash-atomic snapshot rotation (shared by HLL / CMS / KMV)                  #
+# --------------------------------------------------------------------------- #
+#
+# Compaction rewrites the append log to its merged minimum.  For HLL and KMV
+# the merge algebra is idempotent, so the old append-then-remove rotation
+# could only leave redundancy behind a crash; Count-Min counters are
+# ADDITIVE, so a crash between the append and the removes would DOUBLE-COUNT
+# the consumed snapshots on restart — the one exactly-once hole the round-7
+# review flagged.  The fix is the operators/merge.py discipline generalized
+# to a two-phase manifest commit:
+#
+#   1. merged state is written to an underscore-prefixed tmp dir (invisible
+#      to every Spark parquet listing),
+#   2. a manifest (phase=prepared, fsync'd, atomically renamed into place)
+#      records the consumed snapshot files and the final names the merged
+#      parts will take,
+#   3. the merged parts move into the log directory,
+#   4. the manifest flips to phase=committed (again fsync + rename),
+#   5. the consumed files are removed and the manifest deleted.
+#
+# A crash anywhere yields a deterministic outcome: before the prepared
+# manifest lands, the rotation simply never happened (stray tmp dir is
+# garbage); in the prepared phase it rolls BACK (planned final names are
+# deleted; every consumed file is still present because removals only start
+# after commit); in the committed phase it rolls FORWARD (all merged parts
+# are in place — the move loop completed before the flip — so the remaining
+# consumed files are deleted).  ``recover_rotation`` applies that rule and
+# runs at the start of every rotation.
+#
+# Readers never mutate: ``_live_files`` returns a manifest-filtered view —
+# prepared ⇒ exclude the half-moved merged parts, committed ⇒ exclude the
+# logically-deleted consumed files — re-validated against the manifest until
+# stable, so a reader racing an active rotation still sees exactly one
+# generation of every counter.  Contract: ONE appending stream and ONE
+# compactor per log path (the same single-writer contract the batch merge
+# documents); readers are unrestricted.
+#
+# File ops go through module-level wrappers so the crash-injection tests can
+# kill the rotation between any two steps.  They are posix os-level calls,
+# matching this environment; on an object store deploy, swap the three
+# wrappers for the Hadoop FileSystem rename/delete used by
+# sources/files.atomic_overwrite (same protocol, same manifest).
+
+_MANIFEST = "_rotation_manifest.json"
+_TMP_DIR = "_rotation_tmp"
+
+
+def _fs_replace(src: str, dst: str) -> None:
+    os.replace(src, dst)
+
+
+def _fs_remove(f: str) -> None:
+    try:
+        os.remove(f)
+    except FileNotFoundError:
+        pass
+
+
+def _fsync_dir(d: str) -> None:
+    fd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _write_manifest(path: str, doc: dict) -> None:
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    _fs_replace(tmp, os.path.join(path, _MANIFEST))
+    _fsync_dir(path)
+
+
+def _read_manifest(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def recover_rotation(path: str) -> None:
+    """Resolve an interrupted rotation: roll back a prepared one, roll a
+    committed one forward, discard pre-manifest garbage.  Idempotent;
+    no-op on a clean log.  Runs at the start of every rotation (it must
+    NOT run concurrently with a live rotation — single-compactor
+    contract)."""
+    if not os.path.isdir(path):
+        return
+    doc = _read_manifest(path)
+    if doc is None:
+        shutil.rmtree(os.path.join(path, _TMP_DIR), ignore_errors=True)
+        _fs_remove(os.path.join(path, _MANIFEST + ".tmp"))
+        return
+    if doc["phase"] == "prepared":
+        # removals never start before commit, so every consumed file is
+        # still whole — deleting the (possibly partially) moved-in merged
+        # parts restores the exact pre-rotation state
+        for final in doc["moved"]:
+            _fs_remove(os.path.join(path, final))
+    else:  # committed: the move loop finished before the flip
+        for consumed in doc["consumed"]:
+            _fs_remove(os.path.join(path, consumed))
+    shutil.rmtree(os.path.join(path, _TMP_DIR), ignore_errors=True)
+    _fs_remove(os.path.join(path, _MANIFEST))
+    _fsync_dir(path)
+
+
+def _live_files(path: str) -> list[str]:
+    """The log's committed file set: all parquet parts, minus whichever
+    side of an in-flight/interrupted rotation is not (yet) logically
+    live.  Pure read — safe concurrently with the rotator; the
+    list/manifest pair is retried until it observes one manifest state."""
+    for _ in range(8):
+        doc = _read_manifest(path)
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if _read_manifest(path) != doc:
+            continue  # rotation advanced mid-listing; re-observe
+        if doc is None:
+            return files
+        drop = set(doc["moved"] if doc["phase"] == "prepared"
+                   else doc["consumed"])
+        return [f for f in files if os.path.basename(f) not in drop]
+    raise RuntimeError(f"unstable rotation manifest under {path}")
+
+
+def _rotate_log(spark: SparkSession, path: str, merge_fn) -> None:
+    """Run one crash-atomic rotation: ``merge_fn(files) -> DataFrame``
+    produces the merged replacement for the current snapshot."""
+    recover_rotation(path)
+    snapshot = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not snapshot:
+        return
+    tmpdir = os.path.join(path, _TMP_DIR)
+    merge_fn(snapshot).write.mode("overwrite").parquet(tmpdir)
+    parts = sorted(glob.glob(os.path.join(tmpdir, "*.parquet")))
+    token = uuid.uuid4().hex[:12]
+    finals = [f"rotated-{token}-{i:05d}.parquet" for i in range(len(parts))]
+    consumed = [os.path.basename(s) for s in snapshot]
+    _write_manifest(path, {"phase": "prepared", "consumed": consumed,
+                           "moved": finals})
+    for src, final in zip(parts, finals):
+        _fs_replace(src, os.path.join(path, final))
+    _fsync_dir(path)
+    _write_manifest(path, {"phase": "committed", "consumed": consumed,
+                           "moved": finals})
+    for s in snapshot:
+        _fs_remove(s)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    _fs_remove(os.path.join(path, _MANIFEST))
+    _fsync_dir(path)
+
+
+def _read_log(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema'd read over the manifest-filtered live file set."""
+    files = _live_files(path) if os.path.isdir(path) else []
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def stream_hll_registers(
@@ -60,9 +230,11 @@ def stream_hll_registers(
 
 def read_hll_registers(spark: SparkSession, register_path: str) -> DataFrame:
     """Merged (key, bucket, rho) register state: element-wise MAX over the
-    append log — the sketch merge, run at read time."""
+    append log — the sketch merge, run at read time.  Reads through the
+    rotation manifest (``_read_log``) so an interrupted compaction never
+    shows a reader two generations of the same register."""
     return (
-        spark.read.schema(REGISTER_SCHEMA).parquet(register_path)
+        _read_log(spark, register_path, REGISTER_SCHEMA)
         .groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
     )
 
@@ -78,33 +250,23 @@ def hll_distinct_estimates(
 
 
 def compact_hll_registers(spark: SparkSession, register_path: str) -> None:
-    """Rewrite the append log toward its merged minimum (keys × ≤m rows).
-    Safe to skip indefinitely — merge-on-read stays correct — but keeps
-    the log bounded when batches are many.
+    """Rewrite the append log to its merged minimum (keys × ≤m rows) via
+    the crash-atomic rotation.  Safe to skip indefinitely — merge-on-read
+    stays correct — but keeps the log bounded when batches are many.
 
-    Crash/concurrency-safe BECAUSE max is idempotent (review r7): the
-    merged rows are APPENDED first, then exactly the data files the merge
-    read are deleted — a batch appended concurrently is never touched, a
-    crash mid-delete leaves redundant rows whose max-merge is unchanged,
-    and the log directory never disappears from under a reader (the old
-    dir-swap could both drop a concurrent batch's files and leave no live
-    log between the two renames)."""
-    import glob
-    import os
+    HLL's max-merge is idempotent, so even the old append-then-remove
+    rotation could only leave redundancy behind a crash; the manifest
+    protocol (r8) removes even that, and makes all three compactors share
+    one audited code path.  A batch appended concurrently is never touched
+    (the rotation only consumes its start-of-rotation snapshot)."""
 
-    snapshot = sorted(glob.glob(os.path.join(register_path, "*.parquet")))
-    if not snapshot:
-        return
-    merged = (
-        spark.read.schema(REGISTER_SCHEMA).parquet(*snapshot)
-        .groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
-    )
-    merged.write.mode("append").parquet(register_path)
-    for f in snapshot:
-        try:
-            os.remove(f)
-        except FileNotFoundError:
-            pass
+    def merge_fn(files):
+        return (
+            spark.read.schema(REGISTER_SCHEMA).parquet(*files)
+            .groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
+        )
+
+    _rotate_log(spark, register_path, merge_fn)
 
 
 # --------------------------------------------------------------------------- #
@@ -162,12 +324,46 @@ def stream_cms_counters(
 def read_cms_counters(spark: SparkSession, counter_path: str) -> DataFrame:
     """Merged (r, bucket, cnt): dedupe retried appends per (batch_id, r,
     bucket) — duplicate rows from a replayed batch are identical, so
-    max()==the value — then SUM across batches."""
-    log = spark.read.schema(CMS_SCHEMA).parquet(counter_path)
+    max()==the value — then SUM across batches.  Reads through the
+    rotation manifest (``_read_log``): addition is NOT idempotent, so a
+    reader racing (or recovering behind) an interrupted compaction MUST
+    see exactly one generation of every counter — the manifest filter is
+    what guarantees that."""
+    log = _read_log(spark, counter_path, CMS_SCHEMA)
     per_batch = log.groupBy("batch_id", "r", "bucket").agg(
         F.max("cnt").alias("cnt")
     )
     return per_batch.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def compact_cms_counters(spark: SparkSession, counter_path: str) -> None:
+    """Rewrite the counter log to its merged minimum (≤ 4 × 1024 rows)
+    via the crash-atomic rotation.  This is THE compactor the manifest
+    protocol exists for: counters merge by ADDITION, so the old
+    append-then-remove rotation double-counted every consumed snapshot if
+    the process died between the two steps.  Under the manifest a crash
+    either rolls back (consumed files intact, merged parts deleted) or
+    rolls forward (merged parts live, consumed files deleted) — never
+    both generations at once.
+
+    The merged rows carry the sentinel ``batch_id = -1`` (real stream
+    batch ids are ≥ 0).  Exactly one compacted generation is ever live —
+    the rotation consumes the previous one atomically — so the sentinel
+    never collides with itself in the reader's per-(batch_id, r, bucket)
+    dedupe, and future batches keep appending under their own ids."""
+
+    def merge_fn(files):
+        log = spark.read.schema(CMS_SCHEMA).parquet(*files)
+        per_batch = log.groupBy("batch_id", "r", "bucket").agg(
+            F.max("cnt").alias("cnt")
+        )
+        return per_batch.groupBy("r", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ).select(
+            F.lit(-1).cast("bigint").alias("batch_id"), "r", "bucket", "cnt"
+        )
+
+    _rotate_log(spark, counter_path, merge_fn)
 
 
 def cms_frequency_estimates(
@@ -254,7 +450,7 @@ def read_kmv_values(spark: SparkSession, value_path: str) -> DataFrame:
     runs over sketch-sized data, never the corpus."""
     from cosmo_spark.operators.sketches import kmv_k_smallest
 
-    log = spark.read.schema(KMV_SCHEMA).parquet(value_path).distinct()
+    log = _read_log(spark, value_path, KMV_SCHEMA).distinct()
     return kmv_k_smallest(log, ["key"])
 
 
@@ -267,24 +463,16 @@ def kmv_distinct_estimates(spark: SparkSession, value_path: str) -> DataFrame:
 
 
 def compact_kmv_values(spark: SparkSession, value_path: str) -> None:
-    """Rewrite the append log toward its merged minimum (keys x <=k rows).
-    Same crash/concurrency recipe as compact_hll_registers — append the
-    merged rows first, then delete exactly the files the merge read;
-    safe BECAUSE the union-merge is idempotent."""
-    import glob
-    import os
-
-    snapshot = sorted(glob.glob(os.path.join(value_path, "*.parquet")))
-    if not snapshot:
-        return
+    """Rewrite the append log to its merged minimum (keys x <=k rows) via
+    the crash-atomic rotation (shared with the HLL and CMS compactors).
+    The union-merge is idempotent, so KMV never risked double-counting —
+    the manifest buys bounded garbage after a crash and one audited
+    rotation path for all three algebras."""
     from cosmo_spark.operators.sketches import kmv_k_smallest
 
-    merged = kmv_k_smallest(
-        spark.read.schema(KMV_SCHEMA).parquet(*snapshot).distinct(), ["key"]
-    )
-    merged.write.mode("append").parquet(value_path)
-    for f in snapshot:
-        try:
-            os.remove(f)
-        except FileNotFoundError:
-            pass
+    def merge_fn(files):
+        return kmv_k_smallest(
+            spark.read.schema(KMV_SCHEMA).parquet(*files).distinct(), ["key"]
+        )
+
+    _rotate_log(spark, value_path, merge_fn)
