@@ -15,9 +15,52 @@ becomes a single ``MERGE INTO`` with the same guard predicate; the semantics
 
 from __future__ import annotations
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class MergeContentionError(RuntimeError):
+    """Raised when a second writer attempts a version-guarded merge while
+    another writer holds the table's merge lock.
+
+    The no-transaction-log merge is a read → merge → swap critical
+    section: two concurrent writers that both read the same base would
+    each swap in a rewrite missing the other's rows — a SILENT lost
+    update.  The lock turns that schedule into one loud failure (this
+    exception) instead; the loser retries after the holder finishes.  A
+    Delta/Iceberg deployment lifts the restriction (optimistic commit
+    protocol); this guard documents and enforces the single-writer
+    contract until then.
+    """
+
+
+@contextmanager
+def _table_lock(spark: SparkSession, path: str):
+    """Exclusive per-table merge lock: atomically create ``<path>.__merge_lock``
+    through the Hadoop FileSystem API (atomic create-if-absent on HDFS and
+    local FS — the schemes where the rename-based swap is atomic too).
+    Contention raises MergeContentionError immediately — merges are
+    idempotent and monotone, so the right recovery is retry-after, never
+    wait-and-interleave.  A crashed holder leaves the lock behind; the
+    error message names the file so an operator (or an orchestration
+    layer with liveness knowledge) can remove it.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    lock = jvm.org.apache.hadoop.fs.Path(path + ".__merge_lock")
+    fs = lock.getFileSystem(conf)
+    if not fs.createNewFile(lock):
+        raise MergeContentionError(
+            f"merge lock held for {path}: another merge is in flight "
+            f"(single-writer contract). Retry after it completes; if its "
+            f"writer died, delete {path}.__merge_lock and retry."
+        )
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)
 
 
 def merge_versioned(
@@ -64,12 +107,17 @@ def merge_into_path(
     Full-rewrite merge is the no-transaction-log fallback for unpartitioned
     tables; at scale use ``merge_into_partitioned`` (rewrites only affected
     partitions) or a transactional format's MERGE.
+
+    Single-writer: the whole read → merge → swap runs under the table's
+    merge lock; a concurrent merge raises MergeContentionError instead of
+    silently dropping this writer's rows (r8 review item).
     """
     from cosmo_spark.sources.files import atomic_overwrite, fs_exists
 
-    current = spark.read.parquet(path) if fs_exists(spark, path) else None
-    merged = merge_versioned(current, updates, key_cols, version_col)
-    atomic_overwrite(merged, path)
+    with _table_lock(spark, path):
+        current = spark.read.parquet(path) if fs_exists(spark, path) else None
+        merged = merge_versioned(current, updates, key_cols, version_col)
+        atomic_overwrite(merged, path)
 
 
 def merge_into_partitioned(
@@ -109,20 +157,28 @@ def merge_into_partitioned(
             return
         from cosmo_spark.sources.files import fs_exists
 
-        if fs_exists(spark, path):
-            affected = updates.select(partition_col).distinct()
-            current = spark.read.parquet(path).join(
-                F.broadcast(affected), partition_col, "left_semi"
+        # same single-writer lock as merge_into_path: two concurrent
+        # partition merges touching overlapping partitions would interleave
+        # read-and-overwrite and lose rows; per-table granularity because
+        # the affected-partition set is not known before reading updates
+        with _table_lock(spark, path):
+            if fs_exists(spark, path):
+                affected = updates.select(partition_col).distinct()
+                current = spark.read.parquet(path).join(
+                    F.broadcast(affected), partition_col, "left_semi"
+                )
+                merged = merge_versioned(current, updates, key_cols, version_col)
+            else:
+                merged = merge_versioned(None, updates, key_cols, version_col)
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
             )
-            merged = merge_versioned(current, updates, key_cols, version_col)
-        else:
-            merged = merge_versioned(None, updates, key_cols, version_col)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                merged.write.mode("overwrite").partitionBy(partition_col) \
+                    .parquet(path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
         updates.unpersist()
 
