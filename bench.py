@@ -83,12 +83,27 @@ def main() -> None:
     from cosmo_spark.queries.trainprep import _ensure_pq_index, _pq_index_dir
 
     setup: dict[str, float] = {}
+    setup_dirs: dict[str, str] = {}
     for residual, tag in ((False, "pq_index_raw"), (True, "pq_index_res")):
         shutil.rmtree(_pq_index_dir(sf_dir, residual), ignore_errors=True)
         t0 = time.time()
         _ensure_pq_index(spark, sf_dir, residual)
         setup[tag] = round(time.time() - t0, 3)
+        setup_dirs[tag] = _pq_index_dir(sf_dir, residual)
     spark.catalog.clearCache()
+    # accounting guard (round-7 verdict #3): every at-rest artifact built in
+    # setup must be strictly read-only during the query passes — a query
+    # rebuilding one would smuggle setup cost into (or out of) per-query
+    # minimums.  Snapshot each artifact tree now; verified after the passes.
+    def _tree_sig(d: str) -> tuple:
+        sig = []
+        for root, _, files in sorted(os.walk(d)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                sig.append((p, os.path.getmtime(p), os.path.getsize(p)))
+        return tuple(sig)
+
+    setup_sigs = {tag: _tree_sig(d) for tag, d in setup_dirs.items()}
 
     samples: dict[str, list[float]] = {name: [] for name in qs}
     pass_walls: list[float] = []
@@ -132,6 +147,14 @@ def main() -> None:
         pass_walls.append(time.time() - t_pass)
     wall = round(time.time() - t_all, 3)
 
+    for tag, d in setup_dirs.items():
+        if _tree_sig(d) != setup_sigs[tag]:
+            raise RuntimeError(
+                f"bench accounting violation: setup artifact {tag} ({d}) "
+                f"was modified during the query passes — its build cost is "
+                f"no longer cleanly charged to setup_sec"
+            )
+
     mins = {name: round(min(s), 3) for name, s in samples.items()}
     medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     short_mins = {name.split("_", 1)[0]: v for name, v in mins.items()}
@@ -162,7 +185,9 @@ def main() -> None:
         "unit": "sec",
         "queries": short_mins,
         "sum_of_mins": detail["sum_of_mins"],
-        "setup": round(sum(setup.values()), 3),
+        # per-artifact setup breakdown (round-7 verdict #3): growth in the
+        # separately-charged setup cost must stay attributable
+        "setup": dict(setup, total=round(sum(setup.values()), 3)),
         "repeats": repeats,
         "sf": sf,
     }, separators=(",", ":")))
