@@ -22,16 +22,26 @@ from pyspark.sql import DataFrame, SparkSession
 class Query:
     name: str
     spark_fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None
+    #: an ANSI-SQL string, or a zero-arg callable returning one.  The
+    #: vector-artifact family registers CALLABLES so the oracle text is
+    #: built at ACCESS time from whatever quantizer artifacts are then
+    #: active (committed literals on the test corpora; trainer output when
+    #: the literal modules are absent or the corpus is new) instead of
+    #: freezing the literals into the string at import.
+    oracle_src: str | Callable[[], str] | None = None
     doc: str = ""
     operators: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 ids
+
+    @property
+    def oracle(self) -> str | None:
+        return self.oracle_src() if callable(self.oracle_src) else self.oracle_src
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, operators: tuple[str, ...] = (),
-             doc: str = ""):
+def register(name: str, oracle: str | Callable[[], str] | None = None,
+             operators: tuple[str, ...] = (), doc: str = ""):
     """Decorator adding a query to the catalog."""
     def deco(fn):
         REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), operators)

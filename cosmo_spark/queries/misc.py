@@ -829,19 +829,25 @@ def q109_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_centroids_duckdb() -> str:
-    from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
+    """IVF centroids as DuckDB VALUES rows — from the ACTIVE artifact set
+    (committed literals on the test corpora, trainer output otherwise;
+    queries/artifacts.py).  Called lazily from oracle builders so the
+    oracle always embeds the same quantizer the Spark side resolved."""
+    from cosmo_spark.queries.artifacts import get_vector_artifacts
 
+    cents = get_vector_artifacts().centroids
     return ", ".join(
-        f"({i}, {list(c)!r}::DOUBLE[])" for i, c in enumerate(IVF_CENTROIDS)
+        f"({i}, {list(c)!r}::DOUBLE[])" for i, c in enumerate(cents)
     )
 
 
 def _ivf_centroids_spark() -> str:
-    from cosmo_spark.queries.ivf_centroids import IVF_CENTROIDS
+    from cosmo_spark.queries.artifacts import get_vector_artifacts
 
+    cents = get_vector_artifacts().centroids
     return ", ".join(
         "({}, array({}))".format(i, ", ".join(f"{v}D" for v in c))
-        for i, c in enumerate(IVF_CENTROIDS)
+        for i, c in enumerate(cents)
     )
 
 
@@ -892,7 +898,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 @register(
     "q44_ivf_ann",
     operators=("SIM2",),
-    oracle=_Q44_ORACLE.format(cents=_ivf_centroids_duckdb()),
+    oracle=lambda: _Q44_ORACLE.format(cents=_ivf_centroids_duckdb()),
 )
 def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbors — the 100 TB similarity
@@ -915,8 +921,10 @@ def q44_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes less for more.
     """
     from cosmo_spark.operators.similarity import ivf_cosine_topk
+    from cosmo_spark.queries.artifacts import resolve_vector_artifacts
 
     e = _t(spark, sf_dir, "embeddings")
+    resolve_vector_artifacts(spark, sf_dir)
     # literal dim via SQL VALUES — stays JVM-side, mirrors the oracle exactly
     centroids = spark.sql(
         f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"

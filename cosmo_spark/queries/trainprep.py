@@ -18,6 +18,7 @@ from cosmo_spark.queries import register
 from cosmo_spark.session import tune_session
 from cosmo_spark.sources.tables import load_table
 from cosmo_spark.functions.text import poly_hash, tokenize
+from cosmo_spark.queries.artifacts import resolve_vector_artifacts
 from cosmo_spark.queries.misc import _ivf_centroids_duckdb, _ivf_centroids_spark
 from cosmo_spark.queries.textops import _DUCK_POLY, _DUCK_TOKS
 
@@ -33,9 +34,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _SEMDEDUP_TAU = 0.35
 
-_Q75_ORACLE = f"""
+_Q75_TEMPLATE = """
 WITH cents AS (
-  SELECT * FROM (VALUES {_ivf_centroids_duckdb()}) c(bucket, centroid)
+  SELECT * FROM (VALUES {cents}) c(bucket, centroid)
 ), cn AS (
   SELECT bucket, centroid,
          sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnorm
@@ -62,11 +63,17 @@ WITH cents AS (
 )
 SELECT id_b AS vec_id, CAST(count(*) AS BIGINT) AS n_dups,
        round(max(sim), 6) AS max_sim
-FROM pairs WHERE sim >= {_SEMDEDUP_TAU} GROUP BY id_b
+FROM pairs WHERE sim >= {tau} GROUP BY id_b
 """
 
 
-@register("q75_semantic_dedup", operators=("DD5", "SIM2"), oracle=_Q75_ORACLE)
+def _q75_oracle() -> str:
+    return _Q75_TEMPLATE.format(
+        cents=_ivf_centroids_duckdb(), tau=_SEMDEDUP_TAU
+    )
+
+
+@register("q75_semantic_dedup", operators=("DD5", "SIM2"), oracle=_q75_oracle)
 def q75_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup-style semantic deduplication: assign every embedding to its
     nearest k-means centroid (the q44 coarse quantizer, a literal artifact),
@@ -90,6 +97,7 @@ def q75_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmo_spark.operators.similarity import assign_buckets
 
     e = _t(spark, sf_dir, "embeddings")
+    resolve_vector_artifacts(spark, sf_dir)
     centroids = spark.sql(
         f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
     )
@@ -822,9 +830,11 @@ _PQ_RERANK = 50
 
 
 def _pq_books():
-    from cosmo_spark.queries.pq_codebooks import PQ_CODEBOOKS
+    """PQ codebooks from the ACTIVE artifact set (queries/artifacts.py:
+    committed literals on the test corpora, trainer output otherwise)."""
+    from cosmo_spark.queries.artifacts import get_vector_artifacts
 
-    return PQ_CODEBOOKS
+    return get_vector_artifacts().codebooks
 
 
 def _pq_book_sql(s: int) -> str:
@@ -862,7 +872,8 @@ def _pq_fold_sql() -> str:
     return expr
 
 
-_Q86_ORACLE = f"""
+def _q86_oracle() -> str:
+    return f"""
 WITH {_pq_encode_ctes()}
 SELECT vec_id,
        {_pq_fold_sql()} AS code_hash,
@@ -871,7 +882,7 @@ FROM c
 """
 
 
-@register("q86_pq_encode", operators=("SIM2", "A10"), oracle=_Q86_ORACLE)
+@register("q86_pq_encode", operators=("SIM2", "A10"), oracle=_q86_oracle)
 def q86_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (operators/pq.py): each 64-dim vector
     compresses to 16 subspace codes against literal offline-trained
@@ -888,6 +899,7 @@ def q86_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmo_spark.operators.pq import pq_encode
 
     e = _t(spark, sf_dir, "embeddings")
+    resolve_vector_artifacts(spark, sf_dir)
     enc = pq_encode(e, "embedding", "vec_id", _pq_books())
     fold = F.element_at("codes", 1).cast("long")
     for s in range(1, _PQ_NSUB):
@@ -940,7 +952,7 @@ SELECT query_id, neighbor_id, l2_dist, rank FROM ranked WHERE rank <= 5
 """
 
 
-@register("q87_pq_adc_search", operators=("SIM2",), oracle=_q87_oracle())
+@register("q87_pq_adc_search", operators=("SIM2",), oracle=_q87_oracle)
 def q87_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC (asymmetric distance) search over the PQ-encoded corpus with the
     production re-rank: each query builds its 16×16 lookup table row-locally
@@ -959,6 +971,7 @@ def q87_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmo_spark.operators.pq import pq_adc_topk
 
     e = _t(spark, sf_dir, "embeddings")
+    resolve_vector_artifacts(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 8)
     # the raw at-rest index IS the PQ code table (bucket column prunes
     # away) — whole-corpus ADC reads codes at rest instead of re-encoding
@@ -1056,19 +1069,24 @@ SELECT query_id, neighbor_id, l2_dist, rank FROM ranked WHERE rank <= 5
 def _pq_index_dir(sf_dir: str, residual: bool) -> "Path":
     """At-rest location for the materialized IVF-PQ index of one sf_dir:
     spark-warehouse/pq_index/<sf>_<raw|res>_<fingerprint>.  The
-    fingerprint folds the source parquet's (path, mtime, size) plus an
-    index-format version, so a regenerated testdata dir or a codebook
-    change (bump _PQ_INDEX_VERSION) can never serve a stale index.
+    fingerprint folds the source parquet's (path, mtime, size), an
+    index-format version, AND the ACTIVE quantizer artifacts' content
+    hash (queries/artifacts.artifact_fp) — so a regenerated testdata dir,
+    a codebook change (bump _PQ_INDEX_VERSION), or a retrained quantizer
+    can never serve a stale index encoded under different codebooks.
     Anchored at the repo root via __file__ — the driver probe runs from
     an arbitrary cwd."""
     import hashlib
     from pathlib import Path
 
+    from cosmo_spark.queries.artifacts import artifact_fp, get_vector_artifacts
+
     src = Path(sf_dir) / "embeddings.parquet"
     st = src.stat()
+    afp = artifact_fp(get_vector_artifacts())
     fp = hashlib.sha1(
         f"{src.resolve()}|{st.st_mtime_ns}|{st.st_size}|{_PQ_INDEX_VERSION}"
-        .encode()
+        f"|{afp}".encode()
     ).hexdigest()[:12]
     root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "pq_index"
     tag = "res" if residual else "raw"
@@ -1091,6 +1109,7 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str, residual: bool) -> DataFr
     import os
     import shutil
 
+    resolve_vector_artifacts(spark, sf_dir)
     d = _pq_index_dir(sf_dir, residual)
     if not (d / "_SUCCESS").exists():
         e = _t(spark, sf_dir, "embeddings")
@@ -1149,7 +1168,7 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str, residual: bool) -> DataFr
     ).parquet(str(d))
 
 
-@register("q88_ivf_pq_search", operators=("SIM2",), oracle=_q88_oracle())
+@register("q88_ivf_pq_search", operators=("SIM2",), oracle=_q88_oracle)
 def q88_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed IVF-PQ index (operators/pq.ivf_pq_topk) — the standard
     production ANN architecture: IVF coarse buckets bound WHICH entries a
@@ -1168,6 +1187,7 @@ def q88_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmo_spark.operators.pq import ivf_pq_query
 
     e = _t(spark, sf_dir, "embeddings")
+    resolve_vector_artifacts(spark, sf_dir)
     centroids = spark.sql(
         f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
     )
@@ -1195,9 +1215,9 @@ _PQ_RERANK_RESIDUAL = 25
 
 
 def _pq_rbooks():
-    from cosmo_spark.queries.pq_codebooks import PQ_RESIDUAL_CODEBOOKS
+    from cosmo_spark.queries.artifacts import get_vector_artifacts
 
-    return PQ_RESIDUAL_CODEBOOKS
+    return get_vector_artifacts().residual_codebooks
 
 
 def _pq_rbook_sql(s: int) -> str:
@@ -1316,6 +1336,7 @@ def _ensure_pq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cosmo_spark.operators.pq import ivf_pq_build_index
 
+    resolve_vector_artifacts(spark, sf_dir)
     d = str(_pq_index_dir(sf_dir, residual=False)) + "_incr"
     if not os.path.exists(os.path.join(d, "_APPENDED")):
         shutil.rmtree(d, ignore_errors=True)
@@ -1342,7 +1363,7 @@ def _ensure_pq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(d)
 
 
-@register("q105_incremental_index", operators=("SIM2", "ST3"), oracle=_q88_oracle())
+@register("q105_incremental_index", operators=("SIM2", "ST3"), oracle=_q88_oracle)
 def q105_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search over an INCREMENTALLY-maintained at-rest index: half
     the corpus indexed first, the other half appended later (the
@@ -1355,6 +1376,7 @@ def q105_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmo_spark.operators.pq import ivf_pq_query
 
     e = _t(spark, sf_dir, "embeddings")
+    resolve_vector_artifacts(spark, sf_dir)
     centroids = spark.sql(
         f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
     )
@@ -1371,7 +1393,7 @@ def q105_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q90_ivf_pq_residual", operators=("SIM2",), oracle=_q90_oracle())
+@register("q90_ivf_pq_residual", operators=("SIM2",), oracle=_q90_oracle)
 def q90_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ (operators/pq.ivf_pq_topk residual=True) — the
     production refinement over q88: each index entry quantizes its
@@ -1390,6 +1412,7 @@ def q90_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmo_spark.operators.pq import ivf_pq_query
 
     e = _t(spark, sf_dir, "embeddings")
+    resolve_vector_artifacts(spark, sf_dir)
     centroids = spark.sql(
         f"SELECT * FROM VALUES {_ivf_centroids_spark()} AS t(bucket, centroid)"
     )
