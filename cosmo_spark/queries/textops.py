@@ -2950,8 +2950,20 @@ def q125_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + join.  Scale: each channel is independently bounded
     (LSH bands / blocked cosine / chunk equijoin); the union graph's CC
     cost is O(diameter) rounds over pair edges only."""
+    from cosmo_spark.operators.dedup import duplicate_clusters
+
+    comp = duplicate_clusters(_entity_pairs(spark, sf_dir)).select(
+        "id", "cluster"
+    )
+    sizes = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster").select("id", "cluster", "cluster_size")
+
+
+def _entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q125's unioned three-channel evidence pairs (LSH-Jaccard, blocked
+    cosine, Pass-Join edit distance) as a reusable stage — shared verbatim
+    by the q136 count twin so the two queries cannot drift."""
     from cosmo_spark.operators.dedup import (
-        duplicate_clusters,
         embedding_near_dups,
         minhash_candidates,
         ngram_jaccard_pairs,
@@ -2977,10 +2989,129 @@ def q125_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
 
-    pairs = mh.unionByName(emb).unionByName(ed).distinct()
-    comp = duplicate_clusters(pairs).select("id", "cluster")
-    sizes = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(sizes, "cluster").select("id", "cluster", "cluster_size")
+    return mh.unionByName(emb).unionByName(ed).distinct()
+
+
+# --------------------------------------------------------------------------- #
+# q134–q136 — count-only twins of the output-dense near-dup queries            #
+# --------------------------------------------------------------------------- #
+#
+# q39/q120/q125's 10× ratios (docs/SCALE.md) are dominated by OUTPUT
+# density: replicating the corpus 10× makes every document a ~45-true-pair
+# group, so the pair/member row count explodes while the pipeline itself
+# stays sub-quadratic.  These twins run the IDENTICAL pipelines (shared
+# stage functions — zero drift) but emit per-doc degrees / cluster-size
+# histograms instead of pairs, so their measured 10× ratios isolate
+# pipeline cost from output materialization — turning SCALE.md's
+# "workload-induced" claims into measured fact (round-7 review #5).
+
+
+def _q134_oracle() -> str:
+    ed = _q120_oracle().strip()
+    return f"""
+WITH pairs AS (
+  {ed}
+), sides AS (
+  SELECT doc_a AS doc_id, dist FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, dist FROM pairs
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, min(dist) AS min_dist
+FROM sides GROUP BY doc_id
+"""
+
+
+@register("q134_editdist_pair_counts", operators=("DD2", "A11"),
+          oracle=_q134_oracle())
+def q134_editdist_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-only twin of q120: per-document edit-distance near-dup degree
+    (and closest distance) from the VERBATIM q120 pipeline
+    (editdist_near_dup_pairs — one definition, zero drift), aggregated
+    before anything wide materializes.  Output is ≤ one row per document,
+    so its measured 10× ratio is the Pass-Join pipeline's own scaling with
+    the output-density term removed (docs/SCALE.md)."""
+    pairs = editdist_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    sides = pairs.select(F.col("doc_a").alias("doc_id"), "dist").unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), "dist")
+    )
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dist").alias("min_dist"),
+    )
+
+
+def _q135_oracle() -> str:
+    mh = _minhash_oracle().strip()
+    return f"""
+WITH pairs AS (
+  {mh}
+), sides AS (
+  SELECT id_a AS doc_id, jaccard FROM pairs
+  UNION ALL
+  SELECT id_b AS doc_id, jaccard FROM pairs
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(max(jaccard), 6) AS max_jaccard
+FROM sides GROUP BY doc_id
+"""
+
+
+@register("q135_lsh_pair_counts", operators=("DD2", "DD4", "A11"),
+          oracle=_q135_oracle())
+def q135_lsh_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-only twin of q39: per-document verified near-dup degree and
+    best Jaccard from the identical LSH find + exact-Jaccard verify
+    pipeline, collapsed to one row per document before output."""
+    from cosmo_spark.operators.dedup import shingle_table
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_table(d, "text", "doc_id", shingle_n=3).persist()
+    verified = ngram_jaccard_pairs(
+        d, "text", "doc_id",
+        candidate_pairs=minhash_candidates(
+            d, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3, shingles=sh
+        ),
+        shingles=sh,
+    )
+    sides = verified.select(F.col("id_a").alias("doc_id"), "jaccard") \
+        .unionByName(verified.select(F.col("id_b").alias("doc_id"), "jaccard"))
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+
+
+def _q136_oracle() -> str:
+    base = _q125_oracle().strip()
+    return f"""
+WITH base AS (
+  {base}
+)
+SELECT cluster_size, CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+FROM base GROUP BY cluster_size
+"""
+
+
+@register("q136_entity_cluster_profile", operators=("DD6", "A13"),
+          oracle=_q136_oracle())
+def q136_entity_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-only twin of q125: the entity-size HISTOGRAM (cluster_size →
+    number of entities) over the identical three-channel evidence union
+    and connected-components closure (_entity_pairs + duplicate_clusters
+    shared verbatim).  Where q125's output grows with every replicated
+    member row, this emits one row per distinct cluster size — the
+    pipeline-only cost of composite entity resolution."""
+    from cosmo_spark.operators.dedup import duplicate_clusters
+
+    comp = duplicate_clusters(_entity_pairs(spark, sf_dir)).select(
+        "id", "cluster"
+    )
+    sizes = comp.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
 
 
 # --------------------------------------------------------------------------- #

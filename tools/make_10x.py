@@ -36,8 +36,12 @@ TABLES = (
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10x"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    distinct = "--distinct-dups" in sys.argv
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else (
+        "/tmp/sf10xd" if distinct else "/tmp/sf10x"
+    )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
@@ -51,11 +55,35 @@ def main() -> None:
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{sp}'").fetchall()]
         selects = []
         for i in range(10):
-            exprs = ", ".join(
-                f"{c} + {i * shifts[c]} AS {c}" if c in shifts else c
-                for c in cols
-            )
-            selects.append(f"SELECT {exprs} FROM '{sp}'")
+            exprs = []
+            for c in cols:
+                if c in shifts:
+                    exprs.append(f"{c} + {i * shifts[c]} AS {c}")
+                elif distinct and i > 0 and t == "documents" and c == "text":
+                    # --distinct-dups: prefix every WORD with a per-copy
+                    # marker — a bijective vocabulary rename, so same-copy
+                    # near-dup pairs keep their exact shingle Jaccard and
+                    # ~their prefix edit distance, while cross-copy rows
+                    # share no vocabulary at all (Jaccard 0, edit distance
+                    # >> maxd).  Yields a 10x corpus at the ORIGINAL
+                    # duplicate density, isolating pipeline scaling from
+                    # true-pair volume in the q39/q120/q125 family
+                    # (docs/SCALE.md count twins)
+                    exprs.append(
+                        f"regexp_replace({c}, '([A-Za-z0-9_]+)', "
+                        f"'k{i}\\1', 'g') AS {c}"
+                    )
+                elif distinct and i > 0 and t == "embeddings" and c == "embedding":
+                    # rotate the vector by i positions: norm-preserving,
+                    # near-zero cosine to the original on these synthetic
+                    # near-uniform vectors — replicas leave each other's
+                    # 0.90-cosine near-dup balls
+                    exprs.append(
+                        f"list_concat({c}[{i + 1}:], {c}[1:{i}]) AS {c}"
+                    )
+                else:
+                    exprs.append(c)
+            selects.append(f"SELECT {', '.join(exprs)} FROM '{sp}'")
         con.execute(
             f"COPY ({' UNION ALL '.join(selects)}) TO '{op}' (FORMAT PARQUET)"
         )
