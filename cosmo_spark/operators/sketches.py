@@ -112,13 +112,22 @@ def cms_rb_expr(th_col: str = "th"):
     ]))
 
 
-def cms_counters(tokh: DataFrame, th_col: str = "th") -> DataFrame:
-    """(r, bucket, cnt) counter rows for a token-hash frame — the additive
-    sketch state: counters from different partitions / batches / days
-    combine by SUM."""
+def cms_counters(
+    tokh: DataFrame, th_col: str = "th", carry: list[str] | None = None
+) -> DataFrame:
+    """(carry..., r, bucket, cnt) counter rows for a token-hash frame —
+    the additive sketch state: counters from different partitions /
+    batches / days combine by SUM.  ``carry`` threads grouping columns
+    (e.g. the windowed maintainer's event-time bucket) through the
+    aggregate, yielding one independent counter generation per carry
+    value."""
+    carry = carry or []
     return (
-        tokh.select(cms_rb_expr(th_col).alias("rb"))
-        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        tokh.select(*carry, cms_rb_expr(th_col).alias("rb"))
+        .groupBy(
+            *carry,
+            F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -462,6 +462,252 @@ def kmv_distinct_estimates(spark: SparkSession, value_path: str) -> DataFrame:
     return kmv_estimate(read_kmv_values(spark, value_path), ["key"])
 
 
+# --------------------------------------------------------------------------- #
+# Windowed registers: horizon queries + state eviction (review r7 #6)          #
+# --------------------------------------------------------------------------- #
+#
+# The plain maintainers accumulate registers FOREVER by design (an
+# all-time distinct count).  The windowed mode buckets the at-rest state
+# by event-time (``win`` = date_trunc of the row's timestamp), so
+# "distinct users over the last 30 days" is a merge over the in-horizon
+# buckets at read time, and buckets older than the horizon are DROPPED
+# from at-rest state by ``expire_windows`` — bounded state on an
+# unbounded stream, the same algebra per bucket:
+#
+#   HLL:  max  per (key, win, bucket)   — horizon read = max over wins
+#   CMS:  sum  per (win, r, bucket)     — horizon read = sum over wins
+#   KMV:  k-smallest per (key, win)     — horizon read = union ∪ re-select
+#
+# All three merges are closed under per-window partials (the standard
+# sketch mergeability property), so a horizon estimate over windowed
+# state is bit-identical to a batch sketch over exactly the in-horizon
+# rows (gated by tests/test_windowed_sketches.py).  Eviction runs through
+# the same crash-atomic rotation as compaction — an expire that dies
+# mid-flight can never double-count or half-drop a bucket.
+
+HLLW_SCHEMA = "key STRING, win TIMESTAMP, bucket BIGINT, rho INT"
+CMSW_SCHEMA = "batch_id BIGINT, win TIMESTAMP, r INT, bucket BIGINT, cnt BIGINT"
+KMVW_SCHEMA = "key STRING, win TIMESTAMP, h BIGINT"
+
+
+def stream_hll_registers_windowed(
+    stream: DataFrame,
+    key_col: str,
+    text_col: str,
+    ts_col: str,
+    register_path: str,
+    checkpoint_dir: str,
+    bucket: str = "day",
+    trigger_once: bool = True,
+):
+    """Windowed twin of ``stream_hll_registers``: each micro-batch's
+    registers land under their event-time bucket (``date_trunc(bucket,
+    ts_col)``), so horizon reads and eviction are possible.  Per-batch
+    appended state is at most (keys × wins-present × m) rows."""
+    from cosmo_spark.operators.sketches import hll_registers
+
+    def upsert(batch_df, batch_id):
+        regs = hll_registers(
+            batch_df.filter(F.col(ts_col).isNotNull()).select(
+                F.col(key_col).cast("string").alias("key"),
+                F.date_trunc(bucket, F.col(ts_col)).alias("win"),
+                text_col,
+            ),
+            ["key", "win"], text_col,
+        )
+        regs.select("key", "win", "bucket", "rho") \
+            .write.mode("append").parquet(register_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hll_registers_windowed(
+    spark: SparkSession,
+    register_path: str,
+    since=None,
+    until=None,
+) -> DataFrame:
+    """Merged (key, bucket, rho) over the in-horizon windows only:
+    ``since <= win < until`` (either side open when None).  max-merge
+    across windows == the sketch of exactly those windows' rows."""
+    log = _read_log(spark, register_path, HLLW_SCHEMA)
+    if since is not None:
+        log = log.filter(F.col("win") >= F.lit(since))
+    if until is not None:
+        log = log.filter(F.col("win") < F.lit(until))
+    return log.groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_distinct_estimates_windowed(
+    spark: SparkSession, register_path: str, since=None, until=None
+) -> DataFrame:
+    from cosmo_spark.operators.sketches import hll_estimate
+
+    return hll_estimate(
+        read_hll_registers_windowed(spark, register_path, since, until),
+        ["key"],
+    )
+
+
+def stream_cms_counters_windowed(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    counter_path: str,
+    checkpoint_dir: str,
+    bucket: str = "day",
+    trigger_once: bool = True,
+):
+    """Windowed twin of ``stream_cms_counters`` (same batch_id dedupe
+    contract, one counter generation per (batch, window))."""
+    from cosmo_spark.operators.sketches import cms_counters
+
+    def upsert(batch_df, batch_id):
+        from cosmo_spark.functions.text import poly_hash, tokenize
+
+        tokh = (
+            batch_df.filter(
+                F.col(text_col).isNotNull() & F.col(ts_col).isNotNull()
+            )
+            .select(
+                F.date_trunc(bucket, F.col(ts_col)).alias("win"),
+                F.explode(tokenize(F.col(text_col))).alias("tok"),
+            )
+            .select("win", poly_hash(F.col("tok")).alias("th"))
+        )
+        counters = cms_counters(tokh, carry=["win"]).select(
+            F.lit(int(batch_id)).alias("batch_id"), "win", "r", "bucket", "cnt"
+        )
+        counters.write.mode("append").parquet(counter_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_counters_windowed(
+    spark: SparkSession, counter_path: str, since=None, until=None
+) -> DataFrame:
+    """Merged (r, bucket, cnt) over the in-horizon windows: dedupe retried
+    appends per (batch_id, win, r, bucket), filter the horizon, then SUM."""
+    log = _read_log(spark, counter_path, CMSW_SCHEMA)
+    if since is not None:
+        log = log.filter(F.col("win") >= F.lit(since))
+    if until is not None:
+        log = log.filter(F.col("win") < F.lit(until))
+    per_batch = log.groupBy("batch_id", "win", "r", "bucket").agg(
+        F.max("cnt").alias("cnt")
+    )
+    return per_batch.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def stream_kmv_values_windowed(
+    stream: DataFrame,
+    key_col: str,
+    text_col: str,
+    ts_col: str,
+    value_path: str,
+    checkpoint_dir: str,
+    bucket: str = "day",
+    trigger_once: bool = True,
+):
+    """Windowed twin of ``stream_kmv_values``: per-(key, window) k-smallest
+    hashes; horizon reads union the in-horizon windows and re-select."""
+    from cosmo_spark.operators.sketches import kmv_k_smallest
+
+    def upsert(batch_df, batch_id):
+        from cosmo_spark.functions.text import poly_hash, tokenize
+
+        hs = (
+            batch_df.filter(
+                F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
+                & F.col(ts_col).isNotNull()
+            )
+            .select(
+                F.col(key_col).cast("string").alias("key"),
+                F.date_trunc(bucket, F.col(ts_col)).alias("win"),
+                F.explode(tokenize(F.col(text_col))).alias("tok"),
+            )
+            .select("key", "win", poly_hash(F.col("tok")).alias("h"))
+            .distinct()
+        )
+        kmv_k_smallest(hs, ["key", "win"]).select("key", "win", "h") \
+            .write.mode("append").parquet(value_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv_values_windowed(
+    spark: SparkSession, value_path: str, since=None, until=None
+) -> DataFrame:
+    """Merged per-key sketch over the in-horizon windows: union-distinct
+    the per-window value sets, then one shared k-smallest re-selection —
+    k-smallest(∪ per-window k-smallest) == k-smallest(∪ full sets)."""
+    from cosmo_spark.operators.sketches import kmv_k_smallest
+
+    log = _read_log(spark, value_path, KMVW_SCHEMA)
+    if since is not None:
+        log = log.filter(F.col("win") >= F.lit(since))
+    if until is not None:
+        log = log.filter(F.col("win") < F.lit(until))
+    return kmv_k_smallest(log.select("key", "h").distinct(), ["key"])
+
+
+def expire_windows(
+    spark: SparkSession, path: str, kind: str, older_than
+) -> None:
+    """Drop windows strictly older than ``older_than`` from a windowed
+    sketch log AND compact what remains — through the crash-atomic
+    rotation, so an expiry that dies mid-flight can never double-count
+    (CMS) or serve half a generation.  ``kind`` ∈ {'hll', 'cms', 'kmv'}."""
+    from cosmo_spark.operators.sketches import kmv_k_smallest
+
+    def merge_hll(files):
+        live = spark.read.schema(HLLW_SCHEMA).parquet(*files) \
+            .filter(F.col("win") >= F.lit(older_than))
+        return live.groupBy("key", "win", "bucket").agg(
+            F.max("rho").alias("rho")
+        ).select("key", "win", "bucket", "rho")
+
+    def merge_cms(files):
+        live = spark.read.schema(CMSW_SCHEMA).parquet(*files) \
+            .filter(F.col("win") >= F.lit(older_than))
+        per_batch = live.groupBy("batch_id", "win", "r", "bucket").agg(
+            F.max("cnt").alias("cnt")
+        )
+        return per_batch.groupBy("win", "r", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ).select(
+            F.lit(-1).cast("bigint").alias("batch_id"),
+            "win", "r", "bucket", "cnt",
+        )
+
+    def merge_kmv(files):
+        live = spark.read.schema(KMVW_SCHEMA).parquet(*files) \
+            .filter(F.col("win") >= F.lit(older_than)) \
+            .select("key", "win", "h").distinct()
+        return kmv_k_smallest(live, ["key", "win"]).select("key", "win", "h")
+
+    merge_fn = {"hll": merge_hll, "cms": merge_cms, "kmv": merge_kmv}[kind]
+    _rotate_log(spark, path, merge_fn)
+
+
 def compact_kmv_values(spark: SparkSession, value_path: str) -> None:
     """Rewrite the append log to its merged minimum (keys x <=k rows) via
     the crash-atomic rotation (shared with the HLL and CMS compactors).
