@@ -1079,3 +1079,170 @@ def q129_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").alias("n_converted"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q137 — event-type transition matrix (first-order Markov over user streams)   #
+# --------------------------------------------------------------------------- #
+
+_Q137_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+), trans AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), tot AS (
+  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n_trans,
+       round(t.n_trans / CAST(o.n_from AS DOUBLE), 6) AS p
+FROM trans t JOIN tot o USING (from_type)
+"""
+
+
+@register("q137_event_transitions", operators=("W6", "A11", "J2"),
+          oracle=_Q137_ORACLE)
+def q137_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    consecutive (event → next event) pairs within each user's timeline,
+    counted and row-normalized into transition probabilities — the
+    sequence-modeling prior every behavioral pipeline derives (and the
+    event-stream sibling of q101's token-bigram language model).
+
+    Scale shape: ONE shuffle — the per-user ordered window (event_id
+    tiebreak, the q47 discipline; AQE splits skewed users) — then a
+    map-side-combining (from, to) count whose output is |types|² rows;
+    normalization joins the broadcast per-from totals.  No fact-scale
+    join anywhere."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type", "to_type", "n_trans",
+        F.round(F.col("n_trans") / F.col("n_from").cast("double"), 6)
+         .alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q138 — DAU / MAU stickiness                                                  #
+# --------------------------------------------------------------------------- #
+
+_Q138_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+), um AS (
+  SELECT DISTINCT user_id, substr(day, 1, 7) AS month FROM ud
+), mau AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS mau FROM um GROUP BY month
+)
+SELECT d.day, d.dau, m.mau,
+       round(d.dau / CAST(m.mau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN mau m ON substr(d.day, 1, 7) = m.month
+"""
+
+
+@register("q138_dau_mau_stickiness", operators=("A12", "A9", "J2"),
+          oracle=_Q138_ORACLE)
+def q138_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the growth-analytics engagement ratio: per
+    calendar day, distinct active users over that day's calendar-month
+    distinct actives.  Sibling of q112's retention triangle (cohorts) on
+    the same distinct-activity backbone.
+
+    Scale shape: ONE distinct (user, day) aggregate bounds everything —
+    at 100 TB the activity table is users × days, orders below the fact
+    stream; DAU and MAU are aggregates of that table and the final join
+    is day-keyed against a broadcast month frame.  Dates ride as strings
+    (engine-agnostic lexicographic months; the catalog's timestamp
+    discipline)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ud = e.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    um = ud.select(
+        "user_id", F.substring("day", 1, 7).alias("month")
+    ).distinct()
+    mau = um.groupBy("month").agg(F.count(F.lit(1)).alias("mau"))
+    return (
+        dau.withColumn("month", F.substring("day", 1, 7))
+        .join(F.broadcast(mau), "month")
+        .select(
+            "day", "dau", "mau",
+            F.round(F.col("dau") / F.col("mau").cast("double"), 6)
+             .alias("stickiness"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q139 — per-user activity entropy (behavioral diversity)                      #
+# --------------------------------------------------------------------------- #
+
+_Q139_ORACLE = """
+WITH tc AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM tc GROUP BY user_id
+"""
+
+
+@register("q139_activity_entropy", operators=("A11", "A4"),
+          oracle=_Q139_ORACLE)
+def q139_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — the behavioral
+    diversity score (bots/monitors pin near 0, exploratory users approach
+    ln(|types|)); the event-stream twin of q53's text-entropy quality
+    signal, using the same single-division identity
+    ``ln(n) − Σ c·ln(c) / n`` so both engines stay IEEE-identical.
+
+    Scale shape: one map-side-combining (user, type) count, then a
+    user-keyed aggregate over ≤ |types| rows per user.  All counts exact
+    BIGINT; the two ln calls run on integers both engines agree on."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    tc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return tc.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy"),
+    )
