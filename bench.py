@@ -157,7 +157,11 @@ def main() -> None:
 
     mins = {name: round(min(s), 3) for name, s in samples.items()}
     medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
-    short_mins = {name.split("_", 1)[0]: v for name, v in mins.items()}
+    # tail-line values at 2 decimals: the driver captures only the last
+    # ~2000 chars of stdout, and the 139-query map at 3 decimals runs the
+    # line within ~100 chars of that cliff (full precision stays in
+    # BENCH_LOCAL.json)
+    short_mins = {name.split("_", 1)[0]: round(v, 2) for name, v in mins.items()}
 
     detail = {
         "metric": "catalog_wall_sec",

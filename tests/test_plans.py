@@ -568,3 +568,23 @@ def test_no_cartesian_product_anywhere(spark, qs):
         if n:
             bad[name] = n
     assert not bad, bad
+
+
+def test_q137_q138_normalization_joins_broadcast(spark, qs):
+    # the transition-probability and MAU joins are against tiny derived
+    # frames (|types| / months rows) — they must broadcast, never sort-merge
+    for name in ("q137_event_transitions", "q138_dau_mau_stickiness"):
+        df = qs[name].spark_fn(spark, SF)
+        assert plan_has(df, "BroadcastHashJoin", absent=("SortMergeJoin",)) \
+            == [], name
+
+
+def test_q134_q135_twins_aggregate_before_output(spark, qs):
+    # the count twins must end in a hash aggregate over the pair stream —
+    # any Sort/Window at the top would mean pairs are being materialized
+    # and ranked rather than folded (the whole point of the twin)
+    for name in ("q134_editdist_pair_counts", "q135_lsh_pair_counts"):
+        df = qs[name].spark_fn(spark, SF)
+        plan = physical_plan(df)
+        assert "HashAggregate" in plan, name
+        assert "Window" not in plan, name
