@@ -556,3 +556,163 @@ def q122_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rrf", 6).alias("rrf_score"),
         F.row_number().over(w).cast("long").alias("fused_rank"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q140 — perceptual-hash image dedup over the REAL media codec roundtrip       #
+# --------------------------------------------------------------------------- #
+#
+# The multimodal pattern, end-to-end and oracle-gated: vectors render to
+# binary PGM images JVM-side (sources/multimodal.encode_pgm_gray8x8), the
+# REAL stdlib pixel decoder (decode_media codec='ppm', Arrow-batched
+# mapInPandas — the one sanctioned Python hot path) recovers the 8×8 luma
+# thumbnail, and an average-hash (aHash) fingerprint + banded Hamming
+# join finds perceptual near-duplicates.  The DuckDB oracle computes the
+# SAME fingerprints directly from the source vectors without ever
+# touching the codec — so value-hash parity simultaneously proves
+# (a) the encode→decode roundtrip is byte-lossless and (b) the dedup
+# math (mean threshold, bit packing, 4×16-bit band pigeonhole, Hamming)
+# is engine-identical.
+
+def _q140_oracle() -> str:
+    hi = " + ".join(
+        f"(CASE WHEN p[{i + 1}] > mean THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN p[{i + 33}] > mean THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+), px AS (
+  SELECT vec_id,
+         list_transform(e, x -> least(255, greatest(0,
+             CAST(floor((x + 0.5) * 256) AS BIGINT)))) AS p
+  FROM v
+), st AS (
+  SELECT vec_id, p,
+         CAST(floor(list_sum(p) / 64.0) AS BIGINT) AS mean
+  FROM px
+), fp AS (
+  SELECT vec_id, CAST({hi} AS BIGINT) AS fp_hi, CAST({lo} AS BIGINT) AS fp_lo
+  FROM st
+), bands AS (
+  SELECT vec_id, 0 AS bi, fp_hi % 65536 AS bv FROM fp
+  UNION ALL SELECT vec_id, 1, fp_hi // 65536 FROM fp
+  UNION ALL SELECT vec_id, 2, fp_lo % 65536 FROM fp
+  UNION ALL SELECT vec_id, 3, fp_lo // 65536 FROM fp
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id <> b.vec_id
+), ham AS (
+  SELECT c.id_a,
+         bit_count(xor(fa.fp_hi, fb.fp_hi))
+           + bit_count(xor(fa.fp_lo, fb.fp_lo)) AS h
+  FROM cand c
+  JOIN fp fa ON fa.vec_id = c.id_a
+  JOIN fp fb ON fb.vec_id = c.id_b
+), agg AS (
+  SELECT id_a, CAST(count(*) AS BIGINT) AS n_band_partners,
+         CAST(min(h) AS BIGINT) AS min_hamming
+  FROM ham GROUP BY id_a
+)
+SELECT f.vec_id, f.fp_hi, f.fp_lo,
+       coalesce(a.n_band_partners, 0) AS n_band_partners, a.min_hamming
+FROM fp f LEFT JOIN agg a ON a.id_a = f.vec_id
+"""
+
+
+@register("q140_image_ahash_dedup", operators=("MM1", "DD3", "A11"),
+          oracle=_q140_oracle())
+def q140_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image near-dup profile over a REAL codec
+    roundtrip: per image, the 64-bit fingerprint (as two 32-bit halves),
+    how many other images share at least one 16-bit fingerprint band
+    (the pigeonhole guarantee: every pair at Hamming ≤ 3 collides in ≥ 1
+    of 4 bands), and the closest Hamming distance among those candidates.
+
+    Scale shape: encode and decode are row-local (one Arrow-batched
+    Python stage — blobs never shuffle); fingerprints are 16 bytes/image;
+    the band join is the LSH find step over 16-bit keys (≈ n²/65536 per
+    band, not n²); Hamming verify touches candidates only.  The at-rest
+    analog stores fingerprints beside the media and skips straight to
+    the band join."""
+    from functools import reduce as _reduce
+
+    from cosmo_spark.sources.multimodal import decode_media, encode_pgm_gray8x8
+
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    media = encode_pgm_gray8x8(e, "embedding", "vec_id")
+    feats = (
+        decode_media(media, codec="ppm", emit_features=True)
+        .filter(F.col("decode_status") == "ok")
+        .select(F.col("media_id").cast("long").alias("vec_id"), "features")
+    )
+    hx = F.hex("features")
+    pcols = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+         .alias(f"p{i}")
+        for i in range(64)
+    ]
+    staged = feats.select("vec_id", *pcols)
+    s = _reduce(lambda a, b: a + b, [F.col(f"p{i}") for i in range(64)])
+    staged = staged.withColumn(
+        "mean", F.floor(s / F.lit(64.0)).cast("long")
+    )
+    hi = _reduce(lambda a, b: a + b, [
+        F.when(F.col(f"p{i}") > F.col("mean"), F.lit(1 << i).cast("long"))
+         .otherwise(F.lit(0).cast("long"))
+        for i in range(32)
+    ])
+    lo = _reduce(lambda a, b: a + b, [
+        F.when(F.col(f"p{i + 32}") > F.col("mean"),
+               F.lit(1 << i).cast("long"))
+         .otherwise(F.lit(0).cast("long"))
+        for i in range(32)
+    ])
+    fp = staged.select(
+        "vec_id", hi.alias("fp_hi"), lo.alias("fp_lo")
+    ).persist()
+    band_rows = [
+        fp.select("vec_id", F.lit(0).alias("bi"),
+                  (F.col("fp_hi") % 65536).alias("bv")),
+        fp.select("vec_id", F.lit(1).alias("bi"),
+                  F.expr("fp_hi div 65536").alias("bv")),
+        fp.select("vec_id", F.lit(2).alias("bi"),
+                  (F.col("fp_lo") % 65536).alias("bv")),
+        fp.select("vec_id", F.lit(3).alias("bi"),
+                  F.expr("fp_lo div 65536").alias("bv")),
+    ]
+    bands = _reduce(lambda a, b: a.unionByName(b), band_rows)
+    a = bands.select(F.col("vec_id").alias("id_a"), "bi", "bv")
+    b = bands.select(F.col("vec_id").alias("id_b"), "bi", "bv")
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    fa = fp.select(F.col("vec_id").alias("id_a"),
+                   F.col("fp_hi").alias("ha"), F.col("fp_lo").alias("la"))
+    fb = fp.select(F.col("vec_id").alias("id_b"),
+                   F.col("fp_hi").alias("hb"), F.col("fp_lo").alias("lb"))
+    ham = cand.join(fa, "id_a").join(fb, "id_b").select(
+        "id_a",
+        (F.bit_count(F.expr("ha ^ hb")) + F.bit_count(F.expr("la ^ lb")))
+        .cast("long").alias("h"),
+    )
+    agg = ham.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_band_partners"),
+        F.min("h").alias("min_hamming"),
+    )
+    return fp.join(agg, fp.vec_id == agg.id_a, "left").select(
+        "vec_id", "fp_hi", "fp_lo",
+        F.coalesce(F.col("n_band_partners"), F.lit(0).cast("long"))
+         .alias("n_band_partners"),
+        "min_hamming",
+    )

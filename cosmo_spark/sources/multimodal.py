@@ -49,6 +49,14 @@ FEATURE_SCHEMA = StructType([
     StructField("decode_status", StringType(), False),
 ])
 
+#: decode output when the RAW feature bytes are needed downstream (e.g. the
+#: q140 perceptual-hash dedup reads the 8×8 luma thumbnail itself)
+FEATURE_VEC_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("features", BinaryType(), True),    # None on corrupt/empty
+    StructField("decode_status", StringType(), False),
+])
+
 
 def _fake_decode(blob: bytes | None) -> tuple[int, str]:
     """Deterministic stand-in for a real image decode: derives a stable
@@ -71,7 +79,7 @@ def _pil_available() -> bool:
 
 def decode_media(
     media: DataFrame, codec: str | None = None, batch_limit: int = 256,
-    deterministic_fake: bool = False,
+    deterministic_fake: bool = False, emit_features: bool = False,
 ) -> DataFrame:
     """Decode/feature-extract media blobs via Arrow-batched ``mapInPandas``.
 
@@ -282,10 +290,15 @@ def decode_media(
             return bytes(out)
 
         for pdf in batches:
-            out = {
-                "media_id": [], "feat_dim": [], "feat_hash": [], "decode_status": []
-            }
+            if emit_features:
+                out = {"media_id": [], "features": [], "decode_status": []}
+            else:
+                out = {
+                    "media_id": [], "feat_dim": [], "feat_hash": [],
+                    "decode_status": [],
+                }
             for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                feats = None
                 if blob is None or len(blob) == 0:
                     dim, h, status = 0, "", "empty"
                 elif codec == "pil":
@@ -309,17 +322,53 @@ def decode_media(
                         h = _hashlib.sha256(feats).hexdigest()[:16]
                         status = "ok"
                 else:
+                    feats = _hashlib.sha256(bytes(blob)).digest()[:16]
                     dim = 64
                     h = _hashlib.sha256(bytes(blob)).hexdigest()[:16]
                     status = "ok"
                 out["media_id"].append(media_id)
-                out["feat_dim"].append(dim)
-                out["feat_hash"].append(h)
-                out["decode_status"].append(status)
+                if emit_features:
+                    out["features"].append(feats)
+                    out["decode_status"].append(status)
+                else:
+                    out["feat_dim"].append(dim)
+                    out["feat_hash"].append(h)
+                    out["decode_status"].append(status)
             yield _pd.DataFrame(out)
 
     return media.select("media_id", "blob").mapInPandas(
-        decode_batches, schema=FEATURE_SCHEMA
+        decode_batches,
+        schema=FEATURE_VEC_SCHEMA if emit_features else FEATURE_SCHEMA,
+    )
+
+
+def encode_pgm_gray8x8(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """64-component vector → binary PGM(P5) 8×8 grayscale blob, built
+    ENTIRELY JVM-side (header literal + 64 `unhex(format_string('%02X',
+    pixel))` bytes concatenated) — the encode half of the media roundtrip
+    that q140 gates end-to-end against `decode_media(codec='ppm')`.
+
+    Pixel quantization is the shared integer rule both the Spark pipeline
+    and the DuckDB oracle compute: ``clamp(floor((x + 0.5) * 256), 0,
+    255)`` — IEEE double arithmetic identical in both engines, so the
+    decoded thumbnail bytes are bit-equal to an oracle that never touches
+    the codec.  Returns (media_id STRING, blob BINARY) in MEDIA_SCHEMA's
+    id convention."""
+    v = F.col(vec_col)
+
+    def pixel(j: int):
+        q = F.floor(
+            (F.element_at(v, j + 1).cast("double") + F.lit(0.5)) * 256
+        ).cast("int")
+        return F.unhex(F.format_string(
+            "%02X", F.least(F.lit(255), F.greatest(F.lit(0), q))
+        ))
+
+    blob = F.concat(F.lit(b"P5 8 8 255\n"), *[pixel(j) for j in range(64)])
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"), blob.alias("blob")
     )
 
 
