@@ -559,22 +559,30 @@ def q122_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
-# q140 — perceptual-hash image dedup over the REAL media codec roundtrip       #
+# q140/q141/q142 — perceptual-hash dedup over REAL media codec roundtrips      #
 # --------------------------------------------------------------------------- #
 #
-# The multimodal pattern, end-to-end and oracle-gated: vectors render to
-# binary PGM images JVM-side (sources/multimodal.encode_pgm_gray8x8), the
-# REAL stdlib pixel decoder (decode_media codec='ppm', Arrow-batched
-# mapInPandas — the one sanctioned Python hot path) recovers the 8×8 luma
-# thumbnail, and an average-hash (aHash) fingerprint + banded Hamming
-# join finds perceptual near-duplicates.  The DuckDB oracle computes the
-# SAME fingerprints directly from the source vectors without ever
-# touching the codec — so value-hash parity simultaneously proves
-# (a) the encode→decode roundtrip is byte-lossless and (b) the dedup
-# math (mean threshold, bit packing, 4×16-bit band pigeonhole, Hamming)
-# is engine-identical.
+# The multimodal pattern, end-to-end and oracle-gated across all three
+# modalities: vectors render to binary media blobs JVM-side
+# (sources/multimodal.encode_*), the REAL stdlib decoders (decode_media —
+# Arrow-batched mapInPandas, the one sanctioned Python hot path) recover
+# the 64-byte feature vector (8x8 luma thumbnail / amplitude envelope),
+# and the shared aHash machinery (operators/phash) fingerprints and
+# band-joins for perceptual near-duplicates.  Each DuckDB oracle computes
+# the SAME fingerprints directly from the source vectors without ever
+# touching a codec — so value-hash parity simultaneously proves (a) every
+# encode→decode roundtrip is byte-lossless and (b) the dedup math (mean
+# threshold, bit packing, 4×16-bit band pigeonhole, Hamming) is
+# engine-identical.
 
-def _q140_oracle() -> str:
+#: the shared integer pixel-quantization rule (clamp(floor((x+0.5)*256)))
+_PX_QUANT = "least(255, greatest(0, CAST(floor((x + 0.5) * 256) AS BIGINT)))"
+
+
+def _ahash_profile_sql(px_cte: str) -> str:
+    """Oracle tail shared by the aHash family: given a CTE chain ending in
+    ``px(vec_id, p)`` (64 BIGINT feature bytes), emit the fingerprint /
+    band / Hamming profile — the SQL twin of operators/phash."""
     hi = " + ".join(
         f"(CASE WHEN p[{i + 1}] > mean THEN {1 << i} ELSE 0 END)"
         for i in range(32)
@@ -584,15 +592,7 @@ def _q140_oracle() -> str:
         for i in range(32)
     )
     return f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) = 64
-), px AS (
-  SELECT vec_id,
-         list_transform(e, x -> least(255, greatest(0,
-             CAST(floor((x + 0.5) * 256) AS BIGINT)))) AS p
-  FROM v
-), st AS (
+WITH {px_cte}, st AS (
   SELECT vec_id, p,
          CAST(floor(list_sum(p) / 64.0) AS BIGINT) AS mean
   FROM px
@@ -626,93 +626,94 @@ FROM fp f LEFT JOIN agg a ON a.id_a = f.vec_id
 """
 
 
-@register("q140_image_ahash_dedup", operators=("MM1", "DD3", "A11"),
-          oracle=_q140_oracle())
-def q140_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash (aHash) image near-dup profile over a REAL codec
-    roundtrip: per image, the 64-bit fingerprint (as two 32-bit halves),
-    how many other images share at least one 16-bit fingerprint band
-    (the pigeonhole guarantee: every pair at Hamming ≤ 3 collides in ≥ 1
-    of 4 bands), and the closest Hamming distance among those candidates.
+_Q140_PX = f"""v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+), px AS (
+  SELECT vec_id, list_transform(e, x -> {_PX_QUANT}) AS p FROM v
+)"""
 
-    Scale shape: encode and decode are row-local (one Arrow-batched
-    Python stage — blobs never shuffle); fingerprints are 16 bytes/image;
-    the band join is the LSH find step over 16-bit keys (≈ n²/65536 per
-    band, not n²); Hamming verify touches candidates only.  The at-rest
-    analog stores fingerprints beside the media and skips straight to
-    the band join."""
-    from functools import reduce as _reduce
+#: audio envelope: the WAV decoder maps each 8-bit sample q to
+#: min(255, |q − 128| · 255 // 127) — the same rule, from the source side
+_Q141_PX = f"""v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+), px AS (
+  SELECT vec_id,
+         list_transform(e, x -> least(255,
+             (abs({_PX_QUANT} - 128) * 255) // 127)) AS p
+  FROM v
+)"""
 
-    from cosmo_spark.sources.multimodal import decode_media, encode_pgm_gray8x8
+
+def _media_profile(
+    spark: SparkSession, sf_dir: str, encode_fn, codec: str
+) -> DataFrame:
+    from cosmo_spark.operators.phash import (
+        ahash_band_profile,
+        ahash_fingerprints,
+    )
+    from cosmo_spark.sources.multimodal import decode_media
 
     e = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
-    media = encode_pgm_gray8x8(e, "embedding", "vec_id")
+    media = encode_fn(e, "embedding", "vec_id")
     feats = (
-        decode_media(media, codec="ppm", emit_features=True)
+        decode_media(media, codec=codec, emit_features=True)
         .filter(F.col("decode_status") == "ok")
         .select(F.col("media_id").cast("long").alias("vec_id"), "features")
     )
-    hx = F.hex("features")
-    pcols = [
-        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
-         .alias(f"p{i}")
-        for i in range(64)
-    ]
-    staged = feats.select("vec_id", *pcols)
-    s = _reduce(lambda a, b: a + b, [F.col(f"p{i}") for i in range(64)])
-    staged = staged.withColumn(
-        "mean", F.floor(s / F.lit(64.0)).cast("long")
-    )
-    hi = _reduce(lambda a, b: a + b, [
-        F.when(F.col(f"p{i}") > F.col("mean"), F.lit(1 << i).cast("long"))
-         .otherwise(F.lit(0).cast("long"))
-        for i in range(32)
-    ])
-    lo = _reduce(lambda a, b: a + b, [
-        F.when(F.col(f"p{i + 32}") > F.col("mean"),
-               F.lit(1 << i).cast("long"))
-         .otherwise(F.lit(0).cast("long"))
-        for i in range(32)
-    ])
-    fp = staged.select(
-        "vec_id", hi.alias("fp_hi"), lo.alias("fp_lo")
-    ).persist()
-    band_rows = [
-        fp.select("vec_id", F.lit(0).alias("bi"),
-                  (F.col("fp_hi") % 65536).alias("bv")),
-        fp.select("vec_id", F.lit(1).alias("bi"),
-                  F.expr("fp_hi div 65536").alias("bv")),
-        fp.select("vec_id", F.lit(2).alias("bi"),
-                  (F.col("fp_lo") % 65536).alias("bv")),
-        fp.select("vec_id", F.lit(3).alias("bi"),
-                  F.expr("fp_lo div 65536").alias("bv")),
-    ]
-    bands = _reduce(lambda a, b: a.unionByName(b), band_rows)
-    a = bands.select(F.col("vec_id").alias("id_a"), "bi", "bv")
-    b = bands.select(F.col("vec_id").alias("id_b"), "bi", "bv")
-    cand = (
-        a.join(b, ["bi", "bv"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
-    fa = fp.select(F.col("vec_id").alias("id_a"),
-                   F.col("fp_hi").alias("ha"), F.col("fp_lo").alias("la"))
-    fb = fp.select(F.col("vec_id").alias("id_b"),
-                   F.col("fp_hi").alias("hb"), F.col("fp_lo").alias("lb"))
-    ham = cand.join(fa, "id_a").join(fb, "id_b").select(
-        "id_a",
-        (F.bit_count(F.expr("ha ^ hb")) + F.bit_count(F.expr("la ^ lb")))
-        .cast("long").alias("h"),
-    )
-    agg = ham.groupBy("id_a").agg(
-        F.count(F.lit(1)).alias("n_band_partners"),
-        F.min("h").alias("min_hamming"),
-    )
-    return fp.join(agg, fp.vec_id == agg.id_a, "left").select(
-        "vec_id", "fp_hi", "fp_lo",
-        F.coalesce(F.col("n_band_partners"), F.lit(0).cast("long"))
-         .alias("n_band_partners"),
-        "min_hamming",
-    )
+    # fingerprints feed five branches (bands ×4 conceptually, two Hamming
+    # sides, final left join) — persist so the Python decode stage runs once
+    fp = ahash_fingerprints(feats, "vec_id").persist()
+    return ahash_band_profile(fp, "vec_id")
+
+
+@register("q140_image_ahash_dedup", operators=("MM1", "DD3", "A11"),
+          oracle=_ahash_profile_sql(_Q140_PX))
+def q140_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) IMAGE near-dup profile over a real codec
+    roundtrip: vectors → binary PGM blobs (JVM-side) → stdlib pixel
+    decoder → 8×8 luma thumbnail → 64-bit fingerprint → 4×16-bit band
+    join (pigeonhole: every pair at Hamming ≤ 3 collides in ≥ 1 band) →
+    Hamming verify on candidates only.
+
+    Scale shape: encode and decode are row-local (one Arrow-batched
+    Python stage — blobs never shuffle); fingerprints are 16 bytes/image;
+    the band join is ≈ n²/65536 per band, not n².  The at-rest analog
+    stores fingerprints beside the media and skips straight to the band
+    join."""
+    from cosmo_spark.sources.multimodal import encode_pgm_gray8x8
+
+    return _media_profile(spark, sf_dir, encode_pgm_gray8x8, "ppm")
+
+
+@register("q141_audio_envelope_dedup", operators=("MM1", "DD3", "A11"),
+          oracle=_ahash_profile_sql(_Q141_PX))
+def q141_audio_envelope_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup profile through the real stdlib WAV decoder:
+    vectors → 8-bit PCM WAV blobs (constant 44-byte RIFF header + sample
+    bytes, built JVM-side) → ``wave``-module decode → 64-bin |amplitude|
+    envelope → the shared aHash fingerprint/band/Hamming profile.  The
+    oracle derives the envelope directly from the source vectors
+    (|q−128|·255//127, all integer), so parity proves the PCM roundtrip
+    AND the envelope math end-to-end — the audio twin of q140."""
+    from cosmo_spark.sources.multimodal import encode_wav_pcm8
+
+    return _media_profile(spark, sf_dir, encode_wav_pcm8, "wav")
+
+
+@register("q142_video_frame_dedup", operators=("MM1", "DD3", "A11"),
+          oracle=_ahash_profile_sql(_Q140_PX))
+def q142_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup profile through the real YUV4MPEG2 parser: vectors
+    → single-frame Y4M blobs (stream header + FRAME marker + luma plane,
+    built JVM-side) → first-frame luma thumbnail → the shared aHash
+    profile.  The Y luma plane IS the PGM pixel space, so the oracle is
+    q140's verbatim — one fingerprint definition across image and video,
+    which is exactly how cross-modal frame dedup works in production
+    (video frames dedup against an image corpus)."""
+    from cosmo_spark.sources.multimodal import encode_y4m_gray8x8
+
+    return _media_profile(spark, sf_dir, encode_y4m_gray8x8, "y4m")

@@ -342,23 +342,19 @@ def decode_media(
     )
 
 
-def encode_pgm_gray8x8(
-    df: DataFrame, vec_col: str, id_col: str
+def _encode_quantized(
+    df: DataFrame, vec_col: str, id_col: str, header: bytes
 ) -> DataFrame:
-    """64-component vector → binary PGM(P5) 8×8 grayscale blob, built
-    ENTIRELY JVM-side (header literal + 64 `unhex(format_string('%02X',
-    pixel))` bytes concatenated) — the encode half of the media roundtrip
-    that q140 gates end-to-end against `decode_media(codec='ppm')`.
-
-    Pixel quantization is the shared integer rule both the Spark pipeline
-    and the DuckDB oracle compute: ``clamp(floor((x + 0.5) * 256), 0,
-    255)`` — IEEE double arithmetic identical in both engines, so the
-    decoded thumbnail bytes are bit-equal to an oracle that never touches
-    the codec.  Returns (media_id STRING, blob BINARY) in MEDIA_SCHEMA's
-    id convention."""
+    """Shared JVM-side media builder: a constant header literal followed
+    by 64 quantized payload bytes (`unhex(format_string('%02X', q))`
+    concatenated).  Quantization is the integer rule both the Spark
+    pipelines and the DuckDB oracles compute: ``clamp(floor((x + 0.5) *
+    256), 0, 255)`` — IEEE double arithmetic identical in both engines,
+    so decoded features are bit-equal to an oracle that never touches a
+    codec.  Returns (media_id STRING, blob BINARY)."""
     v = F.col(vec_col)
 
-    def pixel(j: int):
+    def byte(j: int):
         q = F.floor(
             (F.element_at(v, j + 1).cast("double") + F.lit(0.5)) * 256
         ).cast("int")
@@ -366,9 +362,39 @@ def encode_pgm_gray8x8(
             "%02X", F.least(F.lit(255), F.greatest(F.lit(0), q))
         ))
 
-    blob = F.concat(F.lit(b"P5 8 8 255\n"), *[pixel(j) for j in range(64)])
+    blob = F.concat(F.lit(header), *[byte(j) for j in range(64)])
     return df.select(
         F.col(id_col).cast("string").alias("media_id"), blob.alias("blob")
+    )
+
+
+def encode_pgm_gray8x8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """64-component vector → binary PGM(P5) 8×8 grayscale blob — the
+    encode half of the image roundtrip q140 gates end-to-end against
+    ``decode_media(codec='ppm')``."""
+    return _encode_quantized(df, vec_col, id_col, b"P5 8 8 255\n")
+
+
+def encode_wav_pcm8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """64-component vector → 8-bit PCM mono WAV blob (canonical 44-byte
+    RIFF header, all fields constant for 64 samples @ 8 kHz) — the audio
+    roundtrip q141 gates against ``decode_media(codec='wav')``."""
+    import struct
+
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + 64) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 64)
+    )
+    return _encode_quantized(df, vec_col, id_col, header)
+
+
+def encode_y4m_gray8x8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """64-component vector → single-frame YUV4MPEG2 blob (stream header +
+    FRAME marker + 8×8 luma plane; the Y plane IS the PGM pixel space) —
+    the video roundtrip q142 gates against ``decode_media(codec='y4m')``."""
+    return _encode_quantized(
+        df, vec_col, id_col, b"YUV4MPEG2 W8 H8 F25:1\nFRAME\n"
     )
 
 
