@@ -216,3 +216,67 @@ def kmv_estimate(sk: DataFrame, keys: list[str], h: str = "h",
         F.when(F.col("n_sk") < k, F.col("n_sk").cast("double"))
         .otherwise(numer / F.col("hk").cast("double")).alias("est"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# HDR histogram: log-bucketed quantile sketch (the ADDITIVE quantile algebra)  #
+# --------------------------------------------------------------------------- #
+#
+# The fourth mergeable sketch beside HLL (max), Count-Min (sum) and KMV
+# (set union): positive integers bucket into 64 sub-buckets per power-of-2
+# octave — values < 64 are exact, larger values keep their top 6 mantissa
+# bits — so a quantile read off the cumulative bucket counts is within a
+# 1/64 relative band of the true value, from state bounded by ~64 octaves
+# × 64 sub-buckets regardless of stream length.  Counts merge by SUM
+# (partitions, batches, days), so the same geometry serves the batch
+# query (q143), the streaming maintainer (streaming/sketches) and any
+# rollup.  Everything is integer bit arithmetic both engines compute
+# identically: exponent = length(bin(v)) − 1 (exact integer log2 — no
+# float log edge cases at powers of two).
+
+HDR_SUBBITS = 6   # 64 sub-buckets per octave → relative error ≤ 2^-6
+
+
+def hdr_bucket_spark_sql(v: str) -> str:
+    """Spark-SQL text mapping a positive BIGINT expression to its HDR
+    bucket id (use inside F.expr)."""
+    return (
+        f"CASE WHEN {v} < 64 THEN {v} ELSE "
+        f"shiftleft(cast(length(bin({v})) - 1 as bigint), 6) | "
+        f"(shiftright({v}, cast(length(bin({v})) - 7 as int)) & 63) END"
+    )
+
+
+def hdr_bucket_duck_sql(v: str) -> str:
+    """DuckDB twin of hdr_bucket_spark_sql — same arithmetic, operator
+    dialect."""
+    return (
+        f"CASE WHEN {v} < 64 THEN {v} ELSE "
+        f"(CAST(length(bin({v})) - 1 AS BIGINT) << 6) | "
+        f"(({v} >> (length(bin({v})) - 7)) & 63) END"
+    )
+
+
+def hdr_low_spark_sql(b: str) -> str:
+    """Spark-SQL text for a bucket id's inclusive lower value bound (the
+    deterministic quantile estimate)."""
+    return (
+        f"CASE WHEN {b} < 64 THEN {b} ELSE "
+        f"shiftleft(64 + ({b} & 63), cast(shiftright({b}, 6) - 6 as int)) END"
+    )
+
+
+def hdr_low_duck_sql(b: str) -> str:
+    return (
+        f"CASE WHEN {b} < 64 THEN {b} ELSE "
+        f"CAST(64 + ({b} & 63) AS BIGINT) << (({b} >> 6) - 6) END"
+    )
+
+
+def hdr_high_spark_sql(b: str) -> str:
+    """Inclusive upper value bound of a bucket (error-band checks)."""
+    return (
+        f"CASE WHEN {b} < 64 THEN {b} ELSE "
+        f"{hdr_low_spark_sql(b)} + shiftleft(1, cast(shiftright({b}, 6) - 6 "
+        f"as int)) - 1 END"
+    )

@@ -1246,3 +1246,106 @@ def q139_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q143 — HDR-histogram quantile sketch (bounded-state percentiles)             #
+# --------------------------------------------------------------------------- #
+
+def _q143_oracle() -> str:
+    from cosmo_spark.operators.sketches import (
+        hdr_bucket_duck_sql,
+        hdr_low_duck_sql,
+    )
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS mic
+  FROM events
+  WHERE value IS NOT NULL AND value > 0 AND event_type IS NOT NULL
+), bk AS (
+  SELECT event_type, {hdr_bucket_duck_sql("mic")} AS bucket FROM ev
+), counts AS (
+  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM bk GROUP BY event_type, bucket
+), cum AS (
+  SELECT event_type, bucket, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+  FROM counts
+), tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM counts
+  GROUP BY event_type
+), grid AS (
+  SELECT c.event_type, c.bucket, c.cw, t.n, q.quantile
+  FROM cum c JOIN tot t USING (event_type)
+  CROSS JOIN (SELECT unnest([50, 90, 99]) AS quantile) q
+), sel AS (
+  SELECT event_type, quantile, min(bucket) AS b, min(n) AS n
+  FROM grid WHERE 100 * cw >= quantile * n
+  GROUP BY event_type, quantile
+)
+SELECT event_type, CAST(quantile AS BIGINT) AS quantile,
+       round(CAST({hdr_low_duck_sql("b")} AS DOUBLE) / 1000000.0, 6)
+         AS est_value,
+       n
+FROM sel
+"""
+
+
+@register("q143_hdr_quantile_sketch", operators=("A6", "A11"),
+          oracle=_q143_oracle())
+def q143_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from the HDR-histogram quantile sketch — the
+    bounded-state, MERGEABLE alternative to the catalog's exact rank
+    selection (q104/q129): positive values log-bucket into 64 sub-buckets
+    per octave (operators/sketches HDR geometry — integer bit arithmetic,
+    exact-region below 64), per-(type, bucket) counts merge by SUM, and
+    p50/p90/p99 read off the cumulative bucket table within a 1/64
+    relative band.  The same counts stream incrementally
+    (streaming/sketches.stream_hdr_buckets) — this query is the batch
+    twin that certifies the geometry.
+
+    Scale shape: ONE map-side-combining (type, bucket) count — state is
+    ≤ ~4k buckets per type no matter how many rows — then window + joins
+    over that tiny table.  The exact-quantile machinery shuffles value
+    tables; this shuffles bucket counts."""
+    from cosmo_spark.operators.sketches import (
+        hdr_bucket_spark_sql,
+        hdr_low_spark_sql,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+        & F.col("event_type").isNotNull()
+    )
+    bk = e.select(
+        "event_type",
+        F.expr("cast(floor(value * 1000000.0) as bigint)").alias("mic"),
+    ).select(
+        "event_type", F.expr(hdr_bucket_spark_sql("mic")).alias("bucket")
+    )
+    counts = bk.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.withColumn("cw", F.sum("cnt").over(w))
+    tot = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    qx = F.explode(F.array(*[F.lit(q).cast("long") for q in (50, 90, 99)]))
+    grid = cum.join(F.broadcast(tot), "event_type").select(
+        "event_type", "bucket", "cw", "n", qx.alias("quantile")
+    )
+    sel = (
+        grid.filter(100 * F.col("cw") >= F.col("quantile") * F.col("n"))
+        .groupBy("event_type", "quantile")
+        .agg(F.min("bucket").alias("b"), F.min("n").alias("n"))
+    )
+    return sel.select(
+        "event_type", "quantile",
+        F.round(
+            F.expr(hdr_low_spark_sql("b")).cast("double") / 1000000.0, 6
+        ).alias("est_value"),
+        "n",
+    )

@@ -463,6 +463,127 @@ def kmv_distinct_estimates(spark: SparkSession, value_path: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# HDR quantile buckets: the ADDITIVE quantile algebra (q143's streaming twin)  #
+# --------------------------------------------------------------------------- #
+
+HDR_SCHEMA = "batch_id BIGINT, key STRING, bucket BIGINT, cnt BIGINT"
+
+
+def stream_hdr_buckets(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    bucket_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Maintain q143's HDR-histogram quantile buckets over a stream:
+    each micro-batch appends per-(key, bucket) counts — at most keys ×
+    ~4k rows per batch regardless of batch size — giving incremental
+    percentiles with bounded state.
+
+    Counts merge by ADDITION, so the maintainer carries the CMS
+    discipline verbatim: rows carry their ``batch_id`` and the reader
+    dedupes per (batch_id, key, bucket) before summing (retried batches
+    re-append identical rows).  Same single-checkpoint PRECONDITION as
+    stream_cms_counters."""
+    from cosmo_spark.operators.sketches import hdr_bucket_spark_sql
+
+    def upsert(batch_df, batch_id):
+        counts = (
+            batch_df.filter(
+                F.col(value_col).isNotNull() & (F.col(value_col) > 0)
+                & F.col(key_col).isNotNull()
+            )
+            .select(
+                F.col(key_col).cast("string").alias("key"),
+                F.expr(
+                    f"cast(floor({value_col} * 1000000.0) as bigint)"
+                ).alias("mic"),
+            )
+            .select("key", F.expr(hdr_bucket_spark_sql("mic")).alias("bucket"))
+            .groupBy("key", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(int(batch_id)).alias("batch_id"),
+                    "key", "bucket", "cnt")
+        )
+        counts.write.mode("append").parquet(bucket_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hdr_buckets(spark: SparkSession, bucket_path: str) -> DataFrame:
+    """Merged (key, bucket, cnt): dedupe retried appends per (batch_id,
+    key, bucket), then SUM across batches — manifest-filtered like every
+    additive reader."""
+    log = _read_log(spark, bucket_path, HDR_SCHEMA)
+    per_batch = log.groupBy("batch_id", "key", "bucket").agg(
+        F.max("cnt").alias("cnt")
+    )
+    return per_batch.groupBy("key", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantile_estimates(
+    spark: SparkSession, bucket_path: str, quantiles=(50, 90, 99)
+) -> DataFrame:
+    """(key, quantile, est_value, n) percentile dashboard from the
+    at-rest bucket log — q143's read path over streamed state (shared
+    geometry, so stream-then-estimate equals the batch sketch exactly)."""
+    from pyspark.sql.window import Window
+
+    from cosmo_spark.operators.sketches import hdr_low_spark_sql
+
+    counts = read_hdr_buckets(spark, bucket_path)
+    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.withColumn("cw", F.sum("cnt").over(w))
+    tot = counts.groupBy("key").agg(F.sum("cnt").alias("n"))
+    qx = F.explode(F.array(*[F.lit(int(q)).cast("long") for q in quantiles]))
+    grid = cum.join(F.broadcast(tot), "key").select(
+        "key", "bucket", "cw", "n", qx.alias("quantile")
+    )
+    sel = (
+        grid.filter(100 * F.col("cw") >= F.col("quantile") * F.col("n"))
+        .groupBy("key", "quantile")
+        .agg(F.min("bucket").alias("b"), F.min("n").alias("n"))
+    )
+    return sel.select(
+        "key", "quantile",
+        F.round(
+            F.expr(hdr_low_spark_sql("b")).cast("double") / 1000000.0, 6
+        ).alias("est_value"),
+        "n",
+    )
+
+
+def compact_hdr_buckets(spark: SparkSession, bucket_path: str) -> None:
+    """Rewrite the bucket log to its merged minimum (keys × ≤~4k rows)
+    via the crash-atomic rotation — addition is not idempotent, so this
+    goes through the same manifest protocol as compact_cms_counters
+    (sentinel batch_id −1, exactly one compacted generation live)."""
+
+    def merge_fn(files):
+        log = spark.read.schema(HDR_SCHEMA).parquet(*files)
+        per_batch = log.groupBy("batch_id", "key", "bucket").agg(
+            F.max("cnt").alias("cnt")
+        )
+        return per_batch.groupBy("key", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ).select(
+            F.lit(-1).cast("bigint").alias("batch_id"), "key", "bucket", "cnt"
+        )
+
+    _rotate_log(spark, bucket_path, merge_fn)
+
+
+# --------------------------------------------------------------------------- #
 # Windowed registers: horizon queries + state eviction (review r7 #6)          #
 # --------------------------------------------------------------------------- #
 #

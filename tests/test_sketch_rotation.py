@@ -326,3 +326,38 @@ def test_cms_stream_restart_after_committed_phase_crash(spark, tmp_path):
         for r in sk.read_cms_counters(spark, ctr).collect()
     } == expected
     assert _log_clean(ctr)
+
+
+def test_hdr_rotation_crash_sweep(spark, tmp_path):
+    """The fourth algebra through the same manifest protocol: HDR bucket
+    counts are ADDITIVE like CMS, so every kill point must neither
+    double-count nor half-drop a generation."""
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.operators.sketches import hdr_bucket_spark_sql
+
+    pristine = str(tmp_path / "pristine")
+    batches = [
+        [0.001, 0.5, 2.0, 47.0], [2.0, 99.5, 123456.0], [0.25, 0.25, 7.0],
+    ]
+    for bid, vals in enumerate(batches):
+        (
+            spark.createDataFrame([(v,) for v in vals], "value DOUBLE")
+            .select(F.expr(
+                "cast(floor(value * 1000000.0) as bigint)"
+            ).alias("mic"))
+            .select(F.expr(hdr_bucket_spark_sql("mic")).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(bid).cast("bigint").alias("batch_id"),
+                    F.lit("s").alias("key"), "bucket", "cnt")
+            .write.mode("append").parquet(pristine)
+        )
+
+    def read_state(path):
+        return {
+            (r.key, r.bucket): r.cnt
+            for r in sk.read_hdr_buckets(spark, path).collect()
+        }
+
+    _sweep(tmp_path, pristine, read_state,
+           lambda p: sk.compact_hdr_buckets(spark, p))

@@ -303,3 +303,96 @@ def test_kmv_estimate_numerator_follows_k(spark):
     ex = kmv_estimate(kmv_k_smallest(small, ["key"], k=32), ["key"], k=32) \
         .collect()[0]
     assert (ex.n_sk, ex.est) == (5, 5.0)
+
+
+def test_stream_hdr_buckets_equal_batch_and_quantile_band(spark, tmp_path):
+    """The additive QUANTILE sketch's streaming twin: HDR bucket counts
+    maintained across micro-batches equal a from-scratch batch build;
+    retried appends dedupe per batch_id; compaction (crash-atomic
+    rotation) preserves state; and every quantile estimate brackets the
+    true percentile within the geometry's 1/64 relative band."""
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.operators.sketches import hdr_bucket_spark_sql
+    from cosmo_spark.streaming.sketches import (
+        compact_hdr_buckets,
+        hdr_quantile_estimates,
+        read_hdr_buckets,
+        stream_hdr_buckets,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt, log = str(tmp_path / "ck"), str(tmp_path / "log")
+    vals1 = [0.000001 * (3 ** i) for i in range(1, 12)]      # spans octaves
+    vals2 = [1.5, 2.25, 47.0, 47.0, 12345.678, 0.25]
+    b1 = [("s", v) for v in vals1] + [("t", 1.0)]
+    b2 = [("s", v) for v in vals2] + [("s", None), ("s", -5.0), ("t", 8.0)]
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for k, v in rows:
+                f.write(json.dumps({"source": k, "value": v}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema("source STRING, value DOUBLE").json(
+            str(src)
+        )
+        stream_hdr_buckets(stream, "source", "value", log, ckpt) \
+            .awaitTermination(120)
+
+    write_batch("b1.json", b1)
+    run()
+    write_batch("b2.json", b2)
+    run()
+
+    # batch recompute over all rows
+    all_rows = spark.createDataFrame(b1 + b2, "source STRING, value DOUBLE")
+    batch = (
+        all_rows.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select(
+            F.col("source").alias("key"),
+            F.expr("cast(floor(value * 1000000.0) as bigint)").alias("mic"),
+        )
+        .select("key", F.expr(hdr_bucket_spark_sql("mic")).alias("bucket"))
+        .groupBy("key", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    expected = {(r.key, r.bucket): r.cnt for r in batch.collect()}
+    got = {
+        (r.key, r.bucket): r.cnt
+        for r in read_hdr_buckets(spark, log).collect()
+    }
+    assert got == expected, "incremental counts must equal batch build"
+
+    # retried appends (same batch_id) dedupe, never double-count
+    raw = spark.read.parquet(log)
+    raw.filter(F.col("batch_id") == 0).write.mode("append").parquet(log)
+    assert {
+        (r.key, r.bucket): r.cnt
+        for r in read_hdr_buckets(spark, log).collect()
+    } == expected
+
+    # compaction through the crash-atomic rotation: state preserved,
+    # exactly one sentinel generation
+    compact_hdr_buckets(spark, log)
+    assert {
+        (r.key, r.bucket): r.cnt
+        for r in read_hdr_buckets(spark, log).collect()
+    } == expected
+    assert {r.batch_id for r in
+            spark.read.parquet(log).select("batch_id").distinct().collect()} \
+        == {-1}
+
+    # quantile estimates bracket the true percentiles: est <= true <=
+    # est * (1 + 1/32) (two sub-bucket widths of slack over the 1/64 band)
+    svals = sorted(v for v in vals1 + vals2)
+    n = len(svals)
+    ests = {
+        (r.key, r.quantile): r.est_value
+        for r in hdr_quantile_estimates(spark, log).collect()
+    }
+    for q in (50, 90, 99):
+        true = next(v for i, v in enumerate(svals, 1) if 100 * i >= q * n)
+        est = ests[("s", q)]
+        assert est <= true + 1e-9, (q, est, true)
+        assert true <= est * (1 + 1 / 32) + 2e-6, (q, est, true)
