@@ -609,6 +609,9 @@ def compact_hdr_buckets(spark: SparkSession, bucket_path: str) -> None:
 HLLW_SCHEMA = "key STRING, win TIMESTAMP, bucket BIGINT, rho INT"
 CMSW_SCHEMA = "batch_id BIGINT, win TIMESTAMP, r INT, bucket BIGINT, cnt BIGINT"
 KMVW_SCHEMA = "key STRING, win TIMESTAMP, h BIGINT"
+HDRW_SCHEMA = (
+    "batch_id BIGINT, key STRING, win TIMESTAMP, bucket BIGINT, cnt BIGINT"
+)
 
 
 def stream_hll_registers_windowed(
@@ -790,13 +793,111 @@ def read_kmv_values_windowed(
     return kmv_k_smallest(log.select("key", "h").distinct(), ["key"])
 
 
+def stream_hdr_buckets_windowed(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    bucket_path: str,
+    checkpoint_dir: str,
+    bucket: str = "day",
+    trigger_once: bool = True,
+):
+    """Windowed twin of ``stream_hdr_buckets`` — per-(key, window) HDR
+    bucket counts, so 'p99 latency over the last 30 days' reads only the
+    in-horizon windows and aged windows evict (the classic HDR-histogram
+    deployment shape).  Same batch_id dedupe contract as CMS."""
+    from cosmo_spark.operators.sketches import hdr_bucket_spark_sql
+
+    def upsert(batch_df, batch_id):
+        counts = (
+            batch_df.filter(
+                F.col(value_col).isNotNull() & (F.col(value_col) > 0)
+                & F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+            )
+            .select(
+                F.col(key_col).cast("string").alias("key"),
+                F.date_trunc(bucket, F.col(ts_col)).alias("win"),
+                F.expr(
+                    f"cast(floor({value_col} * 1000000.0) as bigint)"
+                ).alias("mic"),
+            )
+            .select("key", "win",
+                    F.expr(hdr_bucket_spark_sql("mic")).alias("bucket"))
+            .groupBy("key", "win", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(int(batch_id)).alias("batch_id"),
+                    "key", "win", "bucket", "cnt")
+        )
+        counts.write.mode("append").parquet(bucket_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hdr_buckets_windowed(
+    spark: SparkSession, bucket_path: str, since=None, until=None
+) -> DataFrame:
+    """Merged (key, bucket, cnt) over the in-horizon windows: dedupe per
+    (batch_id, key, win, bucket), filter the horizon, SUM."""
+    log = _read_log(spark, bucket_path, HDRW_SCHEMA)
+    if since is not None:
+        log = log.filter(F.col("win") >= F.lit(since))
+    if until is not None:
+        log = log.filter(F.col("win") < F.lit(until))
+    per_batch = log.groupBy("batch_id", "key", "win", "bucket").agg(
+        F.max("cnt").alias("cnt")
+    )
+    return per_batch.groupBy("key", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantile_estimates_windowed(
+    spark: SparkSession, bucket_path: str, since=None, until=None,
+    quantiles=(50, 90, 99),
+) -> DataFrame:
+    """(key, quantile, est_value, n) percentiles over exactly the
+    in-horizon windows — shared read path with the all-time estimator."""
+    from pyspark.sql.window import Window
+
+    from cosmo_spark.operators.sketches import hdr_low_spark_sql
+
+    counts = read_hdr_buckets_windowed(spark, bucket_path, since, until)
+    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.withColumn("cw", F.sum("cnt").over(w))
+    tot = counts.groupBy("key").agg(F.sum("cnt").alias("n"))
+    qx = F.explode(F.array(*[F.lit(int(q)).cast("long") for q in quantiles]))
+    grid = cum.join(F.broadcast(tot), "key").select(
+        "key", "bucket", "cw", "n", qx.alias("quantile")
+    )
+    sel = (
+        grid.filter(100 * F.col("cw") >= F.col("quantile") * F.col("n"))
+        .groupBy("key", "quantile")
+        .agg(F.min("bucket").alias("b"), F.min("n").alias("n"))
+    )
+    return sel.select(
+        "key", "quantile",
+        F.round(
+            F.expr(hdr_low_spark_sql("b")).cast("double") / 1000000.0, 6
+        ).alias("est_value"),
+        "n",
+    )
+
+
 def expire_windows(
     spark: SparkSession, path: str, kind: str, older_than
 ) -> None:
     """Drop windows strictly older than ``older_than`` from a windowed
     sketch log AND compact what remains — through the crash-atomic
     rotation, so an expiry that dies mid-flight can never double-count
-    (CMS) or serve half a generation.  ``kind`` ∈ {'hll', 'cms', 'kmv'}."""
+    (CMS/HDR) or serve half a generation.  ``kind`` ∈ {'hll', 'cms',
+    'kmv', 'hdr'}."""
     from cosmo_spark.operators.sketches import kmv_k_smallest
 
     def merge_hll(files):
@@ -825,7 +926,21 @@ def expire_windows(
             .select("key", "win", "h").distinct()
         return kmv_k_smallest(live, ["key", "win"]).select("key", "win", "h")
 
-    merge_fn = {"hll": merge_hll, "cms": merge_cms, "kmv": merge_kmv}[kind]
+    def merge_hdr(files):
+        live = spark.read.schema(HDRW_SCHEMA).parquet(*files) \
+            .filter(F.col("win") >= F.lit(older_than))
+        per_batch = live.groupBy("batch_id", "key", "win", "bucket").agg(
+            F.max("cnt").alias("cnt")
+        )
+        return per_batch.groupBy("key", "win", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ).select(
+            F.lit(-1).cast("bigint").alias("batch_id"),
+            "key", "win", "bucket", "cnt",
+        )
+
+    merge_fn = {"hll": merge_hll, "cms": merge_cms, "kmv": merge_kmv,
+                "hdr": merge_hdr}[kind]
     _rotate_log(spark, path, merge_fn)
 
 

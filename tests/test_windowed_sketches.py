@@ -159,3 +159,76 @@ def test_kmv_windowed_horizon_and_eviction(spark, tmp_path):
     log = spark.read.schema(sk.KMVW_SCHEMA).parquet(vals)
     assert log.filter(F.col("win") < F.lit(FEB)).count() == 0
     assert got() == batch_sketch(B_FEB)
+
+
+def test_hdr_windowed_horizon_and_eviction(spark, tmp_path):
+    """'p99 over the last 30 days' — the HDR deployment shape: in-horizon
+    quantile estimates equal the batch sketch over exactly the in-horizon
+    rows; aged windows evict through the crash-atomic rotation."""
+    from cosmo_spark.operators.sketches import hdr_bucket_spark_sql
+
+    jan_vals = [0.5, 2.0, 47.0, 100.0, 12345.678]
+    feb_vals = [1.5, 8.0, 8.0, 999.25]
+    rows = (
+        [("s", v, "2024-01-01T08:00:00") for v in jan_vals]
+        + [("s", v, "2024-02-01T11:00:00") for v in feb_vals]
+        + [("s", None, "2024-02-01T11:01:00"),
+           ("s", -3.0, "2024-02-01T11:02:00")]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for k, v, ts in rows:
+            f.write(json.dumps({"source": k, "value": v, "ts": ts}) + "\n")
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    stream = spark.readStream.schema(
+        "source STRING, value DOUBLE, ts TIMESTAMP"
+    ).json(str(src))
+    sk.stream_hdr_buckets_windowed(
+        stream, "source", "value", "ts", log, ckpt
+    ).awaitTermination(120)
+
+    def batch_counts(vals):
+        return {
+            (r.key, r.bucket): r.cnt
+            for r in (
+                spark.createDataFrame([(v,) for v in vals], "value DOUBLE")
+                .select(F.expr(
+                    "cast(floor(value * 1000000.0) as bigint)"
+                ).alias("mic"))
+                .select(F.expr(hdr_bucket_spark_sql("mic")).alias("bucket"))
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+                .select(F.lit("s").alias("key"), "bucket", "cnt")
+            ).collect()
+        }
+
+    def got(since=None, until=None):
+        return {
+            (r.key, r.bucket): r.cnt
+            for r in sk.read_hdr_buckets_windowed(
+                spark, log, since, until
+            ).collect()
+        }
+
+    assert got() == batch_counts(jan_vals + feb_vals)
+    assert got(since=FEB) == batch_counts(feb_vals)
+    assert got(until=FEB) == batch_counts(jan_vals)
+
+    # horizon estimate: p50 over Feb only brackets Feb's true median
+    ests = {
+        (r.key, r.quantile): r.est_value
+        for r in sk.hdr_quantile_estimates_windowed(
+            spark, log, since=FEB
+        ).collect()
+    }
+    svals, n = sorted(feb_vals), len(feb_vals)
+    true = next(v for i, v in enumerate(svals, 1) if 100 * i >= 50 * n)
+    assert ests[("s", 50)] <= true + 1e-9
+    assert true <= ests[("s", 50)] * (1 + 1 / 32) + 2e-6
+
+    sk.expire_windows(spark, log, "hdr", older_than=FEB)
+    logdf = spark.read.schema(sk.HDRW_SCHEMA).parquet(log)
+    assert logdf.filter(F.col("win") < F.lit(FEB)).count() == 0
+    assert got() == batch_counts(feb_vals)
+    assert {r.batch_id for r in
+            logdf.select("batch_id").distinct().collect()} == {-1}
