@@ -80,7 +80,15 @@ def main() -> None:
     # is the real build cost, never a stale-dir read check.
     import shutil
 
+    from cosmo_spark.queries.artifacts import resolve_vector_artifacts
     from cosmo_spark.queries.trainprep import _ensure_pq_index, _pq_index_dir
+
+    # resolve the quantizer artifacts BEFORE computing index dirs: on a
+    # non-literal corpus the dir name folds the TRAINED artifact hash, and
+    # an unresolved (literal-defaulted) _pq_index_dir here would rmtree
+    # the wrong directory — leaving a stale index that zeroes setup_sec
+    # on repeat runs (review r8)
+    resolve_vector_artifacts(spark, sf_dir)
 
     setup: dict[str, float] = {}
     setup_dirs: dict[str, str] = {}

@@ -280,3 +280,37 @@ def hdr_high_spark_sql(b: str) -> str:
         f"{hdr_low_spark_sql(b)} + shiftleft(1, cast(shiftright({b}, 6) - 6 "
         f"as int)) - 1 END"
     )
+
+
+def hdr_quantiles(
+    counts: DataFrame, keys: list[str], quantiles=(50, 90, 99)
+) -> DataFrame:
+    """(keys..., quantile, est_value, n) percentile estimates from an HDR
+    bucket-count frame (keys..., bucket, cnt) — ONE definition of the
+    cumulative selection shared by the batch query (q143) and both
+    streaming read paths, so 'stream-then-estimate equals the batch
+    sketch' can never drift.  est_value is the selected bucket's lower
+    bound in original units (micro-unit encoding)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.withColumn("cw", F.sum("cnt").over(w))
+    tot = counts.groupBy(*keys).agg(F.sum("cnt").alias("n"))
+    qx = F.explode(F.array(*[F.lit(int(q)).cast("long") for q in quantiles]))
+    grid = cum.join(F.broadcast(tot), list(keys)).select(
+        *keys, "bucket", "cw", "n", qx.alias("quantile")
+    )
+    sel = (
+        grid.filter(100 * F.col("cw") >= F.col("quantile") * F.col("n"))
+        .groupBy(*keys, "quantile")
+        .agg(F.min("bucket").alias("b"), F.min("n").alias("n"))
+    )
+    return sel.select(
+        *keys, "quantile",
+        F.round(
+            F.expr(hdr_low_spark_sql("b")).cast("double") / 1000000.0, 6
+        ).alias("est_value"),
+        "n",
+    )

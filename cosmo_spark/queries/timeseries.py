@@ -1312,7 +1312,7 @@ def q143_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables; this shuffles bucket counts."""
     from cosmo_spark.operators.sketches import (
         hdr_bucket_spark_sql,
-        hdr_low_spark_sql,
+        hdr_quantiles,
     )
 
     e = _t(spark, sf_dir, "events").filter(
@@ -1328,24 +1328,4 @@ def q143_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = bk.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = counts.withColumn("cw", F.sum("cnt").over(w))
-    tot = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
-    qx = F.explode(F.array(*[F.lit(q).cast("long") for q in (50, 90, 99)]))
-    grid = cum.join(F.broadcast(tot), "event_type").select(
-        "event_type", "bucket", "cw", "n", qx.alias("quantile")
-    )
-    sel = (
-        grid.filter(100 * F.col("cw") >= F.col("quantile") * F.col("n"))
-        .groupBy("event_type", "quantile")
-        .agg(F.min("bucket").alias("b"), F.min("n").alias("n"))
-    )
-    return sel.select(
-        "event_type", "quantile",
-        F.round(
-            F.expr(hdr_low_spark_sql("b")).cast("double") / 1000000.0, 6
-        ).alias("est_value"),
-        "n",
-    )
+    return hdr_quantiles(counts, ["event_type"], (50, 90, 99))

@@ -110,24 +110,34 @@ def snapshot_versions(table_path: str) -> list[int]:
     return [e["version"] for e in _read_manifest(table_path)["versions"]]
 
 
-def vacuum_snapshots(table_path: str, keep_last: int = 1) -> list[int]:
+def vacuum_snapshots(
+    spark: SparkSession, table_path: str, keep_last: int = 1
+) -> list[int]:
     """Drop all but the newest ``keep_last`` versions; returns the ids
-    removed.  Manifest-first (a version disappears from the manifest
-    BEFORE its files go), so a reader racing the vacuum either pinned the
-    version while it was still listed — the files are deleted after and
-    an in-flight Spark job may fail loudly, the documented
+    removed.  Runs under the table's writer lock (review r8): vacuum is
+    a manifest read-modify-write, and unlocked it could race a publish
+    and write back a stale manifest missing the fresh version — whose
+    directory the next publisher's orphan reaper would then DELETE.
+    Manifest-first within the lock (a version disappears from the
+    manifest BEFORE its files go), so a lock-free reader either pinned
+    the version while it was still listed — the files are deleted after
+    and an in-flight Spark job may fail loudly, the documented
     snapshot-retention trade every table format shares — or it no longer
     sees the version at all.  Never touches the current version."""
-    doc = _read_manifest(table_path)
-    if len(doc["versions"]) <= keep_last:
-        return []
-    drop = doc["versions"][:-keep_last]
-    doc["versions"] = doc["versions"][-keep_last:]
-    _write_manifest(table_path, doc)
-    removed = []
-    for e in drop:
-        shutil.rmtree(
-            os.path.join(table_path, f"v={e['version']}"), ignore_errors=True
-        )
-        removed.append(e["version"])
-    return removed
+    from cosmo_spark.operators.merge import _table_lock
+
+    with _table_lock(spark, table_path.rstrip("/")):
+        doc = _read_manifest(table_path)
+        if len(doc["versions"]) <= keep_last:
+            return []
+        drop = doc["versions"][:-keep_last]
+        doc["versions"] = doc["versions"][-keep_last:]
+        _write_manifest(table_path, doc)
+        removed = []
+        for e in drop:
+            shutil.rmtree(
+                os.path.join(table_path, f"v={e['version']}"),
+                ignore_errors=True,
+            )
+            removed.append(e["version"])
+        return removed

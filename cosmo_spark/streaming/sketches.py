@@ -155,7 +155,16 @@ def _live_files(path: str) -> list[str]:
         if _read_manifest(path) != doc:
             continue  # rotation advanced mid-listing; re-observe
         if doc is None:
-            return files
+            # None→None is NOT proof of stability: an ENTIRE rotation
+            # (prepare → commit → cleanup) can complete between the two
+            # reads, leaving this glob with a mid-rotation mixture
+            # (review r8 ABA).  The cleanup deletes the consumed files,
+            # so a stale mixture always references at least one
+            # now-missing file — re-observe until every listed file
+            # still exists.
+            if all(os.path.exists(f) for f in files):
+                return files
+            continue
         drop = set(doc["moved"] if doc["phase"] == "prepared"
                    else doc["consumed"])
         return [f for f in files if os.path.basename(f) not in drop]
@@ -195,6 +204,43 @@ def _read_log(spark: SparkSession, path: str, schema: str) -> DataFrame:
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
+
+
+def _additive_merge_fn(spark: SparkSession, schema: str, keys: list[str],
+                       pre_filter=None):
+    """Shared compaction body for the ADDITIVE algebras (CMS, HDR, and
+    their windowed twins): per-batch max-dedupe, then fold every batch
+    EXCEPT the newest into the sentinel ``batch_id = -1`` generation.
+
+    The newest batch keeps its identity (review r8): the checkpoint can
+    replay exactly the LAST uncommitted micro-batch after a crash, and a
+    replayed batch whose rows were already folded into the sentinel
+    would no longer dedupe — the sum would double-count it.  Batches
+    before the newest are committed by construction (foreachBatch is
+    sequential), so folding them is safe; the newest folds on the NEXT
+    compaction, by which time a later batch exists (hence it committed).
+    ``pre_filter`` lets expire_windows drop aged windows first."""
+
+    def merge_fn(files):
+        log = spark.read.schema(schema).parquet(*files)
+        if pre_filter is not None:
+            log = pre_filter(log)
+        per_batch = log.groupBy("batch_id", *keys).agg(
+            F.max("cnt").alias("cnt")
+        )
+        mx = per_batch.agg(F.max("batch_id").alias("__mx"))
+        pb = per_batch.crossJoin(F.broadcast(mx))
+        newest = pb.filter(F.col("batch_id") == F.col("__mx")).select(
+            "batch_id", *keys, "cnt"
+        )
+        folded = (
+            pb.filter(F.col("batch_id") != F.col("__mx"))
+            .groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+            .select(F.lit(-1).cast("bigint").alias("batch_id"), *keys, "cnt")
+        )
+        return folded.unionByName(newest)
+
+    return merge_fn
 
 
 def stream_hll_registers(
@@ -350,20 +396,13 @@ def compact_cms_counters(spark: SparkSession, counter_path: str) -> None:
     batch ids are ≥ 0).  Exactly one compacted generation is ever live —
     the rotation consumes the previous one atomically — so the sentinel
     never collides with itself in the reader's per-(batch_id, r, bucket)
-    dedupe, and future batches keep appending under their own ids."""
-
-    def merge_fn(files):
-        log = spark.read.schema(CMS_SCHEMA).parquet(*files)
-        per_batch = log.groupBy("batch_id", "r", "bucket").agg(
-            F.max("cnt").alias("cnt")
-        )
-        return per_batch.groupBy("r", "bucket").agg(
-            F.sum("cnt").alias("cnt")
-        ).select(
-            F.lit(-1).cast("bigint").alias("batch_id"), "r", "bucket", "cnt"
-        )
-
-    _rotate_log(spark, counter_path, merge_fn)
+    dedupe, and future batches keep appending under their own ids.  The
+    NEWEST batch is never folded (see _additive_merge_fn): it is the one
+    the checkpoint may replay, and replay dedupe needs its identity."""
+    _rotate_log(
+        spark, counter_path,
+        _additive_merge_fn(spark, CMS_SCHEMA, ["r", "bucket"]),
+    )
 
 
 def cms_frequency_estimates(
@@ -533,54 +572,25 @@ def hdr_quantile_estimates(
     spark: SparkSession, bucket_path: str, quantiles=(50, 90, 99)
 ) -> DataFrame:
     """(key, quantile, est_value, n) percentile dashboard from the
-    at-rest bucket log — q143's read path over streamed state (shared
-    geometry, so stream-then-estimate equals the batch sketch exactly)."""
-    from pyspark.sql.window import Window
+    at-rest bucket log — q143's read path over streamed state (the
+    SHARED operators/sketches.hdr_quantiles selection, so
+    stream-then-estimate equals the batch sketch exactly)."""
+    from cosmo_spark.operators.sketches import hdr_quantiles
 
-    from cosmo_spark.operators.sketches import hdr_low_spark_sql
-
-    counts = read_hdr_buckets(spark, bucket_path)
-    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = counts.withColumn("cw", F.sum("cnt").over(w))
-    tot = counts.groupBy("key").agg(F.sum("cnt").alias("n"))
-    qx = F.explode(F.array(*[F.lit(int(q)).cast("long") for q in quantiles]))
-    grid = cum.join(F.broadcast(tot), "key").select(
-        "key", "bucket", "cw", "n", qx.alias("quantile")
-    )
-    sel = (
-        grid.filter(100 * F.col("cw") >= F.col("quantile") * F.col("n"))
-        .groupBy("key", "quantile")
-        .agg(F.min("bucket").alias("b"), F.min("n").alias("n"))
-    )
-    return sel.select(
-        "key", "quantile",
-        F.round(
-            F.expr(hdr_low_spark_sql("b")).cast("double") / 1000000.0, 6
-        ).alias("est_value"),
-        "n",
+    return hdr_quantiles(
+        read_hdr_buckets(spark, bucket_path), ["key"], quantiles
     )
 
 
 def compact_hdr_buckets(spark: SparkSession, bucket_path: str) -> None:
     """Rewrite the bucket log to its merged minimum (keys × ≤~4k rows)
     via the crash-atomic rotation — addition is not idempotent, so this
-    goes through the same manifest protocol as compact_cms_counters
-    (sentinel batch_id −1, exactly one compacted generation live)."""
-
-    def merge_fn(files):
-        log = spark.read.schema(HDR_SCHEMA).parquet(*files)
-        per_batch = log.groupBy("batch_id", "key", "bucket").agg(
-            F.max("cnt").alias("cnt")
-        )
-        return per_batch.groupBy("key", "bucket").agg(
-            F.sum("cnt").alias("cnt")
-        ).select(
-            F.lit(-1).cast("bigint").alias("batch_id"), "key", "bucket", "cnt"
-        )
-
-    _rotate_log(spark, bucket_path, merge_fn)
+    goes through the same manifest protocol and newest-batch-preserving
+    fold as compact_cms_counters (_additive_merge_fn)."""
+    _rotate_log(
+        spark, bucket_path,
+        _additive_merge_fn(spark, HDR_SCHEMA, ["key", "bucket"]),
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -861,32 +871,12 @@ def hdr_quantile_estimates_windowed(
     quantiles=(50, 90, 99),
 ) -> DataFrame:
     """(key, quantile, est_value, n) percentiles over exactly the
-    in-horizon windows — shared read path with the all-time estimator."""
-    from pyspark.sql.window import Window
+    in-horizon windows — the shared hdr_quantiles selection again."""
+    from cosmo_spark.operators.sketches import hdr_quantiles
 
-    from cosmo_spark.operators.sketches import hdr_low_spark_sql
-
-    counts = read_hdr_buckets_windowed(spark, bucket_path, since, until)
-    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = counts.withColumn("cw", F.sum("cnt").over(w))
-    tot = counts.groupBy("key").agg(F.sum("cnt").alias("n"))
-    qx = F.explode(F.array(*[F.lit(int(q)).cast("long") for q in quantiles]))
-    grid = cum.join(F.broadcast(tot), "key").select(
-        "key", "bucket", "cw", "n", qx.alias("quantile")
-    )
-    sel = (
-        grid.filter(100 * F.col("cw") >= F.col("quantile") * F.col("n"))
-        .groupBy("key", "quantile")
-        .agg(F.min("bucket").alias("b"), F.min("n").alias("n"))
-    )
-    return sel.select(
-        "key", "quantile",
-        F.round(
-            F.expr(hdr_low_spark_sql("b")).cast("double") / 1000000.0, 6
-        ).alias("est_value"),
-        "n",
+    return hdr_quantiles(
+        read_hdr_buckets_windowed(spark, bucket_path, since, until),
+        ["key"], quantiles,
     )
 
 
@@ -907,18 +897,12 @@ def expire_windows(
             F.max("rho").alias("rho")
         ).select("key", "win", "bucket", "rho")
 
-    def merge_cms(files):
-        live = spark.read.schema(CMSW_SCHEMA).parquet(*files) \
-            .filter(F.col("win") >= F.lit(older_than))
-        per_batch = live.groupBy("batch_id", "win", "r", "bucket").agg(
-            F.max("cnt").alias("cnt")
-        )
-        return per_batch.groupBy("win", "r", "bucket").agg(
-            F.sum("cnt").alias("cnt")
-        ).select(
-            F.lit(-1).cast("bigint").alias("batch_id"),
-            "win", "r", "bucket", "cnt",
-        )
+    def _horizon(log):
+        return log.filter(F.col("win") >= F.lit(older_than))
+
+    merge_cms = _additive_merge_fn(
+        spark, CMSW_SCHEMA, ["win", "r", "bucket"], pre_filter=_horizon
+    )
 
     def merge_kmv(files):
         live = spark.read.schema(KMVW_SCHEMA).parquet(*files) \
@@ -926,18 +910,9 @@ def expire_windows(
             .select("key", "win", "h").distinct()
         return kmv_k_smallest(live, ["key", "win"]).select("key", "win", "h")
 
-    def merge_hdr(files):
-        live = spark.read.schema(HDRW_SCHEMA).parquet(*files) \
-            .filter(F.col("win") >= F.lit(older_than))
-        per_batch = live.groupBy("batch_id", "key", "win", "bucket").agg(
-            F.max("cnt").alias("cnt")
-        )
-        return per_batch.groupBy("key", "win", "bucket").agg(
-            F.sum("cnt").alias("cnt")
-        ).select(
-            F.lit(-1).cast("bigint").alias("batch_id"),
-            "key", "win", "bucket", "cnt",
-        )
+    merge_hdr = _additive_merge_fn(
+        spark, HDRW_SCHEMA, ["key", "win", "bucket"], pre_filter=_horizon
+    )
 
     merge_fn = {"hll": merge_hll, "cms": merge_cms, "kmv": merge_kmv,
                 "hdr": merge_hdr}[kind]

@@ -153,16 +153,40 @@ def test_cms_rotation_crash_sweep(spark, tmp_path):
         }
 
     assert read_state(pristine) == expected
+    n_before = spark.read.schema(sk.CMS_SCHEMA).parquet(pristine).count()
     _sweep(tmp_path, pristine, read_state,
            lambda p: sk.compact_cms_counters(spark, p))
-    # and the happy path actually shrinks the log to one generation
+    # happy path: all COMMITTED batches fold into the sentinel; the
+    # newest batch keeps its identity (it is the one a checkpoint can
+    # replay — see test_cms_compaction_preserves_newest_batch_dedupe)
     sk.compact_cms_counters(spark, pristine)
     assert read_state(pristine) == expected
     log = spark.read.schema(sk.CMS_SCHEMA).parquet(pristine)
-    assert log.select("batch_id").distinct().collect() == [
-        spark.createDataFrame([(-1,)], "batch_id BIGINT").collect()[0]
-    ]
-    assert log.count() == len(expected)
+    ids = {r.batch_id for r in log.select("batch_id").distinct().collect()}
+    assert ids == {-1, len(_CMS_BATCHES) - 1}
+    assert log.count() < n_before
+
+
+def test_cms_compaction_preserves_newest_batch_dedupe(spark, tmp_path):
+    """review r8: the checkpoint can replay the LAST uncommitted batch
+    after a crash; if compaction had folded it into the sentinel, the
+    replayed rows would no longer dedupe and every count from that batch
+    would double.  Compact, then replay the newest batch — counts must
+    not change."""
+    from cosmo_spark.operators.sketches import cms_counters
+
+    path = str(tmp_path / "log")
+    expected = _build_cms_log(spark, path)
+    sk.compact_cms_counters(spark, path)
+    # the stream restarts and replays batch 2 verbatim
+    last = len(_CMS_BATCHES) - 1
+    cms_counters(_cms_tokh(spark, _CMS_BATCHES[last])).select(
+        F.lit(last).cast("bigint").alias("batch_id"), "r", "bucket", "cnt"
+    ).write.mode("append").parquet(path)
+    assert {
+        (r.r, r.bucket): r.cnt
+        for r in sk.read_cms_counters(spark, path).collect()
+    } == expected, "replayed newest batch must dedupe after compaction"
 
 
 def test_cms_double_compaction_keeps_sentinel_sound(spark, tmp_path):

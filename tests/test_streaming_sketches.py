@@ -372,8 +372,9 @@ def test_stream_hdr_buckets_equal_batch_and_quantile_band(spark, tmp_path):
         for r in read_hdr_buckets(spark, log).collect()
     } == expected
 
-    # compaction through the crash-atomic rotation: state preserved,
-    # exactly one sentinel generation
+    # compaction through the crash-atomic rotation: state preserved;
+    # committed batches fold into the sentinel, the newest keeps its
+    # identity for replay dedupe (review r8)
     compact_hdr_buckets(spark, log)
     assert {
         (r.key, r.bucket): r.cnt
@@ -381,7 +382,7 @@ def test_stream_hdr_buckets_equal_batch_and_quantile_band(spark, tmp_path):
     } == expected
     assert {r.batch_id for r in
             spark.read.parquet(log).select("batch_id").distinct().collect()} \
-        == {-1}
+        == {-1, 1}
 
     # quantile estimates bracket the true percentiles: est <= true <=
     # est * (1 + 1/32) (two sub-bucket widths of slack over the 1/64 band)

@@ -77,7 +77,7 @@ def test_vacuum_keeps_current_and_forgets_history(spark, tmp_path):
     for i in range(1, 5):
         write_snapshot(_frame(spark, [("a", i)]), path)
     assert snapshot_versions(path) == [1, 2, 3, 4]
-    removed = vacuum_snapshots(path, keep_last=2)
+    removed = vacuum_snapshots(spark, path, keep_last=2)
     assert removed == [1, 2]
     assert snapshot_versions(path) == [3, 4]
     assert _state(spark, path) == {"a": 4}
@@ -86,4 +86,8 @@ def test_vacuum_keeps_current_and_forgets_history(spark, tmp_path):
         read_snapshot(spark, path, 1)
     assert not os.path.isdir(os.path.join(path, "v=1"))
     # vacuum below the floor is a no-op
-    assert vacuum_snapshots(path, keep_last=5) == []
+    assert vacuum_snapshots(spark, path, keep_last=5) == []
+    # vacuum respects the writer lock: contention is loud
+    with _table_lock(spark, path):
+        with pytest.raises(MergeContentionError):
+            vacuum_snapshots(spark, path, keep_last=1)

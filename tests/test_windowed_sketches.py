@@ -120,10 +120,11 @@ def test_cms_windowed_horizon_and_eviction(spark, tmp_path):
     log = spark.read.schema(sk.CMSW_SCHEMA).parquet(ctr)
     assert log.filter(F.col("win") < F.lit(FEB)).count() == 0
     assert got() == batch_counters(B_FEB)
-    # compacted generation carries the sentinel batch_id and one row per
-    # (win, r, bucket) — additive state stayed exactly-once through expiry
+    # additive state stayed exactly-once through expiry; batch 0 (all
+    # January) vanished with its windows, batch 1 is newest and keeps
+    # its identity for replay dedupe (review r8)
     assert {r.batch_id for r in log.select("batch_id").distinct().collect()} \
-        == {-1}
+        == {1}
 
 
 def test_kmv_windowed_horizon_and_eviction(spark, tmp_path):
@@ -230,5 +231,7 @@ def test_hdr_windowed_horizon_and_eviction(spark, tmp_path):
     logdf = spark.read.schema(sk.HDRW_SCHEMA).parquet(log)
     assert logdf.filter(F.col("win") < F.lit(FEB)).count() == 0
     assert got() == batch_counts(feb_vals)
+    # single-batch log: the newest (only) batch is never folded — it is
+    # the one the checkpoint could replay (review r8)
     assert {r.batch_id for r in
-            logdf.select("batch_id").distinct().collect()} == {-1}
+            logdf.select("batch_id").distinct().collect()} == {0}
