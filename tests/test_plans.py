@@ -588,3 +588,39 @@ def test_q134_q135_twins_aggregate_before_output(spark, qs):
         plan = physical_plan(df)
         assert "HashAggregate" in plan, name
         assert "Window" not in plan, name
+
+
+def test_q140_single_python_stage_and_no_blob_shuffle(spark, qs):
+    # the media-dedup family pays exactly ONE Arrow Python stage (encode
+    # is JVM expressions, decode is one mapInPandas); a second stage
+    # would mean the corpus is being re-decoded somewhere
+    df = qs["q140_image_ahash_dedup"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    # the fingerprint frame is persisted, so every downstream branch
+    # (4 band projections, both Hamming sides, the final left join)
+    # reads the cache instead of re-running the Python decode stage —
+    # the formatted plan repeats the cached lineage text per reference,
+    # so the gate is cache PRESENCE, not a string count
+    assert "MapInPandas" in plan
+    assert "InMemoryTableScan" in plan, "fingerprints must be cached"
+    # everything wide (blob/features) is projected away before any
+    # exchange: fingerprints shuffle, media bytes never do
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "blob" not in line and "features" not in line, line
+
+
+def test_q143_aggregates_before_any_window(spark, qs):
+    # the HDR sketch's windows/joins run over the ~4k-bucket table, never
+    # the fact stream: the plan must carry a hash aggregate below the one
+    # window, and the events scan must keep its pushed filters
+    df = qs["q143_hdr_quantile_sketch"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan and "Window" in plan
+    # top-down print: the window must sit ABOVE the deepest (scan-side
+    # bucket-count) aggregate, i.e. consume its output — never window
+    # the raw fact stream
+    assert plan.index("Window") < plan.rindex("HashAggregate"), (
+        "the cumulative window must run over the bucket-count aggregate"
+    )
+    assert "value" in pushed_filters(df)

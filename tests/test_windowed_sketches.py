@@ -235,3 +235,24 @@ def test_hdr_windowed_horizon_and_eviction(spark, tmp_path):
     # the one the checkpoint could replay (review r8)
     assert {r.batch_id for r in
             logdf.select("batch_id").distinct().collect()} == {0}
+
+
+def test_expire_everything_leaves_empty_readable_log(spark, tmp_path):
+    """Expiring past every window must empty the log without breaking
+    readers (the fully-aged-out edge of the eviction contract)."""
+    from datetime import datetime
+
+    rows = [("s", "alpha", "2024-01-01T08:00:00")]
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b1.json", rows)
+    regs, ckpt = str(tmp_path / "regs"), str(tmp_path / "ck")
+    sk.stream_hll_registers_windowed(
+        spark.readStream.schema(SCHEMA).json(str(src)),
+        "source", "text", "ts", regs, ckpt,
+    ).awaitTermination(120)
+    assert sk.read_hll_registers_windowed(spark, regs).count() > 0
+    sk.expire_windows(spark, regs, "hll", older_than=datetime(2030, 1, 1))
+    assert sk.read_hll_registers_windowed(spark, regs).count() == 0
+    assert sk.hll_distinct_estimates_windowed(spark, regs).count() == 0
+    assert sk._read_manifest(regs) is None
