@@ -70,6 +70,15 @@ REGISTER_SCHEMA = "key STRING, bucket BIGINT, rho INT"
 # compactor per log path (the same single-writer contract the batch merge
 # documents); readers are unrestricted.
 #
+# Reader guarantee is CONSISTENT-OR-LOUD (empirically gated by the racing
+# stress test): any result a read returns reflects exactly one generation;
+# a read whose task EXECUTION overlaps the post-commit cleanup can fail
+# with FAILED_READ_FILE.FILE_NOT_EXIST (its planned file was garbage-
+# collected underneath it) and should simply be retried — the standard
+# snapshot-retention trade every table format shares.  Deliberately NOT
+# papered over with spark.sql.files.ignoreMissingFiles, which would turn
+# that loud, retryable failure into a silent partial read.
+#
 # File ops go through module-level wrappers so the crash-injection tests can
 # kill the rotation between any two steps.  They are posix os-level calls,
 # matching this environment; on an object store deploy, swap the three

@@ -750,3 +750,53 @@ def test_grouped_percent_rank_matches_sql_spec(spark, rows):
     assert set(got) == set(ref)
     for k in ref:
         assert got[k] == ref[k], k
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=40, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_hdr_bucket_geometry_properties(vals):
+    """HDR bucket algebra, cross-engine: the DuckDB SQL text and a pure
+    python model of the same integer formulas agree, buckets are
+    monotone non-decreasing in value, and low(bucket(v)) <= v <=
+    low + width - 1 with width/low <= 1/64 (the advertised relative
+    error band).  Values < 64 are exact."""
+    import duckdb
+
+    from cosmo_spark.operators.sketches import (
+        hdr_bucket_duck_sql,
+        hdr_low_duck_sql,
+    )
+
+    def py_bucket(v):
+        if v < 64:
+            return v
+        e = v.bit_length() - 1
+        return (e << 6) | ((v >> (e - 6)) & 63)
+
+    def py_low(b):
+        if b < 64:
+            return b
+        e, m = b >> 6, b & 63
+        return (64 + m) << (e - 6)
+
+    con = duckdb.connect()
+    arr = ", ".join(str(v) for v in vals)
+    rows = con.execute(f"""
+        WITH t AS (SELECT unnest([{arr}]) AS v),
+        b AS (SELECT v, {hdr_bucket_duck_sql("v")} AS bk FROM t)
+        SELECT v, bk, {hdr_low_duck_sql("bk")} AS low FROM b
+    """).fetchall()
+    for v, bk, low in rows:
+        assert bk == py_bucket(v), (v, bk)
+        assert low == py_low(bk), (bk, low)
+        assert low <= v
+        if v < 64:
+            assert low == v                      # exact region
+        else:
+            width = 1 << ((bk >> 6) - 6)
+            assert v <= low + width - 1
+            assert width * 64 <= low + width - 1 or width == 1
+    svals = sorted(vals)
+    bks = [py_bucket(v) for v in svals]
+    assert bks == sorted(bks), "bucket must be monotone in value"

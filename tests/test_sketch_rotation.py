@@ -385,3 +385,66 @@ def test_hdr_rotation_crash_sweep(spark, tmp_path):
 
     _sweep(tmp_path, pristine, read_state,
            lambda p: sk.compact_hdr_buckets(spark, p))
+
+
+def test_reader_racing_live_rotations_never_sees_mixed_generation(
+    spark, tmp_path
+):
+    """Stress the manifest-filtered reader against a LIVE rotator: a
+    loop of compactions in a background thread while the foreground
+    reader hammers read_cms_counters.  The contract is CONSISTENT-OR-
+    LOUD: every read that RETURNS must carry exactly the merged counter
+    state (one generation — never a double-count or partial view; the
+    r8 ABA gate), while a read whose task execution overlaps the
+    post-commit cleanup may fail loudly with FILE_NOT_EXIST and is
+    retried — the documented snapshot-retention trade."""
+    import threading
+
+    from cosmo_spark.operators.sketches import cms_counters
+
+    path = str(tmp_path / "log")
+    expected = _build_cms_log(spark, path)
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def rotate_forever():
+        try:
+            while not stop.is_set():
+                sk.compact_cms_counters(spark, path)
+                # keep the log multi-file so every rotation has real work
+                cms_counters(_cms_tokh(spark, _CMS_BATCHES[-1])).select(
+                    F.lit(len(_CMS_BATCHES) - 1).cast("bigint")
+                     .alias("batch_id"),
+                    "r", "bucket", "cnt",
+                ).write.mode("append").parquet(path)
+        except BaseException as e:  # surfaced in the main thread
+            errors.append(e)
+
+    t = threading.Thread(target=rotate_forever, daemon=True)
+    t.start()
+    ok = loud = 0
+    try:
+        while ok < 10 and ok + loud < 60:
+            try:
+                got = {
+                    (r.r, r.bucket): r.cnt
+                    for r in sk.read_cms_counters(spark, path).collect()
+                }
+            except Exception as e:  # loud-and-retryable, never silent
+                assert "FILE_NOT_EXIST" in str(e) or "does not exist" in str(e), e
+                loud += 1
+                continue
+            assert got == expected, "reader observed a mixed generation"
+            ok += 1
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    assert ok >= 10, f"only {ok} consistent reads ({loud} loud retries)"
+    # settle: one final compaction and the state is still exact
+    sk.compact_cms_counters(spark, path)
+    assert {
+        (r.r, r.bucket): r.cnt
+        for r in sk.read_cms_counters(spark, path).collect()
+    } == expected
