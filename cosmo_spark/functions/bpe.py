@@ -1,0 +1,159 @@
+"""BPE merge machinery shared by the apply query (q97), the distributed
+trainer (operators/train.train_bpe_merges) and the DuckDB oracle replay
+(q144 / q97's trained-rule oracle).
+
+One merge "pass" is the greedy leftmost non-overlapping merge of pair
+(a, b) over a symbol-list column: candidate flags -> overlap-resolving
+mask -> padded rewrite.  Both engines express the pass as pure list
+expressions so even this iterative-looking operator hash-matches
+cross-engine (the q97 discipline since round 6; extracted here in round 9
+so trainer and applier share one definition).
+
+The trainer additionally needs the DuckDB side PARAMETERIZED by column
+references instead of string literals: the training replay learns rule k
+as a one-row CTE (argmax of pair counts) and applies it via a cross join,
+so ``duck_bpe_pass`` takes SQL *expressions* for a / b / their
+concatenation (pass ``'t'``-style quoted literals for the fixed-rule
+form, ``a`` / ``b`` / ``a || b`` for the learned-rule form).
+
+Spark-first shape: every pass runs over the WORD-FREQUENCY table (q76's
+Heaps-law trick — per-character work scales with the vocabulary, not the
+corpus), and the reference's iterative tokenizer loop becomes K bounded
+dataframe passes.  ref: cosmo/monitors/text_prep.py-style token pipelines.
+"""
+
+from __future__ import annotations
+
+
+def spark_bpe_pass(wcol: str, a: str, b: str):
+    """(c_expr, m_expr_builder, out_expr_builder) for one greedy leftmost
+    merge pass of literal rule (a, b) over symbol-list column ``wcol``.
+
+    Symbols come from ``tokenize`` ([a-z0-9]+ only), so embedding them as
+    quoted literals is injection-safe; the escape below keeps the builder
+    honest if a caller ever feeds richer symbols."""
+    a = a.replace("'", "\\'")
+    b = b.replace("'", "\\'")
+    ab = (a + b)
+    c = (
+        f"CASE WHEN size({wcol}) < 2 THEN CAST(array() AS ARRAY<INT>) "
+        f"ELSE transform(sequence(1, size({wcol}) - 1), i_c -> "
+        f"CASE WHEN element_at({wcol}, i_c) = '{a}' "
+        f"AND element_at({wcol}, i_c + 1) = '{b}' THEN 1 ELSE 0 END) END"
+    )
+
+    def m(ccol: str) -> str:
+        # greedy overlap resolution as an O(L) fold: merge at i iff it is a
+        # candidate and position i-1 did not merge (which consumes s[i]) —
+        # equivalent to the oracle's odd-run-distance formulation (the gate
+        # proves it value-for-value) but linear instead of the O(L^2)
+        # nested scan, which DuckDB absorbs and interpreted Spark HOFs
+        # do not
+        return (
+            f"CASE WHEN size({ccol}) = 0 THEN CAST(array() AS ARRAY<INT>) "
+            f"ELSE aggregate(sequence(1, size({ccol})), "
+            f"CAST(array() AS ARRAY<INT>), (acc, i) -> "
+            f"concat(acc, array(CASE WHEN element_at({ccol}, i) = 0 THEN 0 "
+            f"WHEN i = 1 THEN 1 "
+            f"WHEN element_at(acc, i - 1) = 1 THEN 0 "
+            f"ELSE 1 END))) END"
+        )
+
+    def out(mcol: str) -> str:
+        # mpad aligns so element p = "consumed by merge at p-1" and
+        # element p+1 = "merge starts at p" — no 0-index element_at anywhere
+        mpad = f"concat(array(0), {mcol}, array(0))"
+        return (
+            f"filter(transform(sequence(1, size({wcol})), p -> "
+            f"CASE WHEN element_at({mpad}, p) = 1 THEN NULL "
+            f"WHEN element_at({mpad}, p + 1) = 1 THEN '{ab}' "
+            f"ELSE element_at({wcol}, p) END), x -> x IS NOT NULL)"
+        )
+
+    return c, m, out
+
+
+def duck_bpe_pass(wcol: str, a_expr: str, b_expr: str, ab_expr: str):
+    """DuckDB twin of :func:`spark_bpe_pass`, parameterized by SQL
+    expressions so the rule can be a learned (column-valued) pair.  For a
+    fixed rule pass ``"'t'", "'h'", "'th'"``."""
+    c = (
+        f"list_transform(range(1, len({wcol})), i_c -> "
+        f"CASE WHEN {wcol}[i_c] = {a_expr} AND {wcol}[i_c + 1] = {b_expr} "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+    def m(ccol: str) -> str:
+        return (
+            f"list_transform(range(1, len({ccol}) + 1), i -> "
+            f"CASE WHEN {ccol}[i] = 0 THEN 0 "
+            f"WHEN (i - list_max(list_prepend(0, "
+            f"list_transform(range(1, i + 1), j -> "
+            f"CASE WHEN {ccol}[j] = 0 THEN j ELSE 0 END)))) % 2 = 1 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    def out(mcol: str) -> str:
+        mpad = f"(([0] || {mcol}) || [0])"
+        return (
+            f"list_filter(list_transform(range(1, len({wcol}) + 1), p -> "
+            f"CASE WHEN {mpad}[p] = 1 THEN NULL "
+            f"WHEN {mpad}[p + 1] = 1 THEN {ab_expr} "
+            f"ELSE {wcol}[p] END), x -> x IS NOT NULL)"
+        )
+
+    return c, m, out
+
+
+def duck_bpe_train_ctes(toks_expr: str, n_merges: int, table: str = "documents"):
+    """Unrolled DuckDB replay of the greedy BPE training loop.
+
+    Returns ``(ctes, final_vocab, best_names)``: a list of CTE definition
+    strings, the name of the CTE holding the (freq, w) vocabulary AFTER
+    all ``n_merges`` merges, and the names of the one-row ``b{k}`` CTEs
+    holding learned rule k as (a, b, cnt).
+
+    Iteration k counts all adjacent symbol pairs weighted by word
+    frequency (parallel zipped unnests), picks the (cnt DESC, a, b)
+    argmax — the exact tie-break of the Spark trainer — and applies the
+    learned rule via a one-row cross join through the shared pass
+    expressions.  An empty corpus degrades gracefully: every ``b{k}`` is
+    zero rows and every cross-joined apply stage is empty, matching the
+    trainer's early stop.
+    """
+    ctes = [
+        f"wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM "
+        f"(SELECT unnest({toks_expr}) AS w FROM {table}) GROUP BY w)",
+        "p0 AS (SELECT freq, list_transform(range(1, length(w) + 1), "
+        "i -> w[i:i]) AS w FROM wf)",
+    ]
+    prev = "p0"
+    best_names = []
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"g{k} AS (SELECT "
+            f"unnest(list_transform(range(1, len(w)), i -> w[i])) AS a, "
+            f"unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS b, "
+            f"freq FROM {prev})"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt "
+            f"FROM g{k} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        best_names.append(f"b{k}")
+        c, m, out = duck_bpe_pass("w", "a", "b", "(a || b)")
+        # LEFT JOIN, not CROSS JOIN: when the vocabulary runs out of pairs
+        # before n_merges (all-singleton words), b{k} is empty — a cross
+        # join would wipe the vocab, whereas NULL a/b makes every
+        # candidate test NULL -> 0, so the pass degrades to the identity,
+        # exactly matching the trainer's early break
+        ctes.append(
+            f"r{k}c AS (SELECT freq, w, a, b, {c} AS c "
+            f"FROM {prev} LEFT JOIN b{k} ON TRUE)"
+        )
+        ctes.append(
+            f"r{k}m AS (SELECT freq, w, a, b, {m('c')} AS m FROM r{k}c)"
+        )
+        ctes.append(f"r{k} AS (SELECT freq, {out('m')} AS w FROM r{k}m)")
+        prev = f"r{k}"
+    return ctes, prev, best_names

@@ -2089,102 +2089,23 @@ def q74_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
-# q97 — BPE merge application (the learned-merges half of tokenizer training)  #
+# q97 / q144 — BPE tokenizer training (learn merges) + application            #
 # --------------------------------------------------------------------------- #
 
-#: ordered merge rules (a literal artifact, the q55/q44 discipline); rule 3
-#: consumes rule 1's output symbol — genuine BPE chaining
-_BPE_RULES = (("t", "h"), ("i", "n"), ("th", "e"), ("a", "n"))
-
-
-def _spark_bpe_pass(wcol: str, a: str, b: str):
-    """(c_expr, m_expr_builder, out_expr_builder) for one greedy leftmost
-    merge pass of rule (a, b) over symbol-list column ``wcol``."""
-    c = (
-        f"CASE WHEN size({wcol}) < 2 THEN CAST(array() AS ARRAY<INT>) "
-        f"ELSE transform(sequence(1, size({wcol}) - 1), i_c -> "
-        f"CASE WHEN element_at({wcol}, i_c) = '{a}' "
-        f"AND element_at({wcol}, i_c + 1) = '{b}' THEN 1 ELSE 0 END) END"
-    )
-
-    def m(ccol: str) -> str:
-        # greedy overlap resolution as an O(L) fold: merge at i iff it is a
-        # candidate and position i-1 did not merge (which consumes s[i]) —
-        # equivalent to the oracle's odd-run-distance formulation (the gate
-        # proves it value-for-value) but linear instead of the O(L^2)
-        # nested scan, which DuckDB absorbs and interpreted Spark HOFs
-        # do not
-        return (
-            f"CASE WHEN size({ccol}) = 0 THEN CAST(array() AS ARRAY<INT>) "
-            f"ELSE aggregate(sequence(1, size({ccol})), "
-            f"CAST(array() AS ARRAY<INT>), (acc, i) -> "
-            f"concat(acc, array(CASE WHEN element_at({ccol}, i) = 0 THEN 0 "
-            f"WHEN i = 1 THEN 1 "
-            f"WHEN element_at(acc, i - 1) = 1 THEN 0 "
-            f"ELSE 1 END))) END"
-        )
-
-    def out(mcol: str) -> str:
-        # mpad aligns so element p = "consumed by merge at p-1" and
-        # element p+1 = "merge starts at p" — no 0-index element_at anywhere
-        mpad = f"concat(array(0), {mcol}, array(0))"
-        return (
-            f"filter(transform(sequence(1, size({wcol})), p -> "
-            f"CASE WHEN element_at({mpad}, p) = 1 THEN NULL "
-            f"WHEN element_at({mpad}, p + 1) = 1 THEN '{a + b}' "
-            f"ELSE element_at({wcol}, p) END), x -> x IS NOT NULL)"
-        )
-
-    return c, m, out
-
-
-def _duck_bpe_pass(wcol: str, a: str, b: str):
-    c = (
-        f"list_transform(range(1, len({wcol})), i_c -> "
-        f"CASE WHEN {wcol}[i_c] = '{a}' AND {wcol}[i_c + 1] = '{b}' "
-        f"THEN 1 ELSE 0 END)"
-    )
-
-    def m(ccol: str) -> str:
-        return (
-            f"list_transform(range(1, len({ccol}) + 1), i -> "
-            f"CASE WHEN {ccol}[i] = 0 THEN 0 "
-            f"WHEN (i - list_max(list_prepend(0, "
-            f"list_transform(range(1, i + 1), j -> "
-            f"CASE WHEN {ccol}[j] = 0 THEN j ELSE 0 END)))) % 2 = 1 "
-            f"THEN 1 ELSE 0 END)"
-        )
-
-    def out(mcol: str) -> str:
-        mpad = f"(([0] || {mcol}) || [0])"
-        return (
-            f"list_filter(list_transform(range(1, len({wcol}) + 1), p -> "
-            f"CASE WHEN {mpad}[p] = 1 THEN NULL "
-            f"WHEN {mpad}[p + 1] = 1 THEN '{a + b}' "
-            f"ELSE {wcol}[p] END), x -> x IS NOT NULL)"
-        )
-
-    return c, m, out
-
-
 def _q97_oracle() -> str:
-    ctes = [
-        f"wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM "
-        f"(SELECT unnest({_DUCK_TOKS}) AS w FROM documents) GROUP BY w)",
-        "p0 AS (SELECT freq, list_transform(range(1, length(w) + 1), "
-        "i -> w[i:i]) AS w FROM wf)",
-    ]
-    prev = "p0"
-    for k, (a, b) in enumerate(_BPE_RULES, start=1):
-        c, m, out = _duck_bpe_pass("w", a, b)
-        ctes.append(f"r{k}c AS (SELECT freq, w, {c} AS c FROM {prev})")
-        ctes.append(f"r{k}m AS (SELECT freq, w, {m('c')} AS m FROM r{k}c)")
-        ctes.append(f"r{k} AS (SELECT freq, {out('m')} AS w FROM r{k}m)")
-        prev = f"r{k}"
+    # full greedy-training REPLAY in unrolled SQL: the oracle learns the
+    # same rules the Spark trainer learns (count pairs -> argmax with the
+    # identical (cnt DESC, a, b) tie-break -> apply) and reports the final
+    # vocabulary, so parity proves the trainer itself — independent of the
+    # seed cache and of Spark/oracle execution order
+    from cosmo_spark.functions.bpe import duck_bpe_train_ctes
+    from cosmo_spark.queries.bpe_artifacts import BPE_N_MERGES
+
+    ctes, final, _ = duck_bpe_train_ctes(_DUCK_TOKS, BPE_N_MERGES)
     return f"""
 WITH {", ".join(ctes)},
 sym AS (
-  SELECT unnest(w) AS symbol, freq FROM {prev}
+  SELECT unnest(w) AS symbol, freq FROM {final}
 ), agg AS (
   SELECT symbol, CAST(sum(freq) AS BIGINT) AS cnt FROM sym GROUP BY symbol
 ), ranked AS (
@@ -2197,23 +2118,29 @@ SELECT symbol, cnt, rank FROM ranked WHERE rank <= 20
 
 @register("q97_bpe_apply", operators=("TXT3", "A8"), oracle=_q97_oracle())
 def q97_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply learned BPE merges — the other half of tokenizer training
-    (q76 LEARNS merge candidates; this APPLIES an ordered rule list):
-    each word's character sequence runs through the merge rules in
-    priority order, where one rule pass is the greedy leftmost
-    non-overlapping merge (a run of overlapping candidates — only
-    possible for a self-pair like 'aa' — merges at odd offsets from the
-    run start, the textbook BPE behavior), and the resulting symbol
-    vocabulary reports its top-20 by corpus-weighted frequency.  The
-    whole per-word state machine is PURE list expressions — candidate
-    flags, run-start distances, padded merge masks — identical on both
-    engines, so even this iterative-looking operator hash-matches.
+    """Apply LEARNED BPE merges — tokenizer training end-to-end: the rule
+    list comes from the distributed trainer (operators/train.
+    train_bpe_merges) resolved through the fingerprint-keyed seed cache
+    (queries/bpe_artifacts — committed rules on the test corpora, live
+    training on anything else; the q44/q105 artifact discipline), then
+    each word's character sequence runs through the merges in learned
+    order, where one rule pass is the greedy leftmost non-overlapping
+    merge (a run of overlapping candidates — only possible for a
+    self-pair like 'aa' — merges at odd offsets from the run start, the
+    textbook BPE behavior).  The resulting symbol vocabulary reports its
+    top-20 by corpus-weighted frequency.  The oracle replays the whole
+    training loop in unrolled SQL, so a wrong seed or a drifting trainer
+    is a red parity row, not a silently-consistent pair.
 
     Scale shape: merges run over the WORD-FREQUENCY table (the q76
     Heaps-law trick — per-character work scales with the vocabulary, not
     the corpus); per-word cost is O(L²) on words of bounded length.  The
     only shuffles carry (word, freq) and (symbol, count) pairs.
     """
+    from cosmo_spark.functions.bpe import spark_bpe_pass
+    from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges
+
+    rules = resolve_bpe_merges(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
     words = d.select(F.explode(tokenize(F.col("text"))).alias("word"))
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
@@ -2223,16 +2150,15 @@ def q97_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
         ).alias("w"),
     )
-    for a, b in _BPE_RULES:
-        c, m, out = _spark_bpe_pass("w", a, b)
+    for a, b, _cnt in rules:
+        c, m, out = spark_bpe_pass("w", a, b)
         cur = cur.select("freq", "w", F.expr(c).alias("c"))
         cur = cur.select("freq", "w", F.expr(m("c")).alias("m"))
         # localCheckpoint per pass: Catalyst's CollapseProject inlines the
         # non-collapse-cheap nested HOFs of every pass into the next —
-        # measured >100 s at sf0.01 (6x duplication per pass compounds to
-        # ~1300x across 4 chained rules) vs ~1 s with per-pass barriers;
-        # the frame is vocabulary-sized, so the eager materialization is
-        # cheap
+        # measured >100 s at sf0.01 (6x duplication per pass compounds
+        # across chained rules) vs ~1 s with per-pass barriers; the frame
+        # is vocabulary-sized, so the eager materialization is cheap
         cur = cur.select("freq", F.expr(out("m")).alias("w")).localCheckpoint()
     from pyspark.sql.window import Window as _W
 
@@ -2241,6 +2167,44 @@ def q97_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.desc("cnt"), "symbol").limit(20)
     w_rank = _W.orderBy(F.desc("cnt"), "symbol")
     return top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+
+
+def _q144_oracle() -> str:
+    from cosmo_spark.functions.bpe import duck_bpe_train_ctes
+    from cosmo_spark.queries.bpe_artifacts import BPE_N_MERGES
+
+    ctes, _final, bests = duck_bpe_train_ctes(_DUCK_TOKS, BPE_N_MERGES)
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, a AS lhs, b AS rhs, "
+        f"(a || b) AS merged, cnt FROM {bname}"
+        for k, bname in enumerate(bests, start=1)
+    )
+    return f"WITH {', '.join(ctes)} SELECT rank, lhs, rhs, merged, cnt FROM ({unions}) ORDER BY rank"
+
+
+@register("q144_bpe_train", operators=("TXT3",), oracle=_q144_oracle())
+def q144_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer's merge table — the learning half that q97
+    consumes: greedy pair-count/argmax/merge iterations over the corpus
+    word-frequency table (operators/train.train_bpe_merges), resolved
+    through the seed cache so known corpora pay zero training cost.
+    Returns the ordered rule list (rank, lhs, rhs, merged, cnt); the
+    DuckDB oracle replays the identical greedy loop in unrolled SQL
+    (functions/bpe.duck_bpe_train_ctes), so every learned rule AND its
+    winning pair count hash-match cross-engine.
+
+    Scale shape: one corpus-sized word count, then vocabulary-sized
+    iterations; the only driver-side rows are the one argmax row per
+    iteration and the K-row result itself.
+    """
+    from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges
+
+    rules = resolve_bpe_merges(spark, sf_dir)
+    rows = [(k, a, b, a + b, int(cnt))
+            for k, (a, b, cnt) in enumerate(rules, start=1)]
+    return spark.createDataFrame(
+        rows, "rank LONG, lhs STRING, rhs STRING, merged STRING, cnt LONG"
+    )
 
 
 # --------------------------------------------------------------------------- #
