@@ -89,12 +89,15 @@ def _ingest_sms(spark, sms_dir: str, data_dir: str) -> None:
     (ref: SMSFinder + ingest_files, cosmo/sms/ingest_sms.py:201-301)."""
     from cosmo_spark.operators.merge import merge_into_path
     from cosmo_spark.sources.sms import find_new, parse_sms_reports, sms_catalog
+    from cosmo_spark.sources.versioned import read_current
 
     catalog_path = os.path.join(data_dir, "sms_file_stats.parquet")
     rows_path = os.path.join(data_dir, "sms_exposures.parquet")
 
     catalog = sms_catalog(spark, sms_dir)
-    log = spark.read.parquet(catalog_path) if os.path.exists(catalog_path) else None
+    # merges publish snapshot versions now — read the manifest-pinned
+    # current state, not the table root
+    log = read_current(spark, catalog_path) if os.path.exists(catalog_path) else None
     # materialize eagerly: `new` is derived from the catalog table we are
     # about to overwrite — a lazy plan would re-read the post-merge log and
     # silently find nothing new

@@ -22,11 +22,25 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import socket
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_versions.json"
+
+#: crashed publishers' tmp dirs older than this are reaped even when their
+#: owner pid cannot be checked (another host); a LIVE publisher's tmp is
+#: always younger — parquet part files keep landing in it
+_TMP_MAX_AGE_S = 24 * 3600
+
+#: the flat-table adoption tmp has a FIXED name so an interrupted migration
+#: resumes (moves the remaining flat entries into the same dir) instead of
+#: being reaped with half the table inside
+_MIG_TMP = "v.tmp-migrate"
 
 
 def _manifest_path(table_path: str) -> str:
@@ -50,41 +64,148 @@ def _write_manifest(table_path: str, doc: dict) -> None:
     os.replace(tmp, _manifest_path(table_path))
 
 
+def _tmp_owner_pid(entry: str) -> int | None:
+    m = re.search(r"tmp-(\d+)-", entry)
+    return int(m.group(1)) if m else None
+
+
+def _has_flat_data(table_path: str) -> bool:
+    """True when ``table_path`` holds a legacy FLAT parquet table (part
+    files directly in the dir, no version manifest)."""
+    if not os.path.isdir(table_path):
+        return False
+    for entry in os.listdir(table_path):
+        if entry == _MANIFEST or entry.startswith(("v=", "v.tmp-")):
+            continue
+        if entry.startswith("part-") or entry.endswith(".parquet") \
+                or entry == "_SUCCESS":
+            return True
+    return False
+
+
+def _migrate_flat_locked(table_path: str) -> dict:
+    """Adopt a legacy flat parquet dir as version 1 — ZERO-COPY: the flat
+    entries MOVE into ``v=1``, so the pre-merge state of a table that
+    predates versioning becomes time-travelable instead of being
+    destroyed by its first snapshot-backed merge.  Caller holds the table
+    lock.  Resumable: a crash mid-move leaves the fixed-name tmp dir,
+    and the next migration continues moving the remaining entries into
+    it (a concurrent lock-free FLAT reader racing the one-time migration
+    may fail loudly mid-scan — run the first snapshot-backed merge at a
+    quiet moment)."""
+    tmp = os.path.join(table_path, _MIG_TMP)
+    os.makedirs(tmp, exist_ok=True)
+    for entry in os.listdir(table_path):
+        if entry == _MANIFEST or entry.startswith(("v=", "v.tmp-")):
+            continue
+        os.rename(os.path.join(table_path, entry), os.path.join(tmp, entry))
+    os.replace(tmp, os.path.join(table_path, "v=1"))
+    doc = {"current": 1, "versions": [{"version": 1}]}
+    _write_manifest(table_path, doc)
+    return doc
+
+
+def _alive(pid: int) -> bool:
+    from cosmo_spark.operators.merge import _pid_alive
+
+    return _pid_alive(pid)
+
+
+def _reap_orphans_locked(table_path: str, doc: dict, keep: str) -> None:
+    """Remove crashed publishers' leftovers.  Caller holds the table lock.
+
+    - ``v=N`` dirs the manifest never adopted (crash between rename and
+      manifest write — such dirs are only ever created inside the lock,
+      so any unknown one is dead) are removed.
+    - ``v.tmp-*`` dirs may belong to a LIVE publisher writing OUTSIDE the
+      lock (the whole point of the shrunken lock window), so they are
+      reaped only when provably abandoned: the owner pid embedded in the
+      name is dead on this host, or the dir went untouched for
+      _TMP_MAX_AGE_S.  A false reap (pid reuse, cross-host pid alias)
+      fails that publisher's final rename LOUDLY — never silent loss.
+    - the fixed-name migration tmp is never reaped (it resumes instead).
+    """
+    known = {v["version"] for v in doc["versions"]}
+    host = socket.gethostname()
+    for entry in os.listdir(table_path):
+        p = os.path.join(table_path, entry)
+        if p == keep or entry == _MIG_TMP or not os.path.isdir(p):
+            continue
+        if entry.startswith("v.tmp-") or ".tmp-" in entry:
+            pid = _tmp_owner_pid(entry)
+            owner_here = pid is not None and f"-{host}-" in entry
+            try:
+                age = time.time() - os.path.getmtime(p)
+            except OSError:
+                continue
+            if (owner_here and not _alive(pid)) or age > _TMP_MAX_AGE_S:
+                shutil.rmtree(p, ignore_errors=True)
+        elif entry.startswith("v="):
+            try:
+                n = int(entry[2:])
+            except ValueError:
+                continue
+            if n not in known:
+                shutil.rmtree(p, ignore_errors=True)
+
+
+def _new_tmp(table_path: str) -> str:
+    return os.path.join(
+        table_path,
+        f"v.tmp-{os.getpid()}-{socket.gethostname()}-{uuid.uuid4().hex[:8]}",
+    )
+
+
+def _publish_locked(table_path: str, tmp_data_dir: str, doc: dict) -> int:
+    """The in-lock half of a publish: reap dead orphans, rename the
+    pre-written data dir to ``v=N``, bump the manifest.  Shared by
+    write_snapshot and the snapshot-backed merge (operators/merge)."""
+    version = (doc["current"] or 0) + 1
+    _reap_orphans_locked(table_path, doc, keep=tmp_data_dir)
+    os.replace(tmp_data_dir, os.path.join(table_path, f"v={version}"))
+    doc["versions"].append({"version": version})
+    doc["current"] = version
+    _write_manifest(table_path, doc)
+    return version
+
+
 def write_snapshot(df: DataFrame, table_path: str) -> int:
     """Publish ``df`` as the table's next immutable version; returns the
-    new version id.  Crash-safe: data lands under a tmp name, renames to
-    ``v=N``, and only the final manifest swap makes it current — a crash
-    before the swap leaves the previous version serving and at most one
-    orphaned directory (removed by the next publisher)."""
+    new version id.
+
+    The expensive distributed parquet write runs OUTSIDE the table lock
+    (round-8 review #1): a slow publish no longer serializes other
+    writers — the lock covers only the reap + rename + manifest bump,
+    microseconds of work kept alive by the lock's heartbeat.  Crash-safe:
+    data lands under a pid/host-stamped tmp name, renames to ``v=N``
+    inside the lock, and only the final manifest swap makes it current —
+    a crash leaves the previous version serving and at most one orphaned
+    tmp (reaped by a later publisher once provably abandoned).  Version
+    ids are assigned AT PUBLISH, so of two overlapping writers the one
+    that reaches the lock first gets the lower version."""
     from cosmo_spark.operators.merge import _table_lock
 
     spark = df.sparkSession
     os.makedirs(table_path, exist_ok=True)
-    with _table_lock(spark, table_path.rstrip("/")):
-        doc = _read_manifest(table_path)
-        version = (doc["current"] or 0) + 1
-        final = os.path.join(table_path, f"v={version}")
-        tmp = final + f".tmp-{os.getpid()}"
-        # reap a crashed predecessor's orphans (dirs above current that
-        # never made it into the manifest — invisible to readers)
-        known = {v["version"] for v in doc["versions"]}
-        for entry in os.listdir(table_path):
-            p = os.path.join(table_path, entry)
-            if entry.startswith("v=") and ".tmp-" in entry:
-                shutil.rmtree(p, ignore_errors=True)
-            elif entry.startswith("v=") and os.path.isdir(p):
-                try:
-                    n = int(entry[2:])
-                except ValueError:
-                    continue
-                if n not in known:
-                    shutil.rmtree(p, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, final)
-        doc["versions"].append({"version": version})
-        doc["current"] = version
-        _write_manifest(table_path, doc)
-        return version
+    tmp = _new_tmp(table_path)
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        with _table_lock(spark, table_path.rstrip("/")):
+            doc = _read_manifest(table_path)
+            return _publish_locked(table_path, tmp, doc)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)   # contention must not leak
+        raise
+
+
+def read_current(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read the table's current state whether it is a versioned snapshot
+    table (manifest present -> pinned current version) or a legacy flat
+    parquet dir — the reader every merge-target consumer should use now
+    that merges publish versions (runner, streaming ingest)."""
+    if _read_manifest(table_path)["current"] is not None:
+        return read_snapshot(spark, table_path)
+    return spark.read.parquet(table_path)
 
 
 def read_snapshot(

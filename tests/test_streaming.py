@@ -10,6 +10,7 @@ import os
 from pyspark.sql.types import StructType, StructField, StringType, LongType
 
 from cosmo_spark.streaming.ingest import stream_ingest_merge
+from cosmo_spark.sources.versioned import read_current
 from cosmo_spark.streaming.rates import windowed_rates
 
 SCHEMA = StructType([
@@ -37,7 +38,7 @@ def test_stream_ingest_merge_versions(spark, tmp_path):
     ])
     q = stream_ingest_merge(spark, str(src), SCHEMA, target, "SMSID", "VERSION", ckpt)
     q.awaitTermination(60)
-    state = {r.SMSID: (r.VERSION, r.payload) for r in spark.read.parquet(target).collect()}
+    state = {r.SMSID: (r.VERSION, r.payload) for r in read_current(spark, target).collect()}
     assert state == {"s1": ("b4", 1), "s2": ("a1", 2)}
 
     # second batch: newer version supersedes, older is a no-op, new key inserts
@@ -48,13 +49,13 @@ def test_stream_ingest_merge_versions(spark, tmp_path):
     ])
     q = stream_ingest_merge(spark, str(src), SCHEMA, target, "SMSID", "VERSION", ckpt)
     q.awaitTermination(60)
-    state = {r.SMSID: (r.VERSION, r.payload) for r in spark.read.parquet(target).collect()}
+    state = {r.SMSID: (r.VERSION, r.payload) for r in read_current(spark, target).collect()}
     assert state == {"s1": ("c2", 10), "s2": ("a1", 2), "s3": ("a1", 3)}
 
     # ST1: re-running with no new files re-processes nothing (checkpoint)
     q = stream_ingest_merge(spark, str(src), SCHEMA, target, "SMSID", "VERSION", ckpt)
     q.awaitTermination(60)
-    state2 = {r.SMSID: (r.VERSION, r.payload) for r in spark.read.parquet(target).collect()}
+    state2 = {r.SMSID: (r.VERSION, r.payload) for r in read_current(spark, target).collect()}
     assert state2 == state
 
 
