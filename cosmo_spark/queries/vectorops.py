@@ -646,6 +646,10 @@ _Q141_PX = f"""v AS (
 )"""
 
 
+#: the one live fingerprint cache (evicted by the next profile call)
+_LAST_FP = None
+
+
 def _media_profile(
     spark: SparkSession, sf_dir: str, encode_fn, codec: str
 ) -> DataFrame:
@@ -665,8 +669,17 @@ def _media_profile(
         .select(F.col("media_id").cast("long").alias("vec_id"), "features")
     )
     # fingerprints feed five branches (bands ×4 conceptually, two Hamming
-    # sides, final left join) — persist so the Python decode stage runs once
+    # sides, final left join) — persist so the Python decode stage runs
+    # once.  The cache must outlive this call (the returned plan reads
+    # it lazily), so eviction is deferred to the NEXT media profile:
+    # long-lived sessions (the parity harness never calls clearCache)
+    # hold at most ONE cached fingerprint table instead of one per
+    # invocation (r8 advice)
+    global _LAST_FP
+    if _LAST_FP is not None:
+        _LAST_FP.unpersist()
     fp = ahash_fingerprints(feats, "vec_id").persist()
+    _LAST_FP = fp
     return ahash_band_profile(fp, "vec_id")
 
 

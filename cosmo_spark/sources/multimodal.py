@@ -355,11 +355,16 @@ def _encode_quantized(
     v = F.col(vec_col)
 
     def byte(j: int):
+        # clamp in the BIGINT domain like the oracle's _PX_QUANT: a cast
+        # to int before clamping would WRAP an out-of-range component
+        # (|x| ~ 2^23+) in the non-ANSI narrowing and diverge (r8 advice)
         q = F.floor(
             (F.element_at(v, j + 1).cast("double") + F.lit(0.5)) * 256
-        ).cast("int")
+        ).cast("bigint")
         return F.unhex(F.format_string(
-            "%02X", F.least(F.lit(255), F.greatest(F.lit(0), q))
+            "%02X",
+            F.least(F.lit(255).cast("bigint"),
+                    F.greatest(F.lit(0).cast("bigint"), q)).cast("int"),
         ))
 
     blob = F.concat(F.lit(header), *[byte(j) for j in range(64)])

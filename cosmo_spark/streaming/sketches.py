@@ -193,6 +193,17 @@ def _rotate_log(spark: SparkSession, path: str, merge_fn) -> None:
     token = uuid.uuid4().hex[:12]
     finals = [f"rotated-{token}-{i:05d}.parquet" for i in range(len(parts))]
     consumed = [os.path.basename(s) for s in snapshot]
+    # fsync the merged part files BEFORE any manifest references them:
+    # manifests and the directory were already fsynced, but a power loss
+    # (not just a process crash) could otherwise roll a committed
+    # manifest forward onto data blocks that never reached disk — silent
+    # count loss for the additive algebras (r8 advice)
+    for part in parts:
+        fd = os.open(part, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
     _write_manifest(path, {"phase": "prepared", "consumed": consumed,
                            "moved": finals})
     for src, final in zip(parts, finals):
