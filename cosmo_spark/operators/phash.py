@@ -92,3 +92,59 @@ def ahash_band_profile(fp: DataFrame, id_col: str = "vec_id") -> DataFrame:
          .alias("n_band_partners"),
         "min_hamming",
     )
+
+
+def ahash_cross_profile(
+    fp_batch: DataFrame, fp_corpus: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Batch-vs-corpus near-dup profile (the q79 incremental shape, for
+    media): for every BATCH item, how many CORPUS items share ≥ 1 of the
+    4 16-bit fingerprint bands, and the closest Hamming distance among
+    those candidates (null when none).  Only the batch side is profiled —
+    the corpus is history, probed, never rescanned as output.
+
+    Scale: both sides shuffle 16-byte fingerprints on (band, value); at
+    rest the corpus band table lives bucketed by band value so only the
+    batch side moves."""
+
+    def bands_of(fp: DataFrame, out_id: str) -> DataFrame:
+        rows = [
+            fp.select(F.col(id_col).alias(out_id), F.lit(0).alias("bi"),
+                      (F.col("fp_hi") % 65536).alias("bv")),
+            fp.select(F.col(id_col).alias(out_id), F.lit(1).alias("bi"),
+                      F.expr("fp_hi div 65536").alias("bv")),
+            fp.select(F.col(id_col).alias(out_id), F.lit(2).alias("bi"),
+                      (F.col("fp_lo") % 65536).alias("bv")),
+            fp.select(F.col(id_col).alias(out_id), F.lit(3).alias("bi"),
+                      F.expr("fp_lo div 65536").alias("bv")),
+        ]
+        return reduce(lambda a, b: a.unionByName(b), rows)
+
+    cand = (
+        bands_of(fp_batch, "id_a").join(bands_of(fp_corpus, "id_b"),
+                                        ["bi", "bv"])
+        .select("id_a", "id_b").distinct()
+    )
+    fa = fp_batch.select(F.col(id_col).alias("id_a"),
+                         F.col("fp_hi").alias("ha"),
+                         F.col("fp_lo").alias("la"))
+    fb = fp_corpus.select(F.col(id_col).alias("id_b"),
+                          F.col("fp_hi").alias("hb"),
+                          F.col("fp_lo").alias("lb"))
+    ham = cand.join(fa, "id_a").join(fb, "id_b").select(
+        "id_a",
+        (F.bit_count(F.expr("ha ^ hb")) + F.bit_count(F.expr("la ^ lb")))
+        .cast("long").alias("h"),
+    )
+    agg = ham.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_corpus_partners"),
+        F.min("h").alias("min_hamming"),
+    )
+    return fp_batch.join(agg, fp_batch[id_col] == agg.id_a, "left").select(
+        id_col, "fp_hi", "fp_lo",
+        F.coalesce(F.col("n_corpus_partners"), F.lit(0).cast("long"))
+         .alias("n_corpus_partners"),
+        "min_hamming",
+        (F.coalesce(F.col("min_hamming"), F.lit(64).cast("long")) <= 3)
+        .alias("is_near_dup"),
+    )

@@ -1329,3 +1329,143 @@ def q143_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     return hdr_quantiles(counts, ["event_type"], (50, 90, 99))
+
+
+# --------------------------------------------------------------------------- #
+# q146 — horizon read over the WINDOWED HDR sketch register log                #
+# --------------------------------------------------------------------------- #
+
+#: day-aligned horizon cutoff — "p50/p90/p99 since Jan 15" over the 30-day
+#: synthetic event range; day alignment makes the window filter (win >=
+#: cutoff) EXACTLY equal to the raw-row filter (ts >= cutoff), which is
+#: what lets the oracle compute over raw rows
+_Q146_SINCE = "2024-01-15 00:00:00"
+
+
+def _hdr_window_log_dir(sf_dir: str) -> str:
+    """At-rest windowed-register-log location, keyed by the events file's
+    identity (path + mtime + size): a regenerated corpus gets a fresh
+    log, sweep corpora never collide."""
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    if src.is_dir():
+        parts = sorted(p for p in src.iterdir() if p.suffix == ".parquet")
+        ident = "|".join(
+            f"{p.name}:{p.stat().st_mtime_ns}:{p.stat().st_size}"
+            for p in parts
+        )
+    else:
+        st = src.stat()
+        ident = f"{src.resolve()}|{st.st_mtime_ns}|{st.st_size}"
+    key = hashlib.sha256(ident.encode()).hexdigest()[:16]
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    return str(root / "hdr_windows" / key)
+
+
+def ensure_hdr_window_log(spark: SparkSession, sf_dir: str) -> str:
+    """Build the per-(event_type, day) HDR register log ONCE via the real
+    streaming maintainer (streaming/sketches.stream_hdr_buckets_windowed
+    — foreachBatch, availableNow, checkpointed) and mark it; returns the
+    log path.  Production runs the maintainer continuously; the catalog
+    query reads whatever the maintainer has accumulated."""
+    import os
+
+    from cosmo_spark.sources.tables import _normalize_ts
+    from cosmo_spark.streaming.sketches import stream_hdr_buckets_windowed
+
+    base = _hdr_window_log_dir(sf_dir)
+    log = os.path.join(base, "log")
+    marker = os.path.join(base, "_BUILT")
+    if os.path.exists(marker):
+        return log
+    tune_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = stream_hdr_buckets_windowed(
+        _normalize_ts(stream), "event_type", "value", "ts",
+        bucket_path=log, checkpoint_dir=os.path.join(base, "ckpt"),
+        bucket="day",
+    )
+    q.awaitTermination()
+    open(marker, "w").close()
+    return log
+
+
+def _q146_oracle() -> str:
+    from cosmo_spark.operators.sketches import (
+        hdr_bucket_duck_sql,
+        hdr_low_duck_sql,
+    )
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS mic
+  FROM events
+  WHERE value IS NOT NULL AND value > 0 AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND ts >= TIMESTAMP '{_Q146_SINCE}'
+), bk AS (
+  SELECT event_type, {hdr_bucket_duck_sql("mic")} AS bucket FROM ev
+), counts AS (
+  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM bk GROUP BY event_type, bucket
+), cum AS (
+  SELECT event_type, bucket, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+  FROM counts
+), tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM counts
+  GROUP BY event_type
+), grid AS (
+  SELECT c.event_type, c.bucket, c.cw, t.n, q.quantile
+  FROM cum c JOIN tot t USING (event_type)
+  CROSS JOIN (SELECT unnest([50, 90, 99]) AS quantile) q
+), sel AS (
+  SELECT event_type, quantile, min(bucket) AS b, min(n) AS n
+  FROM grid WHERE 100 * cw >= quantile * n
+  GROUP BY event_type, quantile
+)
+SELECT event_type, CAST(quantile AS BIGINT) AS quantile,
+       round(CAST({hdr_low_duck_sql("b")} AS DOUBLE) / 1000000.0, 6)
+         AS est_value,
+       n
+FROM sel
+"""
+
+
+@register("q146_hdr_horizon", operators=("A6", "ST4", "ST5"),
+          oracle=_q146_oracle())
+def q146_hdr_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'p50/p90/p99 since Jan 15' answered from the WINDOWED sketch
+    register log (round-9 #5): the streaming maintainer
+    (stream_hdr_buckets_windowed) accumulates per-(event_type, day) HDR
+    bucket counts at rest; the horizon read filters in-horizon windows,
+    SUM-merges their registers, and reads the percentiles — never
+    touching a raw event.  The DuckDB oracle computes the same estimates
+    over exactly the in-horizon RAW rows, so parity proves the windowed
+    register algebra end-to-end: maintainer bucketing == batch bucketing,
+    window merge == raw aggregation, and the day-aligned horizon filter
+    loses nothing.  Eviction-safety (expire_windows of pre-horizon days
+    leaves the answer bit-identical) is unit-gated alongside.
+
+    Scale shape: the log is ≤ ~4k buckets × windows × types regardless of
+    event volume; the read shuffles only that register table."""
+    from cosmo_spark.streaming.sketches import hdr_quantile_estimates_windowed
+
+    tune_session(spark)
+    log = ensure_hdr_window_log(spark, sf_dir)
+    import datetime as _dt
+
+    since = _dt.datetime.strptime(_Q146_SINCE, "%Y-%m-%d %H:%M:%S")
+    est = hdr_quantile_estimates_windowed(spark, log, since=since)
+    return est.select(
+        F.col("key").alias("event_type"),
+        F.col("quantile").cast("long").alias("quantile"),
+        "est_value", "n",
+    )

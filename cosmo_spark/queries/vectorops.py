@@ -646,41 +646,42 @@ _Q141_PX = f"""v AS (
 )"""
 
 
-#: the one live fingerprint cache (evicted by the next profile call)
-_LAST_FP = None
+def _media_fps(
+    spark: SparkSession, sf_dir: str, encode_fn, codec: str,
+    id_filter=None,
+) -> DataFrame:
+    """(vec_id, fp_hi, fp_lo) through the AT-REST fingerprint store
+    (sources/media_fps, round-9 #4): blobs whose content hash is already
+    stored skip the Python decode entirely — a warm run over an unchanged
+    corpus performs zero decode work (counter-gated), and the store's
+    localCheckpoint materializes the one decode pass eagerly, so the
+    returned 16-byte-per-row frame needs no persist/unpersist lifecycle
+    (closing the r8 cache-leak advice for good)."""
+    from cosmo_spark.sources.media_fps import (
+        fingerprint_media_cached,
+        media_fp_store_dir,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    if id_filter is not None:
+        e = e.filter(id_filter)
+    media = encode_fn(e, "embedding", "vec_id")
+    store = media_fp_store_dir(spark, sf_dir, codec)
+    return fingerprint_media_cached(media, codec, store).select(
+        F.col("media_id").cast("long").alias("vec_id"), "fp_hi", "fp_lo"
+    )
 
 
 def _media_profile(
     spark: SparkSession, sf_dir: str, encode_fn, codec: str
 ) -> DataFrame:
-    from cosmo_spark.operators.phash import (
-        ahash_band_profile,
-        ahash_fingerprints,
-    )
-    from cosmo_spark.sources.multimodal import decode_media
+    from cosmo_spark.operators.phash import ahash_band_profile
 
-    e = _t(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    return ahash_band_profile(
+        _media_fps(spark, sf_dir, encode_fn, codec), "vec_id"
     )
-    media = encode_fn(e, "embedding", "vec_id")
-    feats = (
-        decode_media(media, codec=codec, emit_features=True)
-        .filter(F.col("decode_status") == "ok")
-        .select(F.col("media_id").cast("long").alias("vec_id"), "features")
-    )
-    # fingerprints feed five branches (bands ×4 conceptually, two Hamming
-    # sides, final left join) — persist so the Python decode stage runs
-    # once.  The cache must outlive this call (the returned plan reads
-    # it lazily), so eviction is deferred to the NEXT media profile:
-    # long-lived sessions (the parity harness never calls clearCache)
-    # hold at most ONE cached fingerprint table instead of one per
-    # invocation (r8 advice)
-    global _LAST_FP
-    if _LAST_FP is not None:
-        _LAST_FP.unpersist()
-    fp = ahash_fingerprints(feats, "vec_id").persist()
-    _LAST_FP = fp
-    return ahash_band_profile(fp, "vec_id")
 
 
 @register("q140_image_ahash_dedup", operators=("MM1", "DD3", "A11"),
@@ -730,3 +731,93 @@ def q142_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmo_spark.sources.multimodal import encode_y4m_gray8x8
 
     return _media_profile(spark, sf_dir, encode_y4m_gray8x8, "y4m")
+
+
+def _ahash_incremental_sql(px_cte: str) -> str:
+    """Oracle for the batch-vs-corpus incremental profile: the same
+    codec-free fingerprint pipeline, split by vec_id parity — EVEN ids
+    are the at-rest corpus, ODD ids the incoming batch — then the
+    cross-side band join / Hamming verify, profiling ONLY the batch."""
+    hi = " + ".join(
+        f"(CASE WHEN p[{i + 1}] > mean THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN p[{i + 33}] > mean THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+WITH {px_cte}, st AS (
+  SELECT vec_id, p,
+         CAST(floor(list_sum(p) / 64.0) AS BIGINT) AS mean
+  FROM px
+), fp AS (
+  SELECT vec_id, CAST({hi} AS BIGINT) AS fp_hi, CAST({lo} AS BIGINT) AS fp_lo
+  FROM st
+), fpb AS (
+  SELECT * FROM fp WHERE vec_id % 2 = 1
+), fpc AS (
+  SELECT * FROM fp WHERE vec_id % 2 = 0
+), bb AS (
+  SELECT vec_id, 0 AS bi, fp_hi % 65536 AS bv FROM fpb
+  UNION ALL SELECT vec_id, 1, fp_hi // 65536 FROM fpb
+  UNION ALL SELECT vec_id, 2, fp_lo % 65536 FROM fpb
+  UNION ALL SELECT vec_id, 3, fp_lo // 65536 FROM fpb
+), bc AS (
+  SELECT vec_id, 0 AS bi, fp_hi % 65536 AS bv FROM fpc
+  UNION ALL SELECT vec_id, 1, fp_hi // 65536 FROM fpc
+  UNION ALL SELECT vec_id, 2, fp_lo % 65536 FROM fpc
+  UNION ALL SELECT vec_id, 3, fp_lo // 65536 FROM fpc
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bb a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv
+), ham AS (
+  SELECT c.id_a,
+         bit_count(xor(fa.fp_hi, fb.fp_hi))
+           + bit_count(xor(fa.fp_lo, fb.fp_lo)) AS h
+  FROM cand c
+  JOIN fpb fa ON fa.vec_id = c.id_a
+  JOIN fpc fb ON fb.vec_id = c.id_b
+), agg AS (
+  SELECT id_a, CAST(count(*) AS BIGINT) AS n_corpus_partners,
+         CAST(min(h) AS BIGINT) AS min_hamming
+  FROM ham GROUP BY id_a
+)
+SELECT f.vec_id, f.fp_hi, f.fp_lo,
+       coalesce(a.n_corpus_partners, 0) AS n_corpus_partners, a.min_hamming,
+       coalesce(a.min_hamming, 64) <= 3 AS is_near_dup
+FROM fpb f LEFT JOIN agg a ON a.id_a = f.vec_id
+"""
+
+
+@register("q145_incremental_media_dedup", operators=("MM1", "DD2", "ST3"),
+          oracle=_ahash_incremental_sql(_Q140_PX))
+def q145_incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL media dedup — the q79 batch-vs-corpus shape for
+    perceptual fingerprints (round-9 #4): even vec_ids are the at-rest
+    media corpus, odd vec_ids the incoming batch.  Both sides resolve
+    their fingerprints through the AT-REST store
+    (sources/media_fps.fingerprint_media_cached) — after q140 has run,
+    the corpus side performs ZERO decode work; only genuinely-new batch
+    content ever reaches the Python stage.  The batch probes the corpus
+    band table (4×16-bit pigeonhole) and Hamming-verifies candidates;
+    every batch item reports its corpus-partner count, closest Hamming
+    distance, and the is_near_dup <= 3 keep/drop verdict a streaming
+    ingester acts on.
+
+    Scale shape: the corpus is probed, never rescanned as output; at
+    rest its band table lives bucketed by band value so only the batch
+    side shuffles.  The oracle replays the whole split codec-free."""
+    from cosmo_spark.operators.phash import ahash_cross_profile
+    from cosmo_spark.sources.multimodal import encode_pgm_gray8x8
+
+    fp_corpus = _media_fps(
+        spark, sf_dir, encode_pgm_gray8x8, "ppm",
+        id_filter=(F.col("vec_id") % 2 == 0),
+    )
+    fp_batch = _media_fps(
+        spark, sf_dir, encode_pgm_gray8x8, "ppm",
+        id_filter=(F.col("vec_id") % 2 == 1),
+    )
+    return ahash_cross_profile(fp_batch, fp_corpus, "vec_id")
+

@@ -1,0 +1,139 @@
+"""At-rest perceptual-fingerprint store for media dedup (round-8 verdict
+"What's missing" #4).
+
+The media-dedup family (q140–q142) fingerprints blobs through the one
+sanctioned Arrow-batched decode stage; without a store, every run
+re-decodes the whole corpus.  This module persists
+``(content_hash, fp_hi, fp_lo)`` beside the corpus — keyed by
+``xxhash64(blob)``, computed JVM-side with zero decode — so a run only
+pays the Python decode for content it has never fingerprinted:
+
+- warm run over an unchanged corpus: ZERO decode work (gated by a
+  counter test);
+- an incremental batch: decode only the new blobs, probe the store for
+  everything else (the q79 batch-vs-corpus shape, for media).
+
+Store layout: an append-only parquet directory.  Appends are idempotent
+at read time (``dropDuplicates`` on content_hash), so concurrent
+fingerprinting runs can race benignly; corrupt/undecodable blobs are
+never stored, which makes re-decode-on-next-run the retry policy.
+
+Scale shape: the store row is 24 bytes; the miss probe is an anti-join
+of (blob rows) against (store hashes) — the store side BROADCASTS at
+test scale, and at 100 TB both the media table and the store live
+bucketed by content_hash at rest (sources/layout) so the probe zips
+per-bucket with no blob ever entering an exchange.  The fingerprint
+attach join carries only (id, content_hash) × (content_hash, 16 B) —
+never blobs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STORE_SCHEMA = "content_hash LONG, fp_hi LONG, fp_lo LONG"
+
+
+def media_fp_store_dir(spark: SparkSession, sf_dir: str, codec: str) -> str:
+    """Default store location: keyed by the corpus content fingerprint
+    (queries/artifacts.corpus_fingerprint — bounded, mtime-invariant) and
+    the codec, so different corpora / modalities never share rows."""
+    from cosmo_spark.queries.artifacts import corpus_fingerprint
+
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "media_fps"
+    return str(root / f"{corpus_fingerprint(spark, sf_dir)}-{codec}")
+
+
+def read_fp_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    if not os.path.isdir(store_path):
+        return None
+    return (
+        spark.read.schema(_STORE_SCHEMA).parquet(store_path)
+        .dropDuplicates(["content_hash"])
+    )
+
+
+def _miss_fp_plan(keyed: DataFrame, store: DataFrame | None, codec: str):
+    """The lazy (content_hash, fp_hi, fp_lo) plan for store MISSES — the
+    single Python decode stage of the media family.  Factored out so the
+    plan gate (tests/test_media_fps.py) can assert blobs never enter an
+    exchange: the store-hash anti-join broadcasts, and the fingerprint
+    attach joins on (media_id) only after features collapse to 16 bytes."""
+    from cosmo_spark.operators.phash import ahash_fingerprints
+    from cosmo_spark.sources.multimodal import decode_media
+
+    ids = keyed.select("media_id", "content_hash")
+    if store is None:
+        miss_media = keyed.select("media_id", "blob")
+    else:
+        # broadcast the hash set: the blob side must not enter an exchange
+        # (plan-gated); at 100 TB this becomes a bucket-zipped anti-join
+        miss_media = keyed.join(
+            F.broadcast(store.select("content_hash")),
+            "content_hash", "left_anti",
+        ).select("media_id", "blob")
+    feats = (
+        decode_media(miss_media, codec=codec, emit_features=True)
+        .filter(F.col("decode_status") == "ok")
+    )
+    return (
+        ahash_fingerprints(feats, "media_id")
+        .join(ids, "media_id")
+        .select("content_hash", "fp_hi", "fp_lo")
+        .dropDuplicates(["content_hash"])
+    )
+
+
+def fingerprint_media_cached(
+    media: DataFrame,
+    codec: str,
+    store_path: str,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, fp_hi, fp_lo) for every decodable blob in ``media``
+    ((media_id, blob)), decoding ONLY content absent from the store and
+    appending the newly-learned fingerprints.
+
+    The miss decode runs EAGERLY (localCheckpoint): the returned frame's
+    lineage reads the checkpointed 16-byte fingerprints, so downstream
+    fan-out (band joins, Hamming verify) can never re-trigger the Python
+    stage — the q140 single-Python-stage guarantee, now enforced by
+    materialization instead of caching."""
+    spark = media.sparkSession
+    keyed = media.select(
+        F.col(id_col).alias("media_id"), "blob",
+        F.xxhash64("blob").alias("content_hash"),
+    )
+    ids = keyed.select("media_id", "content_hash")   # blob projected away
+    store = read_fp_store(spark, store_path)
+    new_rows = _miss_fp_plan(keyed, store, codec) \
+        .localCheckpoint()   # decode runs HERE, exactly once
+    if not new_rows.isEmpty():
+        new_rows.write.mode("append").parquet(store_path)
+    full = store.unionByName(new_rows) if store is not None else new_rows
+    return ids.join(full, "content_hash").select(
+        F.col("media_id").alias(id_col), "fp_hi", "fp_lo"
+    )
+
+
+def ensure_media_fps(
+    spark: SparkSession, sf_dir: str, codec: str, encode_fn, id_col: str
+) -> str:
+    """Build (or top up) the default store for a corpus+codec; returns the
+    store path.  The bench harness charges this to setup — production
+    fingerprints media once at ingest and queries the store forever."""
+    from cosmo_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    store = media_fp_store_dir(spark, sf_dir, codec)
+    fingerprint_media_cached(
+        encode_fn(e, "embedding", "vec_id"), codec, store
+    ).count()
+    return store

@@ -77,6 +77,12 @@ def _pil_available() -> bool:
         return False
 
 
+#: optional Spark accumulator observing decode volume — set by tests and
+#: the at-rest fingerprint store's zero-decode-on-warm-run gate; every
+#: decode_media stage adds its INPUT row count per Arrow batch
+_DECODE_COUNTER = None
+
+
 def decode_media(
     media: DataFrame, codec: str | None = None, batch_limit: int = 256,
     deterministic_fake: bool = False, emit_features: bool = False,
@@ -131,6 +137,9 @@ def decode_media(
             "Pillow on driver AND workers, or use codec='ppm' (stdlib) / "
             "codec='fake'"
         )
+
+    counter = _DECODE_COUNTER   # captured as a LOCAL so the closure stays
+    # free of cosmo_spark module references (accumulators pickle by value)
 
     # self-contained closure: no references to cosmo_spark module globals, so
     # cloudpickle ships it by value and workers need no package install
@@ -290,6 +299,8 @@ def decode_media(
             return bytes(out)
 
         for pdf in batches:
+            if counter is not None:
+                counter.add(len(pdf))
             if emit_features:
                 out = {"media_id": [], "features": [], "decode_status": []}
             else:

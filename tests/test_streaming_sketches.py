@@ -397,3 +397,45 @@ def test_stream_hdr_buckets_equal_batch_and_quantile_band(spark, tmp_path):
         est = ests[("s", q)]
         assert est <= true + 1e-9, (q, est, true)
         assert true <= est * (1 + 1 / 32) + 2e-6, (q, est, true)
+
+
+def test_q146_horizon_read_survives_eviction(spark, tmp_path, monkeypatch):
+    """Round-9 #5 gate: the catalog horizon read (q146) answers from the
+    windowed register log; expiring every pre-horizon window through the
+    crash-atomic rotation leaves the answer BIT-IDENTICAL, and afterwards
+    the full (horizon-free) register read equals the horizon read — the
+    evidence that eviction removed exactly the out-of-horizon state."""
+    import datetime as dt
+
+    import cosmo_spark.queries.timeseries as tsq
+    from cosmo_spark.queries import all_queries
+    from cosmo_spark.streaming.sketches import (
+        expire_windows,
+        hdr_quantile_estimates_windowed,
+    )
+
+    monkeypatch.setattr(
+        tsq, "_hdr_window_log_dir", lambda sf_dir: str(tmp_path / "hdrw")
+    )
+    q = all_queries()["q146_hdr_horizon"]
+    sf = "/root/testdata/sf0.001"
+    before = sorted(tuple(r) for r in q.spark_fn(spark, sf).collect())
+    assert before, "horizon read must produce estimates"
+
+    cutoff = dt.datetime.strptime(tsq._Q146_SINCE, "%Y-%m-%d %H:%M:%S")
+    log = str(tmp_path / "hdrw" / "log")
+    expire_windows(spark, log, "hdr", older_than=cutoff)
+
+    after = sorted(tuple(r) for r in q.spark_fn(spark, sf).collect())
+    assert after == before, "eviction of pre-horizon windows changed the answer"
+
+    full = sorted(
+        tuple(r) for r in hdr_quantile_estimates_windowed(spark, log)
+        .select("key", "quantile", "est_value", "n").collect()
+    )
+    horizon = sorted(
+        tuple(r) for r in
+        hdr_quantile_estimates_windowed(spark, log, since=cutoff)
+        .select("key", "quantile", "est_value", "n").collect()
+    )
+    assert full == horizon, "post-eviction log must hold ONLY in-horizon state"
