@@ -117,14 +117,20 @@ def main() -> None:
     # maintainer; q146 measures the horizon READ, not the maintainer
     from cosmo_spark.queries.timeseries import (
         _hdr_window_log_dir,
+        _hll_window_log_dir,
         ensure_hdr_window_log,
+        ensure_hll_window_log,
     )
 
-    shutil.rmtree(_hdr_window_log_dir(sf_dir), ignore_errors=True)
-    t0 = time.time()
-    ensure_hdr_window_log(spark, sf_dir)
-    setup["hdr_window_log"] = round(time.time() - t0, 3)
-    setup_dirs["hdr_window_log"] = _hdr_window_log_dir(sf_dir)
+    for tag, dir_fn, build in (
+        ("hdr_window_log", _hdr_window_log_dir, ensure_hdr_window_log),
+        ("hll_window_log", _hll_window_log_dir, ensure_hll_window_log),
+    ):
+        shutil.rmtree(dir_fn(sf_dir), ignore_errors=True)
+        t0 = time.time()
+        build(spark, sf_dir)
+        setup[tag] = round(time.time() - t0, 3)
+        setup_dirs[tag] = dir_fn(sf_dir)
     spark.catalog.clearCache()
     # accounting guard (round-7 verdict #3): every at-rest artifact built in
     # setup must be strictly read-only during the query passes — a query

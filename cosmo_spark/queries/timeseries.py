@@ -1342,7 +1342,7 @@ def q143_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q146_SINCE = "2024-01-15 00:00:00"
 
 
-def _hdr_window_log_dir(sf_dir: str) -> str:
+def _window_log_dir(sf_dir: str, kind: str) -> str:
     """At-rest windowed-register-log location, keyed by the events file's
     identity (path + mtime + size): a regenerated corpus gets a fresh
     log, sweep corpora never collide."""
@@ -1361,7 +1361,11 @@ def _hdr_window_log_dir(sf_dir: str) -> str:
         ident = f"{src.resolve()}|{st.st_mtime_ns}|{st.st_size}"
     key = hashlib.sha256(ident.encode()).hexdigest()[:16]
     root = Path(__file__).resolve().parents[2] / "spark-warehouse"
-    return str(root / "hdr_windows" / key)
+    return str(root / f"{kind}_windows" / key)
+
+
+def _hdr_window_log_dir(sf_dir: str) -> str:
+    return _window_log_dir(sf_dir, "hdr")
 
 
 def ensure_hdr_window_log(spark: SparkSession, sf_dir: str) -> str:
@@ -1468,4 +1472,120 @@ def q146_hdr_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("event_type"),
         F.col("quantile").cast("long").alias("quantile"),
         "est_value", "n",
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q147 — horizon DISTINCT read over the WINDOWED HLL register log              #
+# --------------------------------------------------------------------------- #
+
+def _hll_window_log_dir(sf_dir: str) -> str:
+    return _window_log_dir(sf_dir, "hll")
+
+
+def ensure_hll_window_log(spark: SparkSession, sf_dir: str) -> str:
+    """Build the per-(event_type, day) HLL register log once via the real
+    streaming maintainer (stream_hll_registers_windowed); see
+    ensure_hdr_window_log for the contract."""
+    import os
+
+    from cosmo_spark.sources.tables import _normalize_ts
+    from cosmo_spark.streaming.sketches import stream_hll_registers_windowed
+
+    base = _hll_window_log_dir(sf_dir)
+    log = os.path.join(base, "log")
+    marker = os.path.join(base, "_BUILT")
+    if os.path.exists(marker):
+        return log
+    tune_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    prepared = _normalize_ts(stream).filter(
+        F.col("event_type").isNotNull()
+    ).select(
+        "event_type", "ts", F.col("user_id").cast("string").alias("user_s")
+    )
+    q = stream_hll_registers_windowed(
+        prepared, "event_type", "user_s", "ts",
+        register_path=log, checkpoint_dir=os.path.join(base, "ckpt"),
+        bucket="day",
+    )
+    q.awaitTermination()
+    open(marker, "w").close()
+    return log
+
+
+def _q147_oracle() -> str:
+    from cosmo_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_lc_table,
+        hll_rho_sql,
+    )
+    from cosmo_spark.queries.textops import _DUCK_POLY
+
+    h = _DUCK_POLY.replace("{X}", "CAST(user_id AS VARCHAR)")
+    rho = hll_rho_sql("w")
+    raw = (
+        f"CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / "
+        f"(sum(CAST(1.0 AS DOUBLE) / (1 << rho)) + ({HLL_M} - count(*)))"
+    )
+    lc = "[" + ", ".join(
+        f"CAST({x!r} AS DOUBLE)" for x in hll_lc_table()
+    ) + "]"
+    est = (
+        f"CASE WHEN v0 > 0 AND raw < {2.5 * HLL_M!r} "
+        f"THEN {lc}[v0] ELSE raw END"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type, {h} AS h FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND ts >= TIMESTAMP '{_Q146_SINCE}'
+), rows_ AS (
+  SELECT event_type, h % {HLL_M} AS bucket, h // {HLL_M} AS w FROM hashed
+), regs AS (
+  SELECT event_type, bucket, max({rho}) AS rho
+  FROM rows_ GROUP BY event_type, bucket
+)
+SELECT event_type, round(est, 3) AS hll_est FROM (
+  SELECT event_type, {est} AS est FROM (
+    SELECT event_type, {raw} AS raw, {HLL_M} - count(*) AS v0
+    FROM regs GROUP BY event_type
+  )
+)
+"""
+
+
+@register("q147_hll_horizon", operators=("A12", "ST4", "ST5"),
+          oracle=_q147_oracle())
+def q147_hll_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'distinct active users per event type since Jan 15' answered from
+    the WINDOWED HLL register log — the distinct-count twin of q146
+    (round-9 #5 asked for both): the maintainer accumulates
+    per-(event_type, day) registers; the horizon read max-merges exactly
+    the in-horizon windows' registers and estimates.  The oracle builds
+    the same registers from the in-horizon RAW rows (the q107 bit-exact
+    discipline: arithmetic poly-hash, integer rho, dyadic-rational
+    harmonic sum, shared linear-counting table), so the windowed
+    merge-by-max provably equals sketching the horizon's rows directly.
+
+    Scale shape: state is ≤ 256 registers × days × types; the read
+    shuffles only registers — a 30-day distinct-user dashboard costs a
+    256-byte-per-cell scan no matter how many events arrived."""
+    from cosmo_spark.streaming.sketches import hll_distinct_estimates_windowed
+
+    tune_session(spark)
+    log = ensure_hll_window_log(spark, sf_dir)
+    import datetime as _dt
+
+    since = _dt.datetime.strptime(_Q146_SINCE, "%Y-%m-%d %H:%M:%S")
+    est = hll_distinct_estimates_windowed(spark, log, since=since)
+    return est.select(
+        F.col("key").alias("event_type"),
+        F.round("est", 3).alias("hll_est"),
     )

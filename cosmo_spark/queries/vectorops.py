@@ -693,11 +693,11 @@ def q140_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (pigeonhole: every pair at Hamming ≤ 3 collides in ≥ 1 band) →
     Hamming verify on candidates only.
 
-    Scale shape: encode and decode are row-local (one Arrow-batched
-    Python stage — blobs never shuffle); fingerprints are 16 bytes/image;
-    the band join is ≈ n²/65536 per band, not n².  The at-rest analog
-    stores fingerprints beside the media and skips straight to the band
-    join."""
+    Scale shape: encode and decode are row-local (at most one
+    Arrow-batched Python stage — blobs never shuffle); fingerprints are
+    16 bytes/image and live AT REST (sources/media_fps) keyed by blob
+    content hash, so a warm run skips straight to the band join with
+    zero decode work; the band join is ≈ n²/65536 per band, not n²."""
     from cosmo_spark.sources.multimodal import encode_pgm_gray8x8
 
     return _media_profile(spark, sf_dir, encode_pgm_gray8x8, "ppm")

@@ -439,3 +439,42 @@ def test_q146_horizon_read_survives_eviction(spark, tmp_path, monkeypatch):
         .select("key", "quantile", "est_value", "n").collect()
     )
     assert full == horizon, "post-eviction log must hold ONLY in-horizon state"
+
+
+def test_q147_hll_horizon_survives_eviction(spark, tmp_path, monkeypatch):
+    """Distinct-count twin of the q146 eviction gate: expiring every
+    pre-horizon HLL window leaves the horizon estimate bit-identical and
+    the full register read equal to the horizon read."""
+    import datetime as dt
+
+    import cosmo_spark.queries.timeseries as tsq
+    from cosmo_spark.queries import all_queries
+    from cosmo_spark.streaming.sketches import (
+        expire_windows,
+        hll_distinct_estimates_windowed,
+    )
+
+    monkeypatch.setattr(
+        tsq, "_hll_window_log_dir", lambda sf_dir: str(tmp_path / "hllw")
+    )
+    q = all_queries()["q147_hll_horizon"]
+    sf = "/root/testdata/sf0.001"
+    before = sorted(tuple(r) for r in q.spark_fn(spark, sf).collect())
+    assert before
+
+    cutoff = dt.datetime.strptime(tsq._Q146_SINCE, "%Y-%m-%d %H:%M:%S")
+    log = str(tmp_path / "hllw" / "log")
+    expire_windows(spark, log, "hll", older_than=cutoff)
+
+    after = sorted(tuple(r) for r in q.spark_fn(spark, sf).collect())
+    assert after == before
+
+    full = sorted(
+        tuple(r) for r in hll_distinct_estimates_windowed(spark, log)
+        .collect()
+    )
+    horizon = sorted(
+        tuple(r) for r in
+        hll_distinct_estimates_windowed(spark, log, since=cutoff).collect()
+    )
+    assert full == horizon
