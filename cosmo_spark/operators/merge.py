@@ -50,6 +50,28 @@ class MergeContentionError(RuntimeError):
     """
 
 
+class LockGuard:
+    """Ownership handle yielded by ``_table_lock`` — the FENCING half of
+    the lease protocol: destructive steps (orphan reap, manifest commit,
+    vacuum) call ``verify()`` immediately before acting, so a holder
+    whose lease was broken while it was paused fails LOUDLY at the
+    commit point instead of corrupting its successor's state.  The
+    verify-to-act window is microseconds; without a CAS primitive on the
+    store this is the strongest guarantee a filesystem lock offers."""
+
+    def __init__(self, fs, lock, token: str, path: str):
+        self._fs, self._lock, self._token, self._path = fs, lock, token, path
+
+    def verify(self) -> None:
+        info, mt = _read_lock(self._fs, self._lock)
+        if mt is None or not info or info.get("token") != self._token:
+            raise MergeContentionError(
+                f"lost the merge lease for {self._path} mid-operation "
+                f"(lock now {'absent' if mt is None else 'held by pid ' + str((info or {}).get('pid'))}) "
+                f"— aborting before the commit point; retry the operation."
+            )
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
@@ -127,6 +149,8 @@ def _table_lock(spark: SparkSession, path: str, lease_ttl: float = None):
     # writeUTF wire format (2-byte big-endian length + modified UTF-8 —
     # identical to UTF-8 for this ASCII payload), so _read_lock's readUTF
     # reads locks from either branch
+    token = __import__("uuid").uuid4().hex
+
     def payload_bytes() -> bytes:
         import struct
 
@@ -134,6 +158,7 @@ def _table_lock(spark: SparkSession, path: str, lease_ttl: float = None):
             "pid": os.getpid(),
             "host": socket.gethostname(),
             "acquired_unix": time.time(),
+            "token": token,
         }).encode()
         return struct.pack(">H", len(body)) + body
 
@@ -197,7 +222,12 @@ def _table_lock(spark: SparkSession, path: str, lease_ttl: float = None):
                 f"{lock_name}.break-{os.getpid()}-{threading.get_ident()}"
             )
             try:
-                if fs.rename(lock, tomb):
+                # re-stat guard: an expired lock's mtime is FROZEN (its
+                # heartbeat is dead), so any change since we judged it
+                # stale means a rival breaker already replaced it — the
+                # common-case protection against stealing a fresh lock
+                _, mtime_now = _read_lock(fs, lock)
+                if mtime_now == mtime and fs.rename(lock, tomb):
                     t_info, t_mtime = _read_lock(fs, tomb)
                     t_age = (
                         (time.time() * 1000 - t_mtime) / 1000.0
@@ -217,12 +247,30 @@ def _table_lock(spark: SparkSession, path: str, lease_ttl: float = None):
                             path, owner, t_age,
                             ", owner pid dead on this host" if t_dead else "",
                         )
-                    else:
-                        fs.rename(tomb, lock)   # stole a live lock — undo
+                    elif not fs.exists(lock) and fs.rename(tomb, lock):
+                        # stole a live lock through the re-stat race — undone
                         raise MergeContentionError(
                             f"merge lock held for {path}: the expired lock "
                             f"was already broken and re-acquired by another "
                             f"contender. Retry."
+                        )
+                    else:
+                        # a third contender took the canonical path while
+                        # the stolen lock sat in the tombstone: restoring
+                        # would clobber it.  Discard the stolen lock
+                        # LOUDLY — the displaced holder's commit-point
+                        # guard.verify() fencing aborts it before it can
+                        # publish (r9 self-review #2)
+                        fs.delete(tomb, False)
+                        logger.critical(
+                            "discarded a live lock stolen during an "
+                            "expired-lease break on %s: a third contender "
+                            "now holds the table; the displaced holder "
+                            "will fail its commit verify", path,
+                        )
+                        raise MergeContentionError(
+                            f"merge lock held for {path}: lost a three-way "
+                            f"break race. Retry."
                         )
             except MergeContentionError:
                 raise
@@ -248,11 +296,23 @@ def _table_lock(spark: SparkSession, path: str, lease_ttl: float = None):
     hb = threading.Thread(target=beat, daemon=True, name="merge-lock-heartbeat")
     hb.start()
     try:
-        yield
+        yield LockGuard(fs, lock, token, path)
     finally:
         stop.set()
         hb.join(timeout=5)
-        fs.delete(lock, False)
+        # owner-checked release (r9 self-review #3): a holder that
+        # outlived its lease and was broken must NOT delete its
+        # successor's lock — that would silently re-open the table to a
+        # third writer
+        info, mt = _read_lock(fs, lock)
+        if mt is not None and (info is None or info.get("token") == token):
+            fs.delete(lock, False)
+        elif mt is not None:
+            logger.warning(
+                "not releasing merge lock for %s: our lease was broken "
+                "and pid %s on %s now holds it", path,
+                info.get("pid"), info.get("host"),
+            )
 
 
 def merge_versioned(
@@ -293,6 +353,7 @@ def merge_into_path(
     updates: DataFrame,
     key_cols: str | Sequence[str],
     version_col: str,
+    retain_versions: int | None = None,
 ) -> int:
     """Apply ``merge_versioned`` against a parquet table path, publishing
     the result as the table's next SNAPSHOT VERSION (round-8 verdict
@@ -319,28 +380,42 @@ def merge_into_path(
     MergeContentionError instead of silently dropping this writer's rows
     (r8 review item), and the lock heartbeat keeps the lease alive for
     the duration of the distributed write.
+
+    ``retain_versions`` bounds the history: after publishing, all but the
+    newest N versions vacuum in the same lock acquisition — the retention
+    a per-micro-batch caller (streaming ingest) needs to avoid unbounded
+    full-table copies (r9 self-review #4); None keeps everything.
     """
+    import shutil
+
     from cosmo_spark.sources.versioned import (
-        _has_flat_data,
-        _migrate_flat_locked,
+        _adopt_legacy_locked,
         _new_tmp,
         _publish_locked,
         _read_manifest,
+        _vacuum_locked,
         read_snapshot,
     )
 
     os.makedirs(path, exist_ok=True)
-    with _table_lock(spark, path):
+    with _table_lock(spark, path) as guard:
         doc = _read_manifest(path)
-        if doc["current"] is None and _has_flat_data(path):
-            doc = _migrate_flat_locked(path)
+        if doc["current"] is None:
+            doc = _adopt_legacy_locked(path)
         current = (
             read_snapshot(spark, path) if doc["current"] is not None else None
         )
         merged = merge_versioned(current, updates, key_cols, version_col)
         tmp = _new_tmp(path)
-        merged.write.mode("overwrite").parquet(tmp)
-        return _publish_locked(path, tmp, doc)
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+            version = _publish_locked(path, tmp, doc, guard)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)   # never leak a
+            raise                                    # full-table tmp
+        if retain_versions is not None:
+            _vacuum_locked(path, doc, retain_versions, guard)
+        return version
 
 
 def merge_into_partitioned(
@@ -388,7 +463,7 @@ def merge_into_partitioned(
         # partition merges touching overlapping partitions would interleave
         # read-and-overwrite and lose rows; per-table granularity because
         # the affected-partition set is not known before reading updates
-        with _table_lock(spark, path):
+        with _table_lock(spark, path) as guard:
             if fs_exists(spark, path):
                 affected = updates.select(partition_col).distinct()
                 current = spark.read.parquet(path).join(
@@ -402,6 +477,7 @@ def merge_into_partitioned(
             )
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
+                guard.verify()   # fencing: a broken lease aborts loudly
                 merged.write.mode("overwrite").partitionBy(partition_col) \
                     .parquet(path)
             finally:

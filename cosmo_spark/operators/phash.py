@@ -49,27 +49,33 @@ def ahash_fingerprints(feats: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def _band_rows(fp: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """The 4×16-bit band split of a fingerprint frame — ONE definition of
+    the pigeonhole geometry shared by the self-profile and the
+    batch-vs-corpus profile (a drift between them would silently skew
+    candidate recall)."""
+    rows = [
+        fp.select(F.col(id_col).alias(out_id), F.lit(0).alias("bi"),
+                  (F.col("fp_hi") % 65536).alias("bv")),
+        fp.select(F.col(id_col).alias(out_id), F.lit(1).alias("bi"),
+                  F.expr("fp_hi div 65536").alias("bv")),
+        fp.select(F.col(id_col).alias(out_id), F.lit(2).alias("bi"),
+                  (F.col("fp_lo") % 65536).alias("bv")),
+        fp.select(F.col(id_col).alias(out_id), F.lit(3).alias("bi"),
+                  F.expr("fp_lo div 65536").alias("bv")),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
 def ahash_band_profile(fp: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Per-item near-dup profile over a fingerprint frame: how many other
     items share ≥ 1 of the 4 16-bit bands, and the closest Hamming
     distance among those candidates (null when none).  ``fp`` is consumed
     by five branches — persist it before calling when its lineage is
     expensive."""
-    band_rows = [
-        fp.select(id_col, F.lit(0).alias("bi"),
-                  (F.col("fp_hi") % 65536).alias("bv")),
-        fp.select(id_col, F.lit(1).alias("bi"),
-                  F.expr("fp_hi div 65536").alias("bv")),
-        fp.select(id_col, F.lit(2).alias("bi"),
-                  (F.col("fp_lo") % 65536).alias("bv")),
-        fp.select(id_col, F.lit(3).alias("bi"),
-                  F.expr("fp_lo div 65536").alias("bv")),
-    ]
-    bands = reduce(lambda a, b: a.unionByName(b), band_rows)
-    a = bands.select(F.col(id_col).alias("id_a"), "bi", "bv")
-    b = bands.select(F.col(id_col).alias("id_b"), "bi", "bv")
     cand = (
-        a.join(b, ["bi", "bv"])
+        _band_rows(fp, id_col, "id_a")
+        .join(_band_rows(fp, id_col, "id_b"), ["bi", "bv"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
@@ -107,22 +113,9 @@ def ahash_cross_profile(
     rest the corpus band table lives bucketed by band value so only the
     batch side moves."""
 
-    def bands_of(fp: DataFrame, out_id: str) -> DataFrame:
-        rows = [
-            fp.select(F.col(id_col).alias(out_id), F.lit(0).alias("bi"),
-                      (F.col("fp_hi") % 65536).alias("bv")),
-            fp.select(F.col(id_col).alias(out_id), F.lit(1).alias("bi"),
-                      F.expr("fp_hi div 65536").alias("bv")),
-            fp.select(F.col(id_col).alias(out_id), F.lit(2).alias("bi"),
-                      (F.col("fp_lo") % 65536).alias("bv")),
-            fp.select(F.col(id_col).alias(out_id), F.lit(3).alias("bi"),
-                      F.expr("fp_lo div 65536").alias("bv")),
-        ]
-        return reduce(lambda a, b: a.unionByName(b), rows)
-
     cand = (
-        bands_of(fp_batch, "id_a").join(bands_of(fp_corpus, "id_b"),
-                                        ["bi", "bv"])
+        _band_rows(fp_batch, id_col, "id_a")
+        .join(_band_rows(fp_corpus, id_col, "id_b"), ["bi", "bv"])
         .select("id_a", "id_b").distinct()
     )
     fa = fp_batch.select(F.col(id_col).alias("id_a"),

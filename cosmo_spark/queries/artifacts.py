@@ -82,13 +82,9 @@ def _literal_artifacts() -> VectorArtifacts | None:
 
 
 def _stat_key(sf_dir: str) -> tuple:
-    src = Path(sf_dir) / "embeddings.parquet"
-    if src.is_dir():
-        parts = sorted(p for p in src.iterdir() if p.suffix == ".parquet")
-        return tuple((p.name, p.stat().st_mtime_ns, p.stat().st_size)
-                     for p in parts)
-    st = src.stat()
-    return (str(src.resolve()), st.st_mtime_ns, st.st_size)
+    from cosmo_spark.sources.tables import table_file_identity
+
+    return table_file_identity(sf_dir, "embeddings")
 
 
 def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:

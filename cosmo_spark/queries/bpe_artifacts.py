@@ -68,13 +68,9 @@ _RESOLVED: dict[str, list[tuple[str, str, int]]] = {}
 
 
 def _stat_key(sf_dir: str) -> tuple:
-    src = Path(sf_dir) / "documents.parquet"
-    if src.is_dir():
-        parts = sorted(p for p in src.iterdir() if p.suffix == ".parquet")
-        return tuple((p.name, p.stat().st_mtime_ns, p.stat().st_size)
-                     for p in parts)
-    st = src.stat()
-    return (str(src.resolve()), st.st_mtime_ns, st.st_size)
+    from cosmo_spark.sources.tables import table_file_identity
+
+    return table_file_identity(sf_dir, "documents")
 
 
 def documents_fingerprint(spark: SparkSession, sf_dir: str) -> str:

@@ -1349,16 +1349,9 @@ def _window_log_dir(sf_dir: str, kind: str) -> str:
     import hashlib
     from pathlib import Path
 
-    src = Path(sf_dir) / "events.parquet"
-    if src.is_dir():
-        parts = sorted(p for p in src.iterdir() if p.suffix == ".parquet")
-        ident = "|".join(
-            f"{p.name}:{p.stat().st_mtime_ns}:{p.stat().st_size}"
-            for p in parts
-        )
-    else:
-        st = src.stat()
-        ident = f"{src.resolve()}|{st.st_mtime_ns}|{st.st_size}"
+    from cosmo_spark.sources.tables import table_file_identity
+
+    ident = repr(table_file_identity(sf_dir, "events"))
     key = hashlib.sha256(ident.encode()).hexdigest()[:16]
     root = Path(__file__).resolve().parents[2] / "spark-warehouse"
     return str(root / f"{kind}_windows" / key)

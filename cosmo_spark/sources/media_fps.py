@@ -116,9 +116,14 @@ def fingerprint_media_cached(
     if not new_rows.isEmpty():
         new_rows.write.mode("append").parquet(store_path)
     full = store.unionByName(new_rows) if store is not None else new_rows
+    # materialize the ATTACHED frame too (r9 self-review #5): its lineage
+    # still carries the embeddings scan -> 64-expression blob encode ->
+    # xxhash64, and ahash_band_profile consumes it from ~7 branches — a
+    # 24-byte-per-row checkpoint beats re-running the encode per branch
+    # and needs no persist/unpersist lifecycle
     return ids.join(full, "content_hash").select(
         F.col("media_id").alias(id_col), "fp_hi", "fp_lo"
-    )
+    ).localCheckpoint()
 
 
 def ensure_media_fps(
@@ -134,6 +139,6 @@ def ensure_media_fps(
     )
     store = media_fp_store_dir(spark, sf_dir, codec)
     fingerprint_media_cached(
-        encode_fn(e, "embedding", "vec_id"), codec, store
+        encode_fn(e, "embedding", id_col), codec, store, id_col=id_col
     ).count()
     return store

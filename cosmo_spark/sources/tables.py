@@ -70,3 +70,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     if not names:
         names = TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def table_file_identity(sf_dir: str, name: str) -> tuple:
+    """Stable identity of one table's parquet file(s): (relative name,
+    mtime_ns, size) per part — the stat fingerprint shared by every
+    at-rest-artifact keyer (vector artifacts, BPE seeds, window logs) so
+    the dir-vs-file handling lives once (r9 self-review #6)."""
+    import os
+    from pathlib import Path as _P
+
+    src = _P(sf_dir) / f"{name}.parquet"
+    if src.is_dir():
+        parts = sorted(p for p in src.iterdir() if p.suffix == ".parquet")
+        return tuple(
+            (p.name, p.stat().st_mtime_ns, p.stat().st_size) for p in parts
+        )
+    st = src.stat()
+    return (str(src.resolve()), st.st_mtime_ns, st.st_size)

@@ -83,23 +83,47 @@ def _has_flat_data(table_path: str) -> bool:
     return False
 
 
-def _migrate_flat_locked(table_path: str) -> dict:
-    """Adopt a legacy flat parquet dir as version 1 — ZERO-COPY: the flat
+def _adopt_legacy_locked(table_path: str) -> dict:
+    """Adopt pre-versioned state as version 1 — ZERO-COPY: legacy flat
     entries MOVE into ``v=1``, so the pre-merge state of a table that
     predates versioning becomes time-travelable instead of being
-    destroyed by its first snapshot-backed merge.  Caller holds the table
-    lock.  Resumable: a crash mid-move leaves the fixed-name tmp dir,
-    and the next migration continues moving the remaining entries into
-    it (a concurrent lock-free FLAT reader racing the one-time migration
-    may fail loudly mid-scan — run the first snapshot-backed merge at a
-    quiet moment)."""
-    tmp = os.path.join(table_path, _MIG_TMP)
-    os.makedirs(tmp, exist_ok=True)
+    destroyed by its first snapshot-backed publish.  Caller holds the
+    table lock and the manifest is absent.
+
+    Crash-complete (r9 self-review #1): every interruption point of a
+    previous attempt resumes or completes here, never loses the table —
+    - ``v=1`` present, no flat/tmp remnants: a predecessor crashed
+      between its final rename and the manifest write; just adopt it
+      (without this, the orphan reaper would see an unknown v=1 and
+      DELETE the only copy of the table).
+    - migration tmp present (crash mid-move): keep moving the remaining
+      flat entries into it, then rename + manifest.
+    - flat entries only: the full move.
+    Returns the manifest doc ({current: None} when there is nothing to
+    adopt).  A concurrent lock-free FLAT reader racing the one-time
+    migration may fail loudly mid-scan — run the first snapshot-backed
+    publish at a quiet moment."""
+    v1 = os.path.join(table_path, "v=1")
+    mig = os.path.join(table_path, _MIG_TMP)
+    has_flat = _has_flat_data(table_path)
+    if os.path.isdir(v1):
+        if has_flat or os.path.isdir(mig):
+            raise RuntimeError(
+                f"{table_path}: both v=1 and unmigrated legacy state "
+                f"exist — refusing to guess which is the table; inspect "
+                f"and remove one manually"
+            )
+        doc = {"current": 1, "versions": [{"version": 1}]}
+        _write_manifest(table_path, doc)
+        return doc
+    if not has_flat and not os.path.isdir(mig):
+        return {"current": None, "versions": []}
+    os.makedirs(mig, exist_ok=True)
     for entry in os.listdir(table_path):
         if entry == _MANIFEST or entry.startswith(("v=", "v.tmp-")):
             continue
-        os.rename(os.path.join(table_path, entry), os.path.join(tmp, entry))
-    os.replace(tmp, os.path.join(table_path, "v=1"))
+        os.rename(os.path.join(table_path, entry), os.path.join(mig, entry))
+    os.replace(mig, v1)
     doc = {"current": 1, "versions": [{"version": 1}]}
     _write_manifest(table_path, doc)
     return doc
@@ -156,15 +180,27 @@ def _new_tmp(table_path: str) -> str:
     )
 
 
-def _publish_locked(table_path: str, tmp_data_dir: str, doc: dict) -> int:
+def _publish_locked(
+    table_path: str, tmp_data_dir: str, doc: dict, guard=None
+) -> int:
     """The in-lock half of a publish: reap dead orphans, rename the
     pre-written data dir to ``v=N``, bump the manifest.  Shared by
-    write_snapshot and the snapshot-backed merge (operators/merge)."""
+    write_snapshot and the snapshot-backed merge (operators/merge).
+
+    ``guard`` (operators/merge LockGuard) provides FENCING: ownership is
+    re-verified before the destructive reap and again immediately before
+    the manifest commit, so a holder whose lease was broken while it was
+    paused aborts LOUDLY here instead of committing over its successor's
+    state (r9 self-review #2/#3)."""
+    if guard is not None:
+        guard.verify()
     version = (doc["current"] or 0) + 1
     _reap_orphans_locked(table_path, doc, keep=tmp_data_dir)
     os.replace(tmp_data_dir, os.path.join(table_path, f"v={version}"))
     doc["versions"].append({"version": version})
     doc["current"] = version
+    if guard is not None:
+        guard.verify()   # the commit point
     _write_manifest(table_path, doc)
     return version
 
@@ -190,9 +226,11 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     tmp = _new_tmp(table_path)
     df.write.mode("overwrite").parquet(tmp)
     try:
-        with _table_lock(spark, table_path.rstrip("/")):
+        with _table_lock(spark, table_path.rstrip("/")) as guard:
             doc = _read_manifest(table_path)
-            return _publish_locked(table_path, tmp, doc)
+            if doc["current"] is None:
+                doc = _adopt_legacy_locked(table_path)
+            return _publish_locked(table_path, tmp, doc, guard)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)   # contention must not leak
         raise
@@ -247,18 +285,30 @@ def vacuum_snapshots(
     sees the version at all.  Never touches the current version."""
     from cosmo_spark.operators.merge import _table_lock
 
-    with _table_lock(spark, table_path.rstrip("/")):
+    with _table_lock(spark, table_path.rstrip("/")) as guard:
         doc = _read_manifest(table_path)
-        if len(doc["versions"]) <= keep_last:
-            return []
-        drop = doc["versions"][:-keep_last]
-        doc["versions"] = doc["versions"][-keep_last:]
-        _write_manifest(table_path, doc)
-        removed = []
-        for e in drop:
-            shutil.rmtree(
-                os.path.join(table_path, f"v={e['version']}"),
-                ignore_errors=True,
-            )
-            removed.append(e["version"])
-        return removed
+        return _vacuum_locked(table_path, doc, keep_last, guard)
+
+
+def _vacuum_locked(
+    table_path: str, doc: dict, keep_last: int, guard=None
+) -> list[int]:
+    """The in-lock half of vacuum — also called by merge_into_path's
+    retention (operators/merge, r9 self-review #4: an unbounded
+    per-micro-batch version history must be vacuumable in the same lock
+    acquisition as the merge that created it)."""
+    if len(doc["versions"]) <= keep_last:
+        return []
+    drop = doc["versions"][:-keep_last]
+    doc["versions"] = doc["versions"][-keep_last:]
+    if guard is not None:
+        guard.verify()
+    _write_manifest(table_path, doc)
+    removed = []
+    for e in drop:
+        shutil.rmtree(
+            os.path.join(table_path, f"v={e['version']}"),
+            ignore_errors=True,
+        )
+        removed.append(e["version"])
+    return removed

@@ -33,6 +33,7 @@ def stream_ingest_merge(
     checkpoint_dir: str,
     fmt: str = "json",
     trigger_once: bool = True,
+    retain_versions: int | None = 3,
 ) -> StreamingQuery:
     """File-source stream -> version-guarded MERGE into a parquet table.
 
@@ -52,8 +53,13 @@ def stream_ingest_merge(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # every micro-batch publishes a snapshot version; retain_versions
+        # bounds the history (default 3: current + enough to snapshot_diff
+        # the last merges) — a continuous ingest must not accumulate one
+        # full-table copy per batch forever (r9 self-review #4)
         merge_into_path(
-            batch_df.sparkSession, target_path, batch_df, key_cols, version_col
+            batch_df.sparkSession, target_path, batch_df, key_cols,
+            version_col, retain_versions=retain_versions,
         )
 
     writer = (

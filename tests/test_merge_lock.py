@@ -62,7 +62,7 @@ def test_interleaved_swap_schedule_loses_no_rows(spark, tmp_path):
     real_publish = versioned_mod._publish_locked
     contention: list[Exception] = []
 
-    def publish_with_concurrent_writer(table_path, tmp, doc):
+    def publish_with_concurrent_writer(table_path, tmp, doc, guard=None):
         # writer A has read the base and is about to publish; writer B's
         # whole merge attempt happens NOW — the schedule that silently
         # dropped B's rows pre-lock
@@ -73,7 +73,7 @@ def test_interleaved_swap_schedule_loses_no_rows(spark, tmp_path):
             )
         except MergeContentionError as e:
             contention.append(e)
-        return real_publish(table_path, tmp, doc)
+        return real_publish(table_path, tmp, doc, guard)
 
     versioned_mod._publish_locked = publish_with_concurrent_writer
     try:

@@ -198,3 +198,95 @@ def test_slow_publish_blocks_no_reader_and_no_rival_publisher(spark, tmp_path):
     assert out["slow"] == 3
     assert _state(spark, path, 2) == {"a": 2}
     assert _state(spark, path, 3) == {"a": 99}
+
+
+def test_interrupted_migration_recovers_without_data_loss(spark, tmp_path):
+    """r9 self-review #1: both crash windows of the flat-table adoption
+    must recover on the next merge — never hand the orphan reaper the
+    only copy of the table."""
+    import os
+    import shutil
+
+    from cosmo_spark.operators.merge import merge_into_path
+
+    def mframe(rows):
+        return spark.createDataFrame(rows, "k STRING, ver INT, payload STRING")
+
+    # (a) crash AFTER the v=1 rename, BEFORE the manifest write: simulate
+    # by building a healthy versioned table and deleting the manifest
+    path = str(tmp_path / "a")
+    spark.createDataFrame([("a", 1, "old")],
+                          "k STRING, ver INT, payload STRING").write.parquet(path)
+    merge_into_path(spark, path, mframe([("b", 1, "b1")]), "k", "ver")
+    os.remove(os.path.join(path, "_versions.json"))
+    shutil.rmtree(os.path.join(path, "v=2"))   # the unadopted state is v=1
+    merge_into_path(spark, path, mframe([("c", 1, "c1")]), "k", "ver")
+    assert {r.k for r in read_snapshot(spark, path, 1).collect()} == {"a"}, (
+        "the orphan reaper must not eat the unadopted v=1"
+    )
+    assert {r.k for r in read_snapshot(spark, path).collect()} == {"a", "c"}
+
+    # (b) crash MID-MOVE: some flat entries already inside v.tmp-migrate
+    path = str(tmp_path / "b")
+    spark.createDataFrame([("a", 1, "old"), ("b", 1, "old")],
+                          "k STRING, ver INT, payload STRING") \
+        .coalesce(2).write.parquet(path)
+    mig = os.path.join(path, "v.tmp-migrate")
+    os.makedirs(mig)
+    moved = [e for e in os.listdir(path)
+             if e.startswith("part-")][:1]      # half the move happened
+    for e in moved:
+        os.rename(os.path.join(path, e), os.path.join(mig, e))
+    merge_into_path(spark, path, mframe([("c", 2, "new")]), "k", "ver")
+    assert {r.k for r in read_snapshot(spark, path, 1).collect()} \
+        == {"a", "b"}, "resumed migration must recover ALL flat rows"
+    assert {r.k for r in read_snapshot(spark, path).collect()} == {"a", "b", "c"}
+
+
+def test_broken_lease_holder_aborts_at_commit(spark, tmp_path):
+    """r9 self-review #2/#3 fencing: a holder whose lease was broken
+    while it ran must abort LOUDLY at the commit verify, and its release
+    must not delete the successor's lock."""
+    import os
+
+    from cosmo_spark.operators.merge import (
+        MergeContentionError,
+        _table_lock,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    with pytest.raises(MergeContentionError, match="lost the merge lease"):
+        with _table_lock(spark, path) as guard:
+            # simulate a successor breaking our lease and taking over
+            lock = path + ".__merge_lock"
+            os.remove(lock)
+            import json as _json
+            import struct as _struct
+
+            body = _json.dumps({"pid": 1, "host": "other", "token": "X"}).encode()
+            with open(lock, "wb") as f:
+                f.write(_struct.pack(">H", len(body)) + body)
+            guard.verify()
+    # owner-checked release: the successor's lock must survive our exit
+    assert os.path.exists(path + ".__merge_lock"), (
+        "release must not delete a lock we no longer own"
+    )
+    os.remove(path + ".__merge_lock")
+
+
+def test_merge_retention_bounds_history(spark, tmp_path):
+    """r9 self-review #4: retain_versions vacuums in the same lock
+    acquisition, so a per-micro-batch merge caller keeps bounded state."""
+    from cosmo_spark.operators.merge import merge_into_path
+
+    def mframe(rows):
+        return spark.createDataFrame(rows, "k STRING, ver INT, payload STRING")
+
+    path = str(tmp_path / "tbl")
+    for i in range(1, 6):
+        merge_into_path(spark, path, mframe([(f"k{i}", 1, "x")]), "k", "ver",
+                        retain_versions=2)
+    assert snapshot_versions(path) == [4, 5]
+    assert {r.k for r in read_snapshot(spark, path).collect()} \
+        == {"k1", "k2", "k3", "k4", "k5"}
