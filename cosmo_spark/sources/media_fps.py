@@ -138,7 +138,9 @@ def ensure_media_fps(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
     store = media_fp_store_dir(spark, sf_dir, codec)
+    # id_col names the SOURCE id column fed to the encoder; the encoders
+    # always emit (media_id, blob)
     fingerprint_media_cached(
-        encode_fn(e, "embedding", id_col), codec, store, id_col=id_col
+        encode_fn(e, "embedding", id_col), codec, store
     ).count()
     return store

@@ -122,3 +122,23 @@ def test_corrupt_content_is_retried_not_stored(spark, tmp_path, counter):
     c1 = counter.value
     fingerprint_media_cached(media, "ppm", store).count()
     assert counter.value == c1 + 1, "only the corrupt blob re-decodes"
+
+
+def test_ensure_media_fps_builds_default_store(spark, tmp_path, counter,
+                                               monkeypatch):
+    """The bench-setup entry point (the one surface the other tests
+    bypass) must build the default store and leave it warm."""
+    import cosmo_spark.sources.media_fps as mfps
+    from cosmo_spark.sources.media_fps import ensure_media_fps
+
+    monkeypatch.setattr(
+        mfps, "media_fp_store_dir",
+        lambda spark_, sf_dir_, codec_: str(tmp_path / f"s-{codec_}"),
+    )
+    store = ensure_media_fps(spark, SF, "ppm", encode_pgm_gray8x8, "vec_id")
+    n = read_fp_store(spark, store).count()
+    assert n > 0
+    cold = counter.value
+    assert cold >= n
+    ensure_media_fps(spark, SF, "ppm", encode_pgm_gray8x8, "vec_id")
+    assert counter.value == cold, "second ensure must be decode-free"
