@@ -647,8 +647,7 @@ _Q141_PX = f"""v AS (
 
 
 def _media_fps(
-    spark: SparkSession, sf_dir: str, encode_fn, codec: str,
-    id_filter=None,
+    spark: SparkSession, sf_dir: str, encode_fn, codec: str
 ) -> DataFrame:
     """(vec_id, fp_hi, fp_lo) through the AT-REST fingerprint store
     (sources/media_fps, round-9 #4): blobs whose content hash is already
@@ -665,8 +664,6 @@ def _media_fps(
     e = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
-    if id_filter is not None:
-        e = e.filter(id_filter)
     media = encode_fn(e, "embedding", "vec_id")
     store = media_fp_store_dir(spark, sf_dir, codec)
     return fingerprint_media_cached(media, codec, store).select(
@@ -811,13 +808,12 @@ def q145_incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmo_spark.operators.phash import ahash_cross_profile
     from cosmo_spark.sources.multimodal import encode_pgm_gray8x8
 
-    fp_corpus = _media_fps(
-        spark, sf_dir, encode_pgm_gray8x8, "ppm",
-        id_filter=(F.col("vec_id") % 2 == 0),
-    )
-    fp_batch = _media_fps(
-        spark, sf_dir, encode_pgm_gray8x8, "ppm",
-        id_filter=(F.col("vec_id") % 2 == 1),
-    )
+    # ONE store pass resolves every fingerprint (the frame is
+    # checkpointed 24-byte rows), then the corpus/batch split is a
+    # filter — resolving each side separately would scan the store and
+    # re-derive the content hashes twice (measured 7.3 s -> shared pass)
+    fp_all = _media_fps(spark, sf_dir, encode_pgm_gray8x8, "ppm")
+    fp_corpus = fp_all.filter(F.col("vec_id") % 2 == 0)
+    fp_batch = fp_all.filter(F.col("vec_id") % 2 == 1)
     return ahash_cross_profile(fp_batch, fp_corpus, "vec_id")
 
