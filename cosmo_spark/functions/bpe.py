@@ -122,10 +122,10 @@ def duck_bpe_train_ctes(toks_expr: str, n_merges: int, table: str = "documents")
     trainer's early stop.
     """
     ctes = [
-        f"wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM "
+        f"wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM "
         f"(SELECT unnest({toks_expr}) AS w FROM {table}) GROUP BY w)",
-        "p0 AS (SELECT freq, list_transform(range(1, length(w) + 1), "
-        "i -> w[i:i]) AS w FROM wf)",
+        "p0 AS (SELECT word, freq, list_transform(range(1, length(word) + 1), "
+        "i -> word[i:i]) AS w FROM wf)",
     ]
     prev = "p0"
     best_names = []
@@ -146,14 +146,16 @@ def duck_bpe_train_ctes(toks_expr: str, n_merges: int, table: str = "documents")
         # before n_merges (all-singleton words), b{k} is empty — a cross
         # join would wipe the vocab, whereas NULL a/b makes every
         # candidate test NULL -> 0, so the pass degrades to the identity,
-        # exactly matching the trainer's early break
+        # exactly matching the trainer's early break.  The word string
+        # rides along so consumers can key the FINAL segmentation by word
+        # (q148's per-document tokenization).
         ctes.append(
-            f"r{k}c AS (SELECT freq, w, a, b, {c} AS c "
+            f"r{k}c AS (SELECT word, freq, w, a, b, {c} AS c "
             f"FROM {prev} LEFT JOIN b{k} ON TRUE)"
         )
         ctes.append(
-            f"r{k}m AS (SELECT freq, w, a, b, {m('c')} AS m FROM r{k}c)"
+            f"r{k}m AS (SELECT word, freq, w, a, b, {m('c')} AS m FROM r{k}c)"
         )
-        ctes.append(f"r{k} AS (SELECT freq, {out('m')} AS w FROM r{k}m)")
+        ctes.append(f"r{k} AS (SELECT word, freq, {out('m')} AS w FROM r{k}m)")
         prev = f"r{k}"
     return ctes, prev, best_names

@@ -2207,6 +2207,69 @@ def q144_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q148_oracle() -> str:
+    from cosmo_spark.functions.bpe import duck_bpe_train_ctes
+    from cosmo_spark.queries.bpe_artifacts import BPE_N_MERGES
+
+    ctes, final, _ = duck_bpe_train_ctes(_DUCK_TOKS, BPE_N_MERGES)
+    return f"""
+WITH {", ".join(ctes)},
+tok AS (
+  SELECT word, CAST(len(w) AS BIGINT) AS n_sym FROM {final}
+), dt AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_tokens
+FROM dt JOIN tok USING (word)
+GROUP BY doc_id
+"""
+
+
+@register("q148_bpe_tokenize", operators=("TXT3", "A11"),
+          oracle=_q148_oracle())
+def q148_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus under the LEARNED merges — the token-budget
+    query every pre-training pipeline runs before packing (q74) or
+    mixing (q63): per document, word count and the token count a
+    BPE tokenizer trained on THIS corpus (q144's rules, resolved through
+    the seed cache) would produce.  Completes the tokenizer story:
+    q144 learns the merges, q97 inspects the vocabulary they induce,
+    q148 prices the corpus in learned tokens.  The oracle replays
+    training AND applies the learned segmentation per word, keyed by the
+    carried word string.
+
+    Scale shape: the merge passes run over the DISTINCT-word vocabulary
+    (Heaps-law-sized), the per-word token cost broadcasts back to the
+    corpus (a few bytes per vocabulary entry — fits comfortably even at
+    web scale; shuffle-join on word is the fallback when it does not),
+    and the only corpus-wide work is one tokenize + one per-doc sum.
+    """
+    from cosmo_spark.functions.bpe import spark_bpe_pass
+    from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges
+
+    rules = resolve_bpe_merges(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    cur = words.select("word").distinct().select(
+        "word",
+        F.expr(
+            "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
+        ).alias("w"),
+    )
+    for a, b, _cnt in rules:
+        c, m, out = spark_bpe_pass("w", a, b)
+        cur = cur.select("word", "w", F.expr(c).alias("c"))
+        cur = cur.select("word", "w", F.expr(m("c")).alias("m"))
+        # per-pass barrier: the q97 HOF-inlining guard, vocabulary-sized
+        cur = cur.select("word", F.expr(out("m")).alias("w")).localCheckpoint()
+    tok = cur.select("word", F.size("w").cast("long").alias("n_sym"))
+    return words.join(F.broadcast(tok), "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sym").alias("n_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # q99 — Gopher/C4-style composite quality-rule filter                          #
 # --------------------------------------------------------------------------- #
