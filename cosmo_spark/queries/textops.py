@@ -1314,6 +1314,126 @@ def q91_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# q149 — exact-substring removal: elide duplicated spans, rewrite documents    #
+# --------------------------------------------------------------------------- #
+
+#: position packing for the keep-first tiebreak: doc_id * KEY + start must be
+#: injective, so KEY only needs to exceed the longest document's token count
+#: (corpus docs are a few hundred tokens; 1e6 leaves 4 orders of headroom)
+_Q149_KEY = 1_000_000
+
+
+@register(
+    "q149_substring_removal",
+    operators=("DD1", "TXT5", "A14", "U3"),
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+th AS (SELECT doc_id, {_DUCK_TOK_HASHES} AS hs FROM tl),
+occ AS (
+  SELECT doc_id, i, {_duck_span_fold(_SPAN_N)} AS h
+  FROM th, unnest(range(1, greatest(len(hs) - {_SPAN_N} + 2, 1))) AS r(i)
+),
+dup AS (
+  SELECT h, min(doc_id * {_Q149_KEY} + i) AS keeper
+  FROM occ GROUP BY h HAVING count(*) >= 2
+),
+rem AS (
+  SELECT o.doc_id, o.i FROM occ o JOIN dup d USING (h)
+  WHERE o.doc_id * {_Q149_KEY} + o.i <> d.keeper
+),
+cov AS (SELECT DISTINCT doc_id, i + j AS p
+        FROM rem, unnest(range(0, {_SPAN_N})) AS r(j)),
+pos AS (SELECT doc_id, p, hs[p] AS th
+        FROM th, unnest(range(1, len(hs) + 1)) AS r(p)),
+mk AS (
+  SELECT pos.doc_id, pos.p, pos.th, cov.p IS NOT NULL AS rm
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list(th ORDER BY p) FILTER (WHERE NOT rm)),
+         (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}), 0) AS rebuilt_hash
+FROM mk GROUP BY doc_id
+""",
+)
+def q149_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with REMOVAL — the other half of the Lee et
+    al. 2022 recipe that q64/q91 only signal: every duplicated
+    {_SPAN_N}-token span keeps exactly one occurrence corpus-wide (the
+    lexicographically-first (doc_id, start)), every other occurrence's
+    token positions are elided, and each document is reassembled from its
+    surviving tokens.  Output per document: token count before, tokens
+    removed, and the position-ordered polynomial fold of the surviving
+    token hashes — the rebuilt document's content hash, which a byte-level
+    reassembly would feed straight to a sink.  A fully-duplicated document
+    (the non-keeper copy of an exact pair) survives with n_removed ==
+    n_tokens and rebuilt_hash 0.
+
+    Scale shape: span hashes are O(L) fold-combines per document reusing
+    the q64 constants; the duplicate table is a count/min AGGREGATE on the
+    span hash (partial-combines map-side — the boilerplate-span skew
+    argument from q64), the removal join carries (BIGINT h, packed BIGINT
+    key) only, and covered positions collapse via DISTINCT on (doc_id, p)
+    before the token-table join, which is keyed on (doc_id, p) — never a
+    window over a hot hash.  The final per-document rebuild is a bounded
+    collect_list + array_sort fold (documents are bounded; no corpus-scale
+    state).  The only tables shuffled are token/span-sized with BIGINT
+    columns; text never moves after tokenization.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = _SPAN_N
+    th = d.select(
+        "doc_id", token_hashes(tokenize(F.col("text"))).alias("hs")
+    )
+    spans = th.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(CASE WHEN size(hs) >= {n} "
+            f"THEN sequence(1, size(hs) - {n} + 1) ELSE array() END, "
+            f"i -> struct(i AS i, aggregate(slice(hs, i, {n}), 0L, "
+            f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h))"
+        )).alias("s"),
+    ).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h"),
+        (F.col("doc_id") * _Q149_KEY + F.col("s.i")).alias("k"),
+    ).persist()
+    dup = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__c"), F.min("k").alias("__keeper")
+    ).filter(F.col("__c") >= 2)
+    rem = (
+        spans.join(dup, "h")
+        .filter(F.col("k") != F.col("__keeper"))
+        .select("doc_id", "i")
+    )
+    cov = rem.select(
+        "doc_id", F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("p")
+    ).distinct().withColumn("__rm", F.lit(1))
+    pos = th.select(
+        "doc_id", F.posexplode("hs").alias("p0", "th")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "th")
+    marked = pos.join(cov, ["doc_id", "p"], "left")
+    kept_fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("__rm").isNull(), F.struct("p", "th"))
+            )),
+            lambda s: s.th,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: (a * HASH_BASE + b) % HASH_MOD,
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__rm") == 1, 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+        kept_fold.alias("rebuilt_hash"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # q65 — token entropy (row-local lexical-diversity quality signal)             #
 # --------------------------------------------------------------------------- #
 
