@@ -270,3 +270,89 @@ def train_bpe_merges(
         cur = cur.select("freq", F.expr(m("c")).alias("m"), "w")
         cur = cur.select("freq", F.expr(out("m")).alias("w")).localCheckpoint()
     return merges
+
+
+def train_logreg(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "y",
+    n_iter: int = 24,
+    lr: float = 2.0,
+    grad_quant: int = 10**8,
+    weight_quant: int = 10**6,
+) -> tuple[list[int], int]:
+    """Distributed logistic-regression training by full-batch gradient
+    descent — the FineWeb-Edu-class "train a linear quality classifier,
+    score the whole corpus" capability, Spark-first: each iteration is ONE
+    JVM-side aggregate over the corpus (the gradient), the weight vector
+    lives on the driver (dim+1 floats), and the corpus never moves.
+
+    Determinism is the load-bearing property: distributed float addition
+    is partition-order-dependent, so every row's gradient contribution is
+    quantized to BIGINT (``floor(x_j * err * grad_quant)``) BEFORE the
+    sum — integer addition commutes exactly, so the same (corpus,
+    hyperparameters) yields bit-identical weights under ANY partitioning.
+    The returned weights are themselves quantized (``weight_quant``,
+    intercept last) — the literal-artifact convention that keeps scoring
+    integer-exact and therefore DuckDB-oracle-expressible.
+
+    Scale shape: n_iter linear scans, each a partial-combining aggregate
+    of dim+2 BIGINT columns — no shuffle wider than one row of sums, no
+    driver state beyond the weights.  At 100 TB you would train on a
+    bounded sample (the PQ-codebook discipline: classifiers are trained
+    on 1e5-1e6 labeled rows even for 1e10-row corpora) and spend the
+    full-corpus scans on SCORING only; the trainer takes whatever ``df``
+    the caller bounds.
+
+    Rows with a NULL/ragged vector or NULL label are excluded from
+    training (the adversarial-sweep corpora inject exactly those).
+    Returns ``(quantized_weights, dim)`` where ``len(weights) == dim+1``.
+    """
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d")).limit(1).collect()
+    )
+    if not first:
+        return [], 0
+    dim = int(first[0].d)
+    clean = df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & F.col(label_col).isNotNull()
+    ).select(
+        as_double(F.col(vec_col)).alias("x"),
+        F.col(label_col).cast("double").alias("y"),
+    ).localCheckpoint()
+
+    w = [0.0] * (dim + 1)  # intercept last
+    for _ in range(n_iter):
+        w_lit = "array({})".format(
+            ", ".join(f"CAST({v!r} AS DOUBLE)" for v in w[:dim])
+        )
+        margin = (
+            f"aggregate(zip_with(x, {w_lit}, (a, b) -> a * b), "
+            f"CAST(0 AS DOUBLE), (a, b) -> a + b) + CAST({w[dim]!r} AS DOUBLE)"
+        )
+        err = f"(1.0 / (1.0 + exp(-({margin}))) - y)"
+        g = clean.select(
+            F.expr(
+                f"transform(x, v -> CAST(floor(v * {err} * {grad_quant}) "
+                f"AS BIGINT))"
+            ).alias("gx"),
+            F.expr(
+                f"CAST(floor({err} * {grad_quant}) AS BIGINT)"
+            ).alias("g0"),
+        )
+        sums = g.agg(
+            *[F.sum(F.element_at("gx", j + 1)).alias(f"g{j}") for j in range(dim)],
+            F.sum("g0").alias("gb"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = int(sums.n)
+        if n == 0:
+            return [0] * (dim + 1), dim
+        for j in range(dim):
+            w[j] -= lr * (int(sums[j]) / grad_quant) / n
+        w[dim] -= lr * (int(sums.gb) / grad_quant) / n
+    return [int(round(v * weight_quant)) for v in w], dim

@@ -817,3 +817,127 @@ def q145_incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_batch = fp_all.filter(F.col("vec_id") % 2 == 1)
     return ahash_cross_profile(fp_batch, fp_corpus, "vec_id")
 
+
+
+# --------------------------------------------------------------------------- #
+# q150 — trained quality classifier: corpus scoring + calibration table        #
+# --------------------------------------------------------------------------- #
+
+#: coordinate quantization for integer-exact scoring: x_q = floor(x * 1e6)
+_Q150_XQ = 10**6
+
+#: fixed probability-band cutoffs in quantized-margin units: margin_q is in
+#: (weight_quant * _Q150_XQ) = 1e12 units of the true logit, so the band
+#: edges are logit(k/10) * 1e12 — integer constants shared verbatim by both
+#: engines (band membership is a pure BIGINT comparison)
+_Q150_CUTS = tuple(
+    round(__import__("math").log((k / 10) / (1 - k / 10)) * 10**12)
+    for k in range(1, 10)
+)
+
+
+def _q150_margin_sql(dim: int, w: list[int]) -> str:
+    """DuckDB quantized-margin expression for resolved weights."""
+    wlit = "[" + ", ".join(str(v) for v in w[:dim]) + "]::BIGINT[]"
+    return (
+        f"(list_sum(list_transform(range(1, {dim + 1}), j -> "
+        f"({wlit})[j] * CAST(floor(CAST(embedding[j] AS DOUBLE) "
+        f"* {_Q150_XQ}) AS BIGINT))) "
+        f"+ CAST({w[dim]} AS BIGINT) * {_Q150_XQ})"
+    )
+
+
+def _q150_oracle() -> str:
+    from cosmo_spark.queries.quality_artifacts import get_quality_weights
+
+    dim, w = get_quality_weights()
+    if dim == 0:
+        return (
+            "SELECT CAST(NULL AS INT) AS band, CAST(NULL AS BIGINT) AS n, "
+            "CAST(NULL AS BIGINT) AS n_pos, CAST(NULL AS DOUBLE) AS pos_rate "
+            "WHERE FALSE"
+        )
+    band = " + ".join(
+        f"(CASE WHEN mq >= {c} THEN 1 ELSE 0 END)" for c in _Q150_CUTS
+    )
+    return f"""
+WITH s0 AS (
+  SELECT {_q150_margin_sql(dim, w)} AS mq, label
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+),
+s AS (SELECT {band} AS band, label FROM s0)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       round(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+FROM s GROUP BY band
+"""
+
+
+@register(
+    "q150_quality_classifier",
+    operators=("TXT2", "A11", "SIM2"),
+    oracle=_q150_oracle,
+)
+def q150_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the FineWeb-Edu-class pipeline stage
+    the heuristic scorers (q35/q99) cannot replace: a logistic-regression
+    classifier TRAINED in-engine (operators/train.train_logreg, resolved
+    through the queries/quality_artifacts seed cache) scores every
+    embedding, and the output is the classifier's CALIBRATION table —
+    per predicted-probability band (fixed logit cutoffs at 0.1..0.9),
+    the row count and the observed positive rate of the training target
+    (label >= 5).  A well-calibrated classifier shows pos_rate rising
+    with the band; on THIS corpus the table is deliberately diagnostic —
+    the driver-generated labels are linearly unpredictable from the
+    embeddings (held-out AUC ~0.5), and the near-flat calibration is
+    exactly how a real pipeline discovers that before acting on scores
+    (the trainer's ability to learn a real signal is pinned by the
+    planted-signal unit in tests/test_logreg.py).
+
+    Scoring is integer-exact: weights are 1e6-quantized ints (the trainer
+    contract), coordinates quantize to floor(x * 1e6), and the margin is
+    a pure-BIGINT dot product — both engines compute bit-identical bands,
+    no float summation order anywhere.
+
+    Scale shape: scoring is a map-only expression (zip_with over a
+    broadcast weight literal — no join, no shuffle), and the calibration
+    aggregate partial-combines into at most 10 groups.  Training cost is
+    bounded by the artifact cache: a known corpus resolves from the seed,
+    a new corpus pays n_iter linear scans once.
+    """
+    from cosmo_spark.queries.quality_artifacts import resolve_quality_weights
+
+    dim, w = resolve_quality_weights(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    if dim == 0:
+        return e.sparkSession.createDataFrame(
+            [], "band int, n long, n_pos long, pos_rate double"
+        )
+    wlit = "array({})".format(
+        ", ".join(f"{v}L" for v in w[:dim])
+    )
+    mq = (
+        f"aggregate(zip_with(transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        f"v -> CAST(floor(v * {_Q150_XQ}) AS BIGINT)), {wlit}, "
+        f"(a, b) -> a * b), 0L, (a, b) -> a + b) "
+        f"+ CAST({w[dim]} AS BIGINT) * {_Q150_XQ}"
+    )
+    band = " + ".join(
+        f"(CASE WHEN mq >= {c}L THEN 1 ELSE 0 END)" for c in _Q150_CUTS
+    )
+    scored = (
+        e.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+        )
+        .select(F.expr(mq).alias("mq"), "label")
+        .select(F.expr(band).alias("band"), "label")
+    )
+    pos = F.sum(F.when(F.col("label") >= 5, 1).otherwise(0))
+    return scored.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        pos.cast("long").alias("n_pos"),
+        F.round(pos / F.count(F.lit(1)).cast("double"), 6).alias("pos_rate"),
+    )
