@@ -118,13 +118,18 @@ def main() -> None:
     from cosmo_spark.queries.timeseries import (
         _hdr_window_log_dir,
         _hll_window_log_dir,
+        _purge_demo_dir,
         ensure_hdr_window_log,
         ensure_hll_window_log,
+        ensure_purged_events,
     )
 
     for tag, dir_fn, build in (
         ("hdr_window_log", _hdr_window_log_dir, ensure_hdr_window_log),
         ("hll_window_log", _hll_window_log_dir, ensure_hll_window_log),
+        # versioned purge table (q151): publish + purge is setup; the query
+        # measures the steady-state CDC audit read
+        ("purge_demo", _purge_demo_dir, ensure_purged_events),
     ):
         shutil.rmtree(dir_fn(sf_dir), ignore_errors=True)
         t0 = time.time()

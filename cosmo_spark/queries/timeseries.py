@@ -1582,3 +1582,111 @@ def q147_hll_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("event_type"),
         F.round("est", 3).alias("hll_est"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q151 — right-to-be-forgotten purge over the versioned store, with CDC audit  #
+# --------------------------------------------------------------------------- #
+
+#: deterministic deletion-request set: users whose id is divisible by 17
+#: (9 of 150 users at sf0.01 — request-sized, like a real GDPR queue)
+_Q151_TOMB_MOD = 17
+
+
+def _purge_demo_dir(sf_dir: str) -> str:
+    return _window_log_dir(sf_dir, "purge_demo")
+
+
+def ensure_purged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Build the purge demonstration table once per corpus identity:
+    publish v1 = the events table (bounded projection), then
+    ``purge_keys`` the tombstoned users -> v2.  Marker-gated like the
+    window-log builders; bench charges the build to setup and q151
+    measures the steady-state audit READ."""
+    import os
+
+    from cosmo_spark.sources.versioned import purge_keys, write_snapshot
+
+    base = _purge_demo_dir(sf_dir)
+    table = os.path.join(base, "events_versioned")
+    marker = os.path.join(base, "_BUILT")
+    if os.path.exists(marker):
+        return table
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_snapshot(ev, table)
+    tomb = ev.filter(F.col("user_id") % _Q151_TOMB_MOD == 0)
+    purge_keys(spark, table, "user_id", tomb)
+    open(marker, "w").close()
+    return table
+
+
+@register(
+    "q151_gdpr_purge_audit",
+    operators=("ST3", "J5", "A11"),
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purged,
+       CAST(0 AS BIGINT) AS n_remaining
+FROM events
+WHERE user_id % {_Q151_TOMB_MOD} = 0
+GROUP BY user_id
+""",
+)
+def q151_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user deletion audit of a right-to-be-forgotten purge, computed
+    FROM THE VERSIONED STORE (sources/versioned.purge_keys): the CDC diff
+    between the pre-purge and post-purge snapshots
+    (operators/merge.snapshot_diff) yields exactly the deleted keys'
+    rows, and a left anti-check against the CURRENT version proves no
+    tombstoned row survived — the oracle pins n_remaining to the
+    constant 0, so a buggy purge (any surviving row) is a hash mismatch,
+    not a silent pass.  Time travel keeps v1 readable until vacuum makes
+    the deletion physical (tests/test_versioned.py pins the
+    vacuum-erases-bytes property).
+
+    Scale shape: the audit reads two manifest-pinned parquet versions and
+    diffs on the key (bucketed at rest at 100 TB -> zipped per-bucket
+    join); the per-user rollup partial-combines.  The purge itself (in
+    setup) is one broadcast anti-join + rewrite — the unavoidable
+    physical-deletion cost on immutable storage.
+    """
+    from cosmo_spark.operators.merge import snapshot_diff
+    from cosmo_spark.sources.versioned import (
+        read_current,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    tune_session(spark)
+    table = ensure_purged_events(spark, sf_dir)
+    versions = snapshot_versions(table)
+    pre, post = versions[-2], versions[-1]
+    old = read_snapshot(spark, table, pre)
+    new = read_snapshot(spark, table, post)
+    # event_id is the row key; the diff's delete rows ARE the purged rows
+    deleted = snapshot_diff(old, new, "event_id").filter(
+        F.col("change_type") == "delete"
+    )
+    # re-attach user ids from the pre-purge version (the diff carries keys
+    # only — the wide row never rides the shuffle twice)
+    purged = deleted.join(
+        old.select("event_id", "user_id"), "event_id"
+    )
+    remaining = (
+        read_current(spark, table)
+        .filter(F.col("user_id") % _Q151_TOMB_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__rem"))
+    )
+    return (
+        purged.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purged"))
+        .join(remaining, "user_id", "left")
+        .select(
+            "user_id", "n_purged",
+            F.coalesce("__rem", F.lit(0)).cast("long").alias("n_remaining"),
+        )
+    )

@@ -312,3 +312,31 @@ def _vacuum_locked(
         )
         removed.append(e["version"])
     return removed
+
+
+def purge_keys(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    tombstones: DataFrame,
+) -> int:
+    """Right-to-be-forgotten delete: publish a new version of the table
+    with every row whose ``key_col`` appears in ``tombstones`` removed
+    (left-anti join — the tombstone side broadcasts when small, which a
+    deletion-request table always is).  Returns the new version id.
+
+    Versioning is what makes this auditable AND completable:
+    ``operators.merge.snapshot_diff(pre, post)`` is the per-key deletion
+    audit a compliance pipeline records, and ``vacuum_snapshots`` with the
+    pre-purge versions dropped is the step that makes the data PHYSICALLY
+    gone (time travel deliberately keeps it until then — the retention
+    window the regulation allows for rollback safety).
+
+    Scale shape: one anti-join keyed on ``key_col`` (broadcast for
+    request-sized tombstone sets) + one parquet rewrite — the unavoidable
+    cost of physical deletion on immutable storage; everything else is
+    manifest bookkeeping.
+    """
+    keys = tombstones.select(key_col).distinct()
+    cur = read_current(spark, table_path)
+    return write_snapshot(cur.join(keys, key_col, "left_anti"), table_path)
