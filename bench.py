@@ -116,9 +116,11 @@ def main() -> None:
     # windowed HDR register log (round-9 #5): built once by the streaming
     # maintainer; q146 measures the horizon READ, not the maintainer
     from cosmo_spark.queries.timeseries import (
+        _cms_window_log_dir,
         _hdr_window_log_dir,
         _hll_window_log_dir,
         _purge_demo_dir,
+        ensure_cms_window_log,
         ensure_hdr_window_log,
         ensure_hll_window_log,
         ensure_purged_events,
@@ -127,6 +129,7 @@ def main() -> None:
     for tag, dir_fn, build in (
         ("hdr_window_log", _hdr_window_log_dir, ensure_hdr_window_log),
         ("hll_window_log", _hll_window_log_dir, ensure_hll_window_log),
+        ("cms_window_log", _cms_window_log_dir, ensure_cms_window_log),
         # versioned purge table (q151): publish + purge is setup; the query
         # measures the steady-state CDC audit read
         ("purge_demo", _purge_demo_dir, ensure_purged_events),

@@ -1690,3 +1690,131 @@ def q151_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__rem", F.lit(0)).cast("long").alias("n_remaining"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q152 — CMS heavy-hitter horizon read over the windowed counter log           #
+# --------------------------------------------------------------------------- #
+
+def _cms_window_log_dir(sf_dir: str) -> str:
+    return _window_log_dir(sf_dir, "cms")
+
+
+def ensure_cms_window_log(spark: SparkSession, sf_dir: str) -> str:
+    """Build the per-(day) Count-Min counter log once via the real
+    streaming maintainer (stream_cms_counters_windowed) over the events
+    stream (event_type as the counted token); see ensure_hdr_window_log
+    for the contract."""
+    import os
+
+    from cosmo_spark.sources.tables import _normalize_ts
+    from cosmo_spark.streaming.sketches import stream_cms_counters_windowed
+
+    base = _cms_window_log_dir(sf_dir)
+    log = os.path.join(base, "log")
+    marker = os.path.join(base, "_BUILT")
+    if os.path.exists(marker):
+        return log
+    tune_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    prepared = _normalize_ts(stream).filter(
+        F.col("event_type").isNotNull()
+    ).select("event_type", "ts")
+    q = stream_cms_counters_windowed(
+        prepared, "event_type", "ts",
+        counter_path=log, checkpoint_dir=os.path.join(base, "ckpt"),
+        bucket="day",
+    )
+    q.awaitTermination()
+    open(marker, "w").close()
+    return log
+
+
+def _q152_oracle() -> str:
+    from cosmo_spark.operators.sketches import CMS_P, CMS_ROWS, CMS_W
+    from cosmo_spark.queries.textops import _DUCK_POLY
+
+    toks = (
+        "list_filter(string_split_regex(lower(event_type), '[^a-z0-9]+'), "
+        "t -> t <> '')"
+    )
+    th = _DUCK_POLY.replace("{X}", "tok")
+    hashed = " UNION ALL ".join(
+        f"SELECT {i} AS r, ((th * {a} + {b}) % {CMS_P}) % {CMS_W} AS bucket "
+        f"FROM tokh"
+        for i, (a, b) in enumerate(CMS_ROWS)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT tok, n_exact, {i} AS r, "
+        f"((th * {a} + {b}) % {CMS_P}) % {CMS_W} AS bucket FROM exacth"
+        for i, (a, b) in enumerate(CMS_ROWS)
+    )
+    return f"""
+WITH horizon AS (
+  SELECT {toks} AS toks FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND ts >= TIMESTAMP '{_Q146_SINCE}'
+), tok AS (SELECT unnest(toks) AS tok FROM horizon),
+tokh AS (SELECT tok, {th} AS th FROM tok),
+hashed AS ({hashed}),
+counters AS (
+  SELECT r, bucket, count(*) AS cnt FROM hashed GROUP BY r, bucket
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tokh GROUP BY tok
+), exacth AS (SELECT tok, n_exact, {th} AS th FROM exact),
+probes AS ({probes})
+SELECT p.tok AS token, p.n_exact,
+       min(COALESCE(c.cnt, 0)) AS cms_est
+FROM probes p LEFT JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+GROUP BY p.tok, p.n_exact
+"""
+
+
+@register("q152_cms_horizon", operators=("A11", "ST4", "ST5"),
+          oracle=_q152_oracle)
+def q152_cms_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'event frequencies since Jan 15' answered from the WINDOWED
+    Count-Min counter log — the heavy-hitter completion of the horizon
+    family (q146 quantiles, q147 distincts, this counts): the maintainer
+    accumulates per-day CMS counters; the horizon read SUMS exactly the
+    in-horizon windows' counters (CMS's additive merge algebra) and
+    probes them for every event-type token seen in the horizon.  The
+    oracle rebuilds the same counters from the in-horizon RAW rows
+    (q108's bit-exact arithmetic-hash discipline), so the windowed
+    merge-by-sum provably equals sketching the horizon directly;
+    n_exact rides along to show the overestimate bound.
+
+    Scale shape: state is 4 rows x 1024 counters per day — a 30-day
+    heavy-hitter dashboard costs a 16 KB-per-day scan no matter how many
+    events arrived; the probe side is an exploded handful of rows
+    broadcast against the merged counters."""
+    import datetime as _dt
+
+    from cosmo_spark.functions.text import poly_hash, tokenize
+    from cosmo_spark.operators.sketches import cms_probe_rows
+    from cosmo_spark.streaming.sketches import read_cms_counters_windowed
+
+    tune_session(spark)
+    log = ensure_cms_window_log(spark, sf_dir)
+    since = _dt.datetime.strptime(_Q146_SINCE, "%Y-%m-%d %H:%M:%S")
+    counters = read_cms_counters_windowed(spark, log, since=since)
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+        & (F.col("ts") >= F.lit(since))
+    ).select(F.explode(tokenize(F.col("event_type"))).alias("tok"))
+    exact = horizon.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    exacth = exact.select("tok", "n_exact", poly_hash(F.col("tok")).alias("th"))
+    probes = cms_probe_rows(exacth, ["tok", "n_exact"])
+    # broadcast the BUILD side (<= 4 x 1024 x days rows merged to 4 x 1024):
+    # the left-outer's preserved side cannot broadcast (q108 discipline)
+    return (
+        probes.join(F.broadcast(counters), ["r", "bucket"], "left")
+        .groupBy(F.col("tok").alias("token"), "n_exact")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

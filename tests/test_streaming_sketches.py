@@ -478,3 +478,44 @@ def test_q147_hll_horizon_survives_eviction(spark, tmp_path, monkeypatch):
         hll_distinct_estimates_windowed(spark, log, since=cutoff).collect()
     )
     assert full == horizon
+
+
+def test_q152_cms_horizon_survives_eviction(spark, tmp_path, monkeypatch):
+    """Heavy-hitter twin of the q146/q147 eviction gates: expiring every
+    pre-horizon CMS window leaves the horizon estimates bit-identical
+    (the additive merge never touches expired windows), and the
+    post-eviction full read equals the horizon read."""
+    import datetime as dt
+
+    import cosmo_spark.queries.timeseries as tsq
+    from cosmo_spark.queries import all_queries
+    from cosmo_spark.streaming.sketches import (
+        expire_windows,
+        read_cms_counters_windowed,
+    )
+
+    monkeypatch.setattr(
+        tsq, "_cms_window_log_dir", lambda sf_dir: str(tmp_path / "cmsw")
+    )
+    q = all_queries()["q152_cms_horizon"]
+    sf = "/root/testdata/sf0.001"
+    before = sorted(tuple(r) for r in q.spark_fn(spark, sf).collect())
+    assert before
+
+    cutoff = dt.datetime.strptime(tsq._Q146_SINCE, "%Y-%m-%d %H:%M:%S")
+    log = str(tmp_path / "cmsw" / "log")
+    expire_windows(spark, log, "cms", older_than=cutoff)
+
+    after = sorted(tuple(r) for r in q.spark_fn(spark, sf).collect())
+    assert after == before
+
+    full = sorted(
+        tuple(r)
+        for r in read_cms_counters_windowed(spark, log).collect()
+    )
+    horizon = sorted(
+        tuple(r)
+        for r in read_cms_counters_windowed(spark, log, since=cutoff)
+        .collect()
+    )
+    assert full == horizon
