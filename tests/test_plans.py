@@ -624,3 +624,40 @@ def test_q143_aggregates_before_any_window(spark, qs):
         "the cumulative window must run over the bucket-count aggregate"
     )
     assert "value" in pushed_filters(df)
+
+
+def test_q149_removal_shuffles_carry_bigints_only(spark, qs):
+    """Exact-substring removal must never shuffle text (the q91 sibling):
+    tokenization happens below the first exchange, every exchange key is
+    a BIGINT hash / packed position, and no window runs anywhere — the
+    keep-first tiebreak is a min() aggregate, the rebuild is a bounded
+    per-document fold."""
+    import re
+
+    df = qs["q149_substring_removal"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "windowspecdefinition" not in plan
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m, f"text column in exchange key: {m}"
+
+
+def test_q150_scoring_is_map_only_single_exchange(spark, qs):
+    """The trained-classifier scoring path is a map-only expression over a
+    broadcast weight literal: no join, no window, and exactly ONE exchange
+    — the partial-combined <=10-group calibration aggregate."""
+    df = qs["q150_quality_classifier"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan, "scoring must not join"
+    assert "windowspecdefinition" not in plan
+    import re
+
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 1, f"expected the single calibration exchange, got {n_ex}"
+
+
+def test_q152_probe_join_broadcasts_counters(spark, qs):
+    """The CMS horizon probe joins a handful of exploded probe rows
+    against the merged 4x1024 counter table — the counter side must
+    broadcast, never sort-merge."""
+    df = qs["q152_cms_horizon"].spark_fn(spark, SF)
+    assert plan_has(df, "BroadcastHashJoin", absent=("SortMergeJoin",)) == []
