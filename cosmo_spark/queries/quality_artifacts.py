@@ -157,3 +157,32 @@ def get_quality_weights() -> tuple[int, list[int]]:
         "no quality-classifier weights resolved — call "
         "resolve_quality_weights(spark, sf_dir) first"
     )
+
+
+#: coordinate quantization for integer-exact scoring: x_q = floor(x * 1e6)
+QUALITY_XQ = 10**6
+
+
+def margin_expr_spark(dim: int, w: list[int]) -> str:
+    """Spark SQL expression: the quantized classifier margin of the
+    ``embedding`` column under resolved weights — a pure-BIGINT dot
+    product (weights are 1e6-quantized ints, coordinates quantize to
+    floor(x * 1e6)), so both engines compute bit-identical margins."""
+    wlit = "array({})".format(", ".join(f"{v}L" for v in w[:dim]))
+    return (
+        f"aggregate(zip_with(transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        f"v -> CAST(floor(v * {QUALITY_XQ}) AS BIGINT)), {wlit}, "
+        f"(a, b) -> a * b), 0L, (a, b) -> a + b) "
+        f"+ CAST({w[dim]} AS BIGINT) * {QUALITY_XQ}"
+    )
+
+
+def margin_sql_duck(dim: int, w: list[int]) -> str:
+    """DuckDB twin of ``margin_expr_spark`` (same integer arithmetic)."""
+    wlit = "[" + ", ".join(str(v) for v in w[:dim]) + "]::BIGINT[]"
+    return (
+        f"(list_sum(list_transform(range(1, {dim + 1}), j -> "
+        f"({wlit})[j] * CAST(floor(CAST(embedding[j] AS DOUBLE) "
+        f"* {QUALITY_XQ}) AS BIGINT))) "
+        f"+ CAST({w[dim]} AS BIGINT) * {QUALITY_XQ})"
+    )

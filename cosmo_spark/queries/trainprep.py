@@ -1968,3 +1968,172 @@ def q132_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("kw"), F.lit(0)).alias("w_sampled"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q153 — model-filtered corpus build: classifier -> dedup -> token budget      #
+# --------------------------------------------------------------------------- #
+
+def _q153_oracle() -> str:
+    from cosmo_spark.functions.bpe import duck_bpe_train_ctes
+    from cosmo_spark.queries.bpe_artifacts import BPE_N_MERGES
+    from cosmo_spark.queries.quality_artifacts import (
+        get_quality_weights,
+        margin_sql_duck,
+    )
+
+    dim, w = get_quality_weights()
+    if dim == 0:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS source, "
+            "CAST(NULL AS BIGINT) AS n_candidates, "
+            "CAST(NULL AS BIGINT) AS n_model_kept, "
+            "CAST(NULL AS BIGINT) AS n_unique, "
+            "CAST(NULL AS BIGINT) AS token_budget WHERE FALSE"
+        )
+    ctes, final, _ = duck_bpe_train_ctes(_DUCK_TOKS, BPE_N_MERGES)
+    norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    th_doc = _DUCK_POLY.replace("{X}", norm)
+    return f"""
+WITH {", ".join(ctes)},
+tokcost AS (SELECT word, CAST(len(w) AS BIGINT) AS n_sym FROM {final}),
+cand AS (
+  SELECT d.doc_id, d.source, d.text,
+         CASE WHEN {margin_sql_duck(dim, w)} >= 0 THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE e.embedding IS NOT NULL AND len(e.embedding) = {dim}
+),
+hashed AS (SELECT doc_id, source, text, kept, {th_doc} AS th_doc FROM cand),
+reps AS (
+  SELECT th_doc, min(doc_id) AS rep_id FROM hashed WHERE kept = 1
+  GROUP BY th_doc
+),
+flags AS (
+  SELECT h.doc_id, h.source, h.text, h.kept,
+         CASE WHEN r.rep_id = h.doc_id THEN 1 ELSE 0 END AS is_rep
+  FROM hashed h LEFT JOIN reps r USING (th_doc)
+),
+doctok AS (
+  SELECT f.doc_id, CAST(sum(t.n_sym) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS word
+        FROM flags WHERE is_rep = 1) f
+  JOIN tokcost t USING (word) GROUP BY f.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(kept) AS BIGINT) AS n_model_kept,
+       CAST(sum(is_rep) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN is_rep = 1
+                     THEN COALESCE(d.n_tokens, 0) ELSE 0 END) AS BIGINT)
+         AS token_budget
+FROM flags LEFT JOIN doctok d USING (doc_id)
+GROUP BY source
+"""
+
+
+@register("q153_model_corpus_build", operators=("TXT2", "TXT3", "DD1", "J1"),
+          oracle=_q153_oracle)
+def q153_model_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 capstone: a corpus build whose every stage is a TRAINED
+    artifact rather than a heuristic — the FineWeb-Edu-shaped pipeline.
+    Documents join their embeddings, the LEARNED quality classifier
+    (q150's weights, integer-exact margins) keeps predicted-positive
+    docs, exact dedup (q20 semantics: min doc_id per normalized-text
+    hash) elects representatives among the kept, and the surviving
+    corpus is priced in LEARNED-tokenizer tokens (q144's merges applied
+    per distinct word, q148 semantics).  Per source: candidate count,
+    model-kept count, post-dedup count, and the token budget a trainer
+    would actually consume.
+
+    The oracle replays ALL of it — BPE training included — from raw
+    tables, so a drift in any composed stage is a red row here even if
+    the stage's own query stays green.
+
+    Scale shape: the doc-embedding join is keyed 1:1 on doc_id (bucketed
+    at rest at 100 TB); scoring is the map-only BIGINT dot product;
+    dedup shuffles (hash, id) only; the tokenizer chain runs over the
+    DISTINCT-word vocabulary and broadcasts per-word costs back; the
+    final rollup partial-combines to |sources| rows.
+    """
+    from cosmo_spark.functions.bpe import spark_bpe_pass
+    from cosmo_spark.operators.dedup import normalize_text
+    from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges
+    from cosmo_spark.queries.quality_artifacts import (
+        margin_expr_spark,
+        resolve_quality_weights,
+    )
+
+    dim, w = resolve_quality_weights(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    if dim == 0:
+        return spark.createDataFrame(
+            [], "source string, n_candidates long, n_model_kept long, "
+                "n_unique long, token_budget long"
+        )
+    cand = (
+        d.join(
+            e.filter(
+                F.col("embedding").isNotNull()
+                & (F.size("embedding") == dim)
+            ).select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "source", "text",
+            F.when(F.expr(margin_expr_spark(dim, w)) >= 0, 1)
+            .otherwise(0).alias("kept"),
+        )
+    )
+    hashed = cand.withColumn(
+        "th_doc", poly_hash(normalize_text(F.col("text")))
+    ).persist()
+    reps = (
+        hashed.filter(F.col("kept") == 1)
+        .groupBy("th_doc")
+        .agg(F.min("doc_id").alias("rep_id"))
+    )
+    flags = hashed.join(reps, "th_doc", "left").select(
+        "doc_id", "source", "text", "kept",
+        F.when(F.col("rep_id") == F.col("doc_id"), 1).otherwise(0)
+        .alias("is_rep"),
+    ).persist()
+    # learned per-word token costs over the representatives' vocabulary
+    # (q148 discipline: merge passes run vocabulary-sized, costs broadcast)
+    rules = resolve_bpe_merges(spark, sf_dir)
+    words = flags.filter(F.col("is_rep") == 1).select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    cur = words.select("word").distinct().select(
+        "word",
+        F.expr(
+            "transform(sequence(1, char_length(word)), "
+            "i -> substring(word, i, 1))"
+        ).alias("w"),
+    )
+    for a, b, _cnt in rules:
+        c, m, out = spark_bpe_pass("w", a, b)
+        cur = cur.select("word", "w", F.expr(c).alias("c"))
+        cur = cur.select("word", "w", F.expr(m("c")).alias("m"))
+        # per-pass barrier: the q97/q148 HOF-inlining guard
+        cur = cur.select("word", F.expr(out("m")).alias("w")).localCheckpoint()
+    tokcost = cur.select("word", F.size("w").cast("long").alias("n_sym"))
+    doctok = (
+        words.join(F.broadcast(tokcost), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").alias("n_tokens"))
+    )
+    return (
+        flags.join(doctok, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("kept").cast("long").alias("n_model_kept"),
+            F.sum("is_rep").cast("long").alias("n_unique"),
+            F.sum(
+                F.when(F.col("is_rep") == 1,
+                       F.coalesce(F.col("n_tokens"), F.lit(0)))
+                .otherwise(0)
+            ).cast("long").alias("token_budget"),
+        )
+    )

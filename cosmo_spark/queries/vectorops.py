@@ -823,9 +823,6 @@ def q145_incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q150 — trained quality classifier: corpus scoring + calibration table        #
 # --------------------------------------------------------------------------- #
 
-#: coordinate quantization for integer-exact scoring: x_q = floor(x * 1e6)
-_Q150_XQ = 10**6
-
 #: fixed probability-band cutoffs in quantized-margin units: margin_q is in
 #: (weight_quant * _Q150_XQ) = 1e12 units of the true logit, so the band
 #: edges are logit(k/10) * 1e12 — integer constants shared verbatim by both
@@ -836,19 +833,11 @@ _Q150_CUTS = tuple(
 )
 
 
-def _q150_margin_sql(dim: int, w: list[int]) -> str:
-    """DuckDB quantized-margin expression for resolved weights."""
-    wlit = "[" + ", ".join(str(v) for v in w[:dim]) + "]::BIGINT[]"
-    return (
-        f"(list_sum(list_transform(range(1, {dim + 1}), j -> "
-        f"({wlit})[j] * CAST(floor(CAST(embedding[j] AS DOUBLE) "
-        f"* {_Q150_XQ}) AS BIGINT))) "
-        f"+ CAST({w[dim]} AS BIGINT) * {_Q150_XQ})"
-    )
-
-
 def _q150_oracle() -> str:
-    from cosmo_spark.queries.quality_artifacts import get_quality_weights
+    from cosmo_spark.queries.quality_artifacts import (
+        get_quality_weights,
+        margin_sql_duck,
+    )
 
     dim, w = get_quality_weights()
     if dim == 0:
@@ -862,7 +851,7 @@ def _q150_oracle() -> str:
     )
     return f"""
 WITH s0 AS (
-  SELECT {_q150_margin_sql(dim, w)} AS mq, label
+  SELECT {margin_sql_duck(dim, w)} AS mq, label
   FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) = {dim}
 ),
@@ -916,15 +905,9 @@ def q150_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         return e.sparkSession.createDataFrame(
             [], "band int, n long, n_pos long, pos_rate double"
         )
-    wlit = "array({})".format(
-        ", ".join(f"{v}L" for v in w[:dim])
-    )
-    mq = (
-        f"aggregate(zip_with(transform(CAST(embedding AS ARRAY<DOUBLE>), "
-        f"v -> CAST(floor(v * {_Q150_XQ}) AS BIGINT)), {wlit}, "
-        f"(a, b) -> a * b), 0L, (a, b) -> a + b) "
-        f"+ CAST({w[dim]} AS BIGINT) * {_Q150_XQ}"
-    )
+    from cosmo_spark.queries.quality_artifacts import margin_expr_spark
+
+    mq = margin_expr_spark(dim, w)
     band = " + ".join(
         f"(CASE WHEN mq >= {c}L THEN 1 ELSE 0 END)" for c in _Q150_CUTS
     )
