@@ -281,6 +281,7 @@ def train_logreg(
     lr: float = 2.0,
     grad_quant: int = 10**8,
     weight_quant: int = 10**6,
+    sample_mod: int | None = None,
 ) -> tuple[list[int], int]:
     """Distributed logistic-regression training by full-batch gradient
     descent — the FineWeb-Edu-class "train a linear quality classifier,
@@ -299,11 +300,14 @@ def train_logreg(
 
     Scale shape: n_iter linear scans, each a partial-combining aggregate
     of dim+2 BIGINT columns — no shuffle wider than one row of sums, no
-    driver state beyond the weights.  At 100 TB you would train on a
-    bounded sample (the PQ-codebook discipline: classifiers are trained
-    on 1e5-1e6 labeled rows even for 1e10-row corpora) and spend the
-    full-corpus scans on SCORING only; the trainer takes whatever ``df``
-    the caller bounds.
+    driver state beyond the weights.  At 100 TB pass ``sample_mod``: the
+    trainer then sees only rows whose content hash is ≡ 0 (mod
+    sample_mod) — the PQ-codebook bounded-sample discipline (classifiers
+    train on 1e5-1e6 labeled rows even for 1e10-row corpora; spend the
+    full-corpus scans on SCORING).  The sample is content-keyed
+    (xxhash64 of the vector), so it is deterministic under any
+    partitioning and invariant to file layout — the same determinism
+    contract as the full-corpus path.
 
     Rows with a NULL/ragged vector or NULL label are excluded from
     training (the adversarial-sweep corpora inject exactly those).
@@ -316,6 +320,8 @@ def train_logreg(
     if not first:
         return [], 0
     dim = int(first[0].d)
+    if sample_mod is not None and sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col(vec_col)), sample_mod) == 0)
     clean = df.filter(
         F.col(vec_col).isNotNull()
         & (F.size(vec_col) == dim)

@@ -151,3 +151,34 @@ def test_q150_bands_are_fixed_logit_cutoffs():
         expect = round(math.log((k / 10) / (1 - k / 10)) * 10**12)
         assert c == expect
     assert list(_Q150_CUTS) == sorted(_Q150_CUTS)
+
+
+def test_bounded_sample_training_is_deterministic_and_learns(spark):
+    """The 100 TB discipline in the engine, not just the docstring:
+    content-hash bounded-sample training (sample_mod) is bit-deterministic
+    under repartitioning and still learns the planted signal from the
+    subsample."""
+    X, y = _planted(n=1200, d=8, seed=11)
+    df = _df(spark, X, y)
+    w1, d1 = train_logreg(
+        df.repartition(3), label_col="y", n_iter=24, sample_mod=3
+    )
+    w2, d2 = train_logreg(
+        df.repartition(13), label_col="y", n_iter=24, sample_mod=3
+    )
+    assert (w1, d1) == (w2, d2)
+    # sampled training differs from full-corpus training (it really did
+    # subsample) ...
+    wf, _ = train_logreg(df, label_col="y", n_iter=24)
+    assert w1 != wf
+    # ... and still learns: AUC over ALL rows
+    w = np.array(w1[:d1]) / 1e6
+    s = X @ w + w1[d1] / 1e6
+    order = np.argsort(s)
+    ranks = np.empty(len(s))
+    ranks[order] = np.arange(1, len(s) + 1)
+    pos = y == 1
+    auc = (ranks[pos].sum() - pos.sum() * (pos.sum() + 1) / 2) / (
+        pos.sum() * (len(y) - pos.sum())
+    )
+    assert auc > 0.9, f"AUC {auc:.3f} from 1/3 sample"
