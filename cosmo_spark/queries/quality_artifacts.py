@@ -161,6 +161,8 @@ def get_quality_weights() -> tuple[int, list[int]]:
 
 #: coordinate quantization for integer-exact scoring: x_q = floor(x * 1e6)
 QUALITY_XQ = 10**6
+#: quantized-coordinate clamp (double domain, pre-cast): 2^31
+XQ_CLAMP = 2**31
 
 
 def margin_expr_spark(dim: int, w: list[int]) -> str:
@@ -169,9 +171,17 @@ def margin_expr_spark(dim: int, w: list[int]) -> str:
     product (weights are 1e6-quantized ints, coordinates quantize to
     floor(x * 1e6)), so both engines compute bit-identical margins."""
     wlit = "array({})".format(", ".join(f"{v}L" for v in w[:dim]))
+    # clamp in the DOUBLE domain before the BIGINT cast: an out-of-range
+    # coordinate would wrap in Spark's non-ANSI cast but ERROR in DuckDB
+    # (the round-8 _encode_quantized lesson); +-2^31 keeps every product
+    # within BIGINT for any lr-bounded weight magnitude
+    xq = (
+        f"v -> CAST(floor(greatest(least(v * {QUALITY_XQ}, {XQ_CLAMP}D), "
+        f"-{XQ_CLAMP}D)) AS BIGINT)"
+    )
     return (
         f"aggregate(zip_with(transform(CAST(embedding AS ARRAY<DOUBLE>), "
-        f"v -> CAST(floor(v * {QUALITY_XQ}) AS BIGINT)), {wlit}, "
+        f"{xq}), {wlit}, "
         f"(a, b) -> a * b), 0L, (a, b) -> a + b) "
         f"+ CAST({w[dim]} AS BIGINT) * {QUALITY_XQ}"
     )
@@ -182,7 +192,9 @@ def margin_sql_duck(dim: int, w: list[int]) -> str:
     wlit = "[" + ", ".join(str(v) for v in w[:dim]) + "]::BIGINT[]"
     return (
         f"(list_sum(list_transform(range(1, {dim + 1}), j -> "
-        f"({wlit})[j] * CAST(floor(CAST(embedding[j] AS DOUBLE) "
-        f"* {QUALITY_XQ}) AS BIGINT))) "
+        f"({wlit})[j] * CAST(floor(greatest(least("
+        f"CAST(embedding[j] AS DOUBLE) * {QUALITY_XQ}, "
+        f"CAST({XQ_CLAMP} AS DOUBLE)), CAST(-{XQ_CLAMP} AS DOUBLE))) "
+        f"AS BIGINT))) "
         f"+ CAST({w[dim]} AS BIGINT) * {QUALITY_XQ})"
     )
