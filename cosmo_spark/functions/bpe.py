@@ -159,3 +159,31 @@ def duck_bpe_train_ctes(toks_expr: str, n_merges: int, table: str = "documents")
         ctes.append(f"r{k} AS (SELECT word, freq, {out('m')} AS w FROM r{k}m)")
         prev = f"r{k}"
     return ctes, prev, best_names
+
+
+def learned_token_costs(words, rules):
+    """Per-word learned-token cost table: distinct words of ``words`` (a
+    DataFrame with a ``word`` column) run through ``rules`` in learned
+    order via :func:`spark_bpe_pass`, returning (word, n_sym BIGINT).
+
+    The shared apply chain behind q148 and q153 — merge passes run over
+    the DISTINCT-word vocabulary (Heaps-law-sized, never the corpus), and
+    the per-pass localCheckpoint is the HOF-inlining barrier q97
+    documents (Catalyst's CollapseProject otherwise inlines every pass's
+    non-collapse-cheap nested lambdas into the next; measured >100 s vs
+    ~1 s at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    cur = words.select("word").distinct().select(
+        "word",
+        F.expr(
+            "transform(sequence(1, char_length(word)), "
+            "i -> substring(word, i, 1))"
+        ).alias("w"),
+    )
+    for a, b, _cnt in rules:
+        c, m, out = spark_bpe_pass("w", a, b)
+        cur = cur.select("word", "w", F.expr(c).alias("c"))
+        cur = cur.select("word", "w", F.expr(m("c")).alias("m"))
+        cur = cur.select("word", F.expr(out("m")).alias("w")).localCheckpoint()
+    return cur.select("word", F.size("w").cast("long").alias("n_sym"))

@@ -309,13 +309,23 @@ def train_logreg(
     partitioning and invariant to file layout — the same determinism
     contract as the full-corpus path.
 
-    Rows with a NULL/ragged vector or NULL label are excluded from
-    training (the adversarial-sweep corpora inject exactly those).
-    Returns ``(quantized_weights, dim)`` where ``len(weights) == dim+1``.
+    Rows with a NULL/ragged vector, NULL/NaN elements, or a NULL label
+    are excluded from training (the adversarial-sweep corpora inject
+    exactly those; a null element would otherwise drop its gradient
+    terms while still inflating the row count n).  ``dim`` is the most
+    frequent well-formed vector size (tie-break: smallest) — a
+    deterministic MODE aggregate, never a partition-order-dependent
+    first-row probe, so a ragged corpus trains on the same majority
+    slice under any layout.  Returns ``(quantized_weights, dim)`` where
+    ``len(weights) == dim+1``.
     """
     first = (
         df.filter(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("d")).limit(1).collect()
+        .groupBy(F.size(vec_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("d"))
+        .limit(1)
+        .collect()
     )
     if not first:
         return [], 0
@@ -326,6 +336,9 @@ def train_logreg(
         F.col(vec_col).isNotNull()
         & (F.size(vec_col) == dim)
         & F.col(label_col).isNotNull()
+        & ~F.expr(
+            f"exists({vec_col}, e -> e IS NULL OR isnan(CAST(e AS DOUBLE)))"
+        )
     ).select(
         as_double(F.col(vec_col)).alias("x"),
         F.col(label_col).cast("double").alias("y"),
@@ -340,14 +353,17 @@ def train_logreg(
             f"aggregate(zip_with(x, {w_lit}, (a, b) -> a * b), "
             f"CAST(0 AS DOUBLE), (a, b) -> a + b) + CAST({w[dim]!r} AS DOUBLE)"
         )
+        # err is projected ONCE per row: inlining it inside the transform
+        # lambda would re-evaluate the O(dim) margin fold per element —
+        # O(dim^2)/row (Spark does not hoist loop-invariant HOF subtrees)
         err = f"(1.0 / (1.0 + exp(-({margin}))) - y)"
-        g = clean.select(
+        g = clean.select("x", F.expr(err).alias("e")).select(
             F.expr(
-                f"transform(x, v -> CAST(floor(v * {err} * {grad_quant}) "
+                f"transform(x, v -> CAST(floor(v * e * {grad_quant}) "
                 f"AS BIGINT))"
             ).alias("gx"),
             F.expr(
-                f"CAST(floor({err} * {grad_quant}) AS BIGINT)"
+                f"CAST(floor(e * {grad_quant}) AS BIGINT)"
             ).alias("g0"),
         )
         sums = g.agg(

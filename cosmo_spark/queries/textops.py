@@ -1317,10 +1317,13 @@ def q91_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q149 — exact-substring removal: elide duplicated spans, rewrite documents    #
 # --------------------------------------------------------------------------- #
 
-#: position packing for the keep-first tiebreak: doc_id * KEY + start must be
-#: injective, so KEY only needs to exceed the longest document's token count
-#: (corpus docs are a few hundred tokens; 1e6 leaves 4 orders of headroom)
-_Q149_KEY = 1_000_000
+# keep-first tiebreak key: a lexicographic (doc_id, start) STRUCT min —
+# injective at ANY document length (a packed doc_id*K + start bigint loses
+# injectivity for docs with >= K tokens and elects a wrong keeper with the
+# oracle agreeing, so parity could not catch it).  Null doc_ids are mapped
+# to a NULL key so they never keep and never remove, identically in both
+# engines (struct null-FIELD ordering differs across engines; whole-NULL
+# keys are simply ignored by min and by the <> filter).
 
 
 @register(
@@ -1330,16 +1333,17 @@ _Q149_KEY = 1_000_000
 WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 th AS (SELECT doc_id, {_DUCK_TOK_HASHES} AS hs FROM tl),
 occ AS (
-  SELECT doc_id, i, {_duck_span_fold(_SPAN_N)} AS h
+  SELECT doc_id, i, {_duck_span_fold(_SPAN_N)} AS h,
+         CASE WHEN doc_id IS NULL THEN NULL ELSE ROW(doc_id, i) END AS k
   FROM th, unnest(range(1, greatest(len(hs) - {_SPAN_N} + 2, 1))) AS r(i)
 ),
 dup AS (
-  SELECT h, min(doc_id * {_Q149_KEY} + i) AS keeper
+  SELECT h, min(k) AS keeper
   FROM occ GROUP BY h HAVING count(*) >= 2
 ),
 rem AS (
   SELECT o.doc_id, o.i FROM occ o JOIN dup d USING (h)
-  WHERE o.doc_id * {_Q149_KEY} + o.i <> d.keeper
+  WHERE o.k <> d.keeper
 ),
 cov AS (SELECT DISTINCT doc_id, i + j AS p
         FROM rem, unnest(range(0, {_SPAN_N})) AS r(j)),
@@ -1398,7 +1402,10 @@ def q149_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("s"),
     ).select(
         "doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h"),
-        (F.col("doc_id") * _Q149_KEY + F.col("s.i")).alias("k"),
+        F.when(
+            F.col("doc_id").isNotNull(),
+            F.struct(F.col("doc_id"), F.col("s.i").alias("i")),
+        ).alias("k"),
     ).persist()
     dup = spans.groupBy("h").agg(
         F.count(F.lit(1)).alias("__c"), F.min("k").alias("__keeper")
@@ -2365,25 +2372,13 @@ def q148_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     web scale; shuffle-join on word is the fallback when it does not),
     and the only corpus-wide work is one tokenize + one per-doc sum.
     """
-    from cosmo_spark.functions.bpe import spark_bpe_pass
+    from cosmo_spark.functions.bpe import learned_token_costs
     from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges
 
     rules = resolve_bpe_merges(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
-    cur = words.select("word").distinct().select(
-        "word",
-        F.expr(
-            "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
-        ).alias("w"),
-    )
-    for a, b, _cnt in rules:
-        c, m, out = spark_bpe_pass("w", a, b)
-        cur = cur.select("word", "w", F.expr(c).alias("c"))
-        cur = cur.select("word", "w", F.expr(m("c")).alias("m"))
-        # per-pass barrier: the q97 HOF-inlining guard, vocabulary-sized
-        cur = cur.select("word", F.expr(out("m")).alias("w")).localCheckpoint()
-    tok = cur.select("word", F.size("w").cast("long").alias("n_sym"))
+    tok = learned_token_costs(words, rules)
     return words.join(F.broadcast(tok), "word").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_sym").alias("n_tokens"),

@@ -2055,7 +2055,7 @@ def q153_model_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT-word vocabulary and broadcasts per-word costs back; the
     final rollup partial-combines to |sources| rows.
     """
-    from cosmo_spark.functions.bpe import spark_bpe_pass
+    from cosmo_spark.functions.bpe import learned_token_costs
     from cosmo_spark.operators.dedup import normalize_text
     from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges
     from cosmo_spark.queries.quality_artifacts import (
@@ -2104,20 +2104,7 @@ def q153_model_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = flags.filter(F.col("is_rep") == 1).select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
     )
-    cur = words.select("word").distinct().select(
-        "word",
-        F.expr(
-            "transform(sequence(1, char_length(word)), "
-            "i -> substring(word, i, 1))"
-        ).alias("w"),
-    )
-    for a, b, _cnt in rules:
-        c, m, out = spark_bpe_pass("w", a, b)
-        cur = cur.select("word", "w", F.expr(c).alias("c"))
-        cur = cur.select("word", "w", F.expr(m("c")).alias("m"))
-        # per-pass barrier: the q97/q148 HOF-inlining guard
-        cur = cur.select("word", F.expr(out("m")).alias("w")).localCheckpoint()
-    tokcost = cur.select("word", F.size("w").cast("long").alias("n_sym"))
+    tokcost = learned_token_costs(words, rules)
     doctok = (
         words.join(F.broadcast(tokcost), "word")
         .groupBy("doc_id")

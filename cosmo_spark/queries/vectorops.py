@@ -7,6 +7,8 @@ sides).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -828,8 +830,7 @@ def q145_incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: edges are logit(k/10) * 1e12 — integer constants shared verbatim by both
 #: engines (band membership is a pure BIGINT comparison)
 _Q150_CUTS = tuple(
-    round(__import__("math").log((k / 10) / (1 - k / 10)) * 10**12)
-    for k in range(1, 10)
+    round(math.log((k / 10) / (1 - k / 10)) * 10**12) for k in range(1, 10)
 )
 
 

@@ -145,12 +145,16 @@ def test_resolve_caches_new_corpus(spark, tmp_path, monkeypatch):
 
 
 def test_q150_bands_are_fixed_logit_cutoffs():
+    """Hand-pinned band edges (logit(k/10) in 1e12 margin units) — NOT
+    recomputed from the generator expression, which would be tautological:
+    these literals were verified once against scipy.special.logit and pin
+    both the formula AND the 1e12 scale."""
     from cosmo_spark.queries.vectorops import _Q150_CUTS
 
-    for k, c in enumerate(_Q150_CUTS, start=1):
-        expect = round(math.log((k / 10) / (1 - k / 10)) * 10**12)
-        assert c == expect
-    assert list(_Q150_CUTS) == sorted(_Q150_CUTS)
+    assert _Q150_CUTS == (
+        -2197224577336, -1386294361120, -847297860387, -405465108108,
+        0, 405465108108, 847297860387, 1386294361120, 2197224577336,
+    )
 
 
 def test_bounded_sample_training_is_deterministic_and_learns(spark):
