@@ -186,3 +186,30 @@ def test_bounded_sample_training_is_deterministic_and_learns(spark):
         pos.sum() * (len(y) - pos.sum())
     )
     assert auc > 0.9, f"AUC {auc:.3f} from 1/3 sample"
+
+
+def test_ragged_corpus_dim_is_partition_invariant(spark):
+    """Finding-1 regression: dim comes from a mode aggregate, so a
+    mixed-dim corpus picks the majority size and trains identically
+    under any partitioning (a limit(1) probe flipped with layout)."""
+    X, y = _planted(n=90, d=8)
+    rows = [
+        (int(i), [float(v) for v in X[i]], int(y[i])) for i in range(90)
+    ] + [
+        (1000 + j, [0.5, -0.5, 0.25, -0.25], j % 2) for j in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<double>, y int"
+    )
+    w1, d1 = train_logreg(df.repartition(3), label_col="y", n_iter=4)
+    w2, d2 = train_logreg(df.repartition(17), label_col="y", n_iter=4)
+    assert d1 == d2 == 8
+    assert w1 == w2
+    # NULL/NaN-element vectors are excluded, not silently biased
+    bad = spark.createDataFrame(
+        [(1, [1.0, None], 1), (2, [float("nan"), 0.0], 0),
+         (3, [0.5, 0.5], 1), (4, [-0.5, 0.2], 0)],
+        "id long, embedding array<double>, y int",
+    )
+    w, dim = train_logreg(bad, label_col="y", n_iter=2)
+    assert dim == 2 and len(w) == 3
