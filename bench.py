@@ -119,10 +119,12 @@ def main() -> None:
         _cms_window_log_dir,
         _hdr_window_log_dir,
         _hll_window_log_dir,
+        _kmv_window_log_dir,
         _purge_demo_dir,
         ensure_cms_window_log,
         ensure_hdr_window_log,
         ensure_hll_window_log,
+        ensure_kmv_window_log,
         ensure_purged_events,
     )
 
@@ -130,6 +132,7 @@ def main() -> None:
         ("hdr_window_log", _hdr_window_log_dir, ensure_hdr_window_log),
         ("hll_window_log", _hll_window_log_dir, ensure_hll_window_log),
         ("cms_window_log", _cms_window_log_dir, ensure_cms_window_log),
+        ("kmv_window_log", _kmv_window_log_dir, ensure_kmv_window_log),
         # versioned purge table (q151): publish + purge is setup; the query
         # measures the steady-state CDC audit read
         ("purge_demo", _purge_demo_dir, ensure_purged_events),

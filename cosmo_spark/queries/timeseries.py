@@ -1818,3 +1818,268 @@ def q152_cms_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("tok").alias("token"), "n_exact")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# q154 — KMV horizon set algebra over the windowed value log                   #
+# --------------------------------------------------------------------------- #
+
+def _kmv_window_log_dir(sf_dir: str) -> str:
+    return _window_log_dir(sf_dir, "kmv")
+
+
+def ensure_kmv_window_log(spark: SparkSession, sf_dir: str) -> str:
+    """Build the per-(event_type, day) KMV value log once via the real
+    streaming maintainer (stream_kmv_values_windowed) over the events
+    stream (user_id as the counted value); see ensure_hdr_window_log for
+    the contract."""
+    import os
+
+    from cosmo_spark.sources.tables import _normalize_ts
+    from cosmo_spark.streaming.sketches import stream_kmv_values_windowed
+
+    base = _kmv_window_log_dir(sf_dir)
+    log = os.path.join(base, "log")
+    marker = os.path.join(base, "_BUILT")
+    if os.path.exists(marker):
+        return log
+    tune_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    prepared = _normalize_ts(stream).filter(
+        F.col("event_type").isNotNull()
+    ).select(
+        "event_type", "ts", F.col("user_id").cast("string").alias("user_s")
+    )
+    q = stream_kmv_values_windowed(
+        prepared, "event_type", "user_s", "ts",
+        value_path=log, checkpoint_dir=os.path.join(base, "ckpt"),
+        bucket="day",
+    )
+    q.awaitTermination()
+    open(marker, "w").close()
+    return log
+
+
+def _q154_oracle() -> str:
+    from cosmo_spark.operators.sketches import KMV_K, KMV_P
+    from cosmo_spark.queries.textops import _DUCK_POLY
+
+    numer = (KMV_K - 1) * KMV_P
+    h = _DUCK_POLY.replace("{X}", "CAST(user_id AS VARCHAR)")
+    est = (
+        f"CASE WHEN {{n}} < {KMV_K} THEN CAST({{n}} AS DOUBLE) "
+        f"ELSE CAST({numer} AS DOUBLE) / CAST({{hk}} AS DOUBLE) END"
+    )
+    return f"""
+WITH hs AS (
+  SELECT DISTINCT event_type AS key, {h} AS h FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND ts >= TIMESTAMP '{_Q146_SINCE}'
+),
+ranked AS (
+  SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS r
+  FROM hs
+), sk AS (SELECT key, h FROM ranked WHERE r <= {KMV_K}),
+stats AS (SELECT key, count(*) AS n_sk, max(h) AS hk FROM sk GROUP BY key),
+nex AS (SELECT key, count(*) AS n_exact FROM hs GROUP BY key),
+per_key AS (
+  SELECT s.key AS scope, n.n_exact, {est.format(n="s.n_sk", hk="s.hk")} AS est
+  FROM stats s JOIN nex n USING (key)
+),
+pairs AS (
+  SELECT a.key AS sa, b.key AS sb, a.n_exact AS na, b.n_exact AS nb
+  FROM nex a JOIN nex b ON a.key < b.key
+),
+merged AS (
+  SELECT DISTINCT sa, sb, h FROM (
+    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.key = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.key = p.sb
+  )
+),
+mrank AS (
+  SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+  FROM merged
+), msk AS (SELECT sa, sb, h FROM mrank WHERE r <= {KMV_K}),
+ustats AS (
+  SELECT sa, sb, count(*) AS n_um, max(h) AS huk FROM msk GROUP BY sa, sb
+),
+both_ AS (
+  SELECT m.sa, m.sb, count(*) AS c
+  FROM msk m
+  JOIN sk x ON x.key = m.sa AND x.h = m.h
+  JOIN sk y ON y.key = m.sb AND y.h = m.h
+  GROUP BY m.sa, m.sb
+),
+iex AS (
+  SELECT a.key AS sa, b.key AS sb, count(*) AS n_int
+  FROM hs a JOIN hs b ON a.h = b.h AND a.key < b.key
+  GROUP BY 1, 2
+),
+pair_est AS (
+  SELECT p.sa, p.sb,
+         p.na + p.nb - coalesce(i.n_int, 0) AS n_union,
+         coalesce(i.n_int, 0) AS n_int,
+         u.n_um, coalesce(b.c, 0) AS c,
+         {est.format(n="u.n_um", hk="u.huk")} AS uest
+  FROM pairs p
+  JOIN ustats u ON u.sa = p.sa AND u.sb = p.sb
+  LEFT JOIN both_ b ON b.sa = p.sa AND b.sb = p.sb
+  LEFT JOIN iex i ON i.sa = p.sa AND i.sb = p.sb
+),
+unioned AS (
+  SELECT scope, n_exact, est FROM per_key
+  UNION ALL
+  SELECT sa || '|' || sb || '|union', n_union, uest FROM pair_est
+  UNION ALL
+  SELECT sa || '|' || sb || '|intersect', n_int,
+         CASE WHEN n_um < {KMV_K} THEN CAST(c AS DOUBLE)
+              ELSE (CAST(c AS DOUBLE) / {KMV_K}) * uest END
+  FROM pair_est
+)
+SELECT scope, n_exact, round(est, 3) AS kmv_est,
+       CASE WHEN n_exact > 0
+            THEN round(100.0 * (est - n_exact) / n_exact, 3) END AS err_pct
+FROM unioned
+"""
+
+
+@register("q154_kmv_horizon", operators=("A12", "A14", "ST4", "ST5"),
+          oracle=_q154_oracle)
+def q154_kmv_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ALGEBRA over the horizon — the read only KMV can serve, closing
+    the windowed family across all four register algebras (q146 HDR
+    quantiles, q147 HLL distincts, q152 CMS counts, this one): 'of the
+    users active since Jan 15, how many did event types A and B SHARE?'
+    The maintainer keeps per-(event_type, day) k-smallest user-hash
+    values; the horizon read union-distincts the in-horizon windows and
+    re-selects (k-smallest of a union of per-window k-smallest IS the
+    k-smallest of the union — the KMV merge identity), then runs the
+    q110 theta algebra: per-key distinct estimates, pairwise union
+    (kth smallest of the merged sketch), and pairwise intersection
+    (inclusion fraction scaled by the union estimate), with exact
+    counts alongside.  The oracle rebuilds the same sketches from the
+    in-horizon RAW rows, so the windowed merge provably equals
+    sketching the horizon directly.
+
+    Scale shape: state is <= k values per (key, day) — 512 bytes per
+    cell; every estimate and every pair estimate runs over 64-row
+    sketches, so a cross-segment overlap dashboard costs sketch-sized
+    joins no matter how many events arrived.  The only raw-row work is
+    the exact-count columns the demonstration carries.
+    """
+    import datetime as _dt
+
+    from pyspark.sql.window import Window as _W
+
+    from cosmo_spark.functions.text import poly_hash
+    from cosmo_spark.operators.sketches import KMV_K, KMV_P
+    from cosmo_spark.streaming.sketches import read_kmv_values_windowed
+
+    tune_session(spark)
+    log = ensure_kmv_window_log(spark, sf_dir)
+    since = _dt.datetime.strptime(_Q146_SINCE, "%Y-%m-%d %H:%M:%S")
+    sk = read_kmv_values_windowed(spark, log, since=since)
+    ev = _t(spark, sf_dir, "events")
+    hs = (
+        ev.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull() & (F.col("ts") >= F.lit(since))
+        )
+        .select(
+            F.col("event_type").alias("key"),
+            poly_hash(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    numer = F.lit((KMV_K - 1) * KMV_P).cast("double")
+
+    def est(n_col, hk_col):
+        return F.when(
+            n_col < KMV_K, n_col.cast("double")
+        ).otherwise(numer / hk_col.cast("double"))
+
+    stats = sk.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("hk")
+    )
+    nex = hs.groupBy("key").agg(F.count(F.lit(1)).alias("n_exact"))
+    per_key = stats.join(nex, "key").select(
+        F.col("key").alias("scope"), "n_exact",
+        est(F.col("n_sk"), F.col("hk")).alias("est"),
+    )
+    a, b = nex.alias("a"), nex.alias("b")
+    pairs = a.join(b, F.col("a.key") < F.col("b.key")).select(
+        F.col("a.key").alias("sa"), F.col("b.key").alias("sb"),
+        F.col("a.n_exact").alias("na"), F.col("b.n_exact").alias("nb"),
+    )
+    merged = (
+        pairs.join(sk, sk["key"] == pairs["sa"]).select("sa", "sb", "h")
+        .unionByName(
+            pairs.join(sk, sk["key"] == pairs["sb"]).select("sa", "sb", "h")
+        )
+        .distinct()
+    )
+    w_pair = _W.partitionBy("sa", "sb").orderBy("h")
+    msk = (
+        merged.withColumn("r", F.row_number().over(w_pair))
+        .filter(F.col("r") <= KMV_K)
+        .select("sa", "sb", "h")
+    )
+    ustats = msk.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_um"), F.max("h").alias("huk")
+    )
+    skx, sky = sk.alias("x"), sk.alias("y")
+    both = (
+        msk.join(skx, (F.col("x.key") == F.col("sa"))
+                 & (F.col("x.h") == msk["h"]))
+        .join(sky, (F.col("y.key") == F.col("sb"))
+              & (F.col("y.h") == msk["h"]))
+        .groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("c"))
+    )
+    ha, hb = hs.alias("ia"), hs.alias("ib")
+    iex = (
+        ha.join(hb, (F.col("ia.h") == F.col("ib.h"))
+                & (F.col("ia.key") < F.col("ib.key")))
+        .groupBy(F.col("ia.key").alias("sa"), F.col("ib.key").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    pair_est = (
+        pairs.join(ustats, ["sa", "sb"])
+        .join(both, ["sa", "sb"], "left")
+        .join(iex, ["sa", "sb"], "left")
+        .select(
+            "sa", "sb",
+            (F.col("na") + F.col("nb")
+             - F.coalesce(F.col("n_int"), F.lit(0))).alias("n_union"),
+            F.coalesce(F.col("n_int"), F.lit(0)).alias("n_int0"),
+            "n_um",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c0"),
+            est(F.col("n_um"), F.col("huk")).alias("uest"),
+        )
+    )
+    union_rows = pair_est.select(
+        F.concat_ws("|", "sa", "sb", F.lit("union")).alias("scope"),
+        F.col("n_union").alias("n_exact"), F.col("uest").alias("est"),
+    )
+    int_rows = pair_est.select(
+        F.concat_ws("|", "sa", "sb", F.lit("intersect")).alias("scope"),
+        F.col("n_int0").alias("n_exact"),
+        F.when(F.col("n_um") < KMV_K, F.col("c0").cast("double"))
+        .otherwise((F.col("c0").cast("double") / KMV_K) * F.col("uest"))
+        .alias("est"),
+    )
+    out = per_key.unionByName(union_rows).unionByName(int_rows)
+    return out.select(
+        "scope", "n_exact",
+        F.round("est", 3).alias("kmv_est"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(100.0 * (F.col("est") - F.col("n_exact"))
+                    / F.col("n_exact"), 3),
+        ).alias("err_pct"),
+    )

@@ -519,3 +519,44 @@ def test_q152_cms_horizon_survives_eviction(spark, tmp_path, monkeypatch):
         .collect()
     )
     assert full == horizon
+
+
+def test_q154_kmv_horizon_survives_eviction(spark, tmp_path, monkeypatch):
+    """Set-algebra member of the horizon eviction gates: expiring every
+    pre-horizon KMV window leaves per-key, union, and intersection
+    estimates bit-identical, and the post-eviction full read equals the
+    horizon read."""
+    import datetime as dt
+
+    import cosmo_spark.queries.timeseries as tsq
+    from cosmo_spark.queries import all_queries
+    from cosmo_spark.streaming.sketches import (
+        expire_windows,
+        read_kmv_values_windowed,
+    )
+
+    monkeypatch.setattr(
+        tsq, "_kmv_window_log_dir", lambda sf_dir: str(tmp_path / "kmvw")
+    )
+    q = all_queries()["q154_kmv_horizon"]
+    sf = "/root/testdata/sf0.001"
+    before = sorted(tuple(r) for r in q.spark_fn(spark, sf).collect())
+    assert before
+
+    cutoff = dt.datetime.strptime(tsq._Q146_SINCE, "%Y-%m-%d %H:%M:%S")
+    log = str(tmp_path / "kmvw" / "log")
+    expire_windows(spark, log, "kmv", older_than=cutoff)
+
+    after = sorted(tuple(r) for r in q.spark_fn(spark, sf).collect())
+    assert after == before
+
+    full = sorted(
+        tuple(r)
+        for r in read_kmv_values_windowed(spark, log).collect()
+    )
+    horizon = sorted(
+        tuple(r)
+        for r in read_kmv_values_windowed(spark, log, since=cutoff)
+        .collect()
+    )
+    assert full == horizon
