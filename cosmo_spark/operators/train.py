@@ -319,9 +319,22 @@ def train_logreg(
     slice under any layout.  Returns ``(quantized_weights, dim)`` where
     ``len(weights) == dim+1``.
     """
+    # the sample filter runs FIRST so the dim probe is also bounded (the
+    # whole point of sample_mod at 100 TB is that NO stage scans the full
+    # corpus), and the probe applies the SAME well-formedness predicates
+    # as training — a majority size whose rows are all untrainable (one
+    # corrupted batch of NaN vectors) must not elect the dim
+    if sample_mod is not None and sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col(vec_col)), sample_mod) == 0)
+    usable = df.filter(
+        F.col(vec_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & ~F.expr(
+            f"exists({vec_col}, e -> e IS NULL OR isnan(CAST(e AS DOUBLE)))"
+        )
+    )
     first = (
-        df.filter(F.col(vec_col).isNotNull())
-        .groupBy(F.size(vec_col).alias("d"))
+        usable.groupBy(F.size(vec_col).alias("d"))
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("d"))
         .limit(1)
@@ -330,16 +343,7 @@ def train_logreg(
     if not first:
         return [], 0
     dim = int(first[0].d)
-    if sample_mod is not None and sample_mod > 1:
-        df = df.filter(F.pmod(F.xxhash64(F.col(vec_col)), sample_mod) == 0)
-    clean = df.filter(
-        F.col(vec_col).isNotNull()
-        & (F.size(vec_col) == dim)
-        & F.col(label_col).isNotNull()
-        & ~F.expr(
-            f"exists({vec_col}, e -> e IS NULL OR isnan(CAST(e AS DOUBLE)))"
-        )
-    ).select(
+    clean = usable.filter(F.size(vec_col) == dim).select(
         as_double(F.col(vec_col)).alias("x"),
         F.col(label_col).cast("double").alias("y"),
     ).localCheckpoint()

@@ -1825,7 +1825,9 @@ def q152_cms_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 def _kmv_window_log_dir(sf_dir: str) -> str:
-    return _window_log_dir(sf_dir, "kmv")
+    # "kmv_v": value-mode logs (whole-id hashing) are a different artifact
+    # from any token-mode kmv log — never share a directory with one
+    return _window_log_dir(sf_dir, "kmv_v")
 
 
 def ensure_kmv_window_log(spark: SparkSession, sf_dir: str) -> str:
@@ -1858,7 +1860,7 @@ def ensure_kmv_window_log(spark: SparkSession, sf_dir: str) -> str:
     q = stream_kmv_values_windowed(
         prepared, "event_type", "user_s", "ts",
         value_path=log, checkpoint_dir=os.path.join(base, "ckpt"),
-        bucket="day",
+        bucket="day", tokenize_values=False,
     )
     q.awaitTermination()
     open(marker, "w").close()
@@ -1984,7 +1986,10 @@ def q154_kmv_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     log = ensure_kmv_window_log(spark, sf_dir)
     since = _dt.datetime.strptime(_Q146_SINCE, "%Y-%m-%d %H:%M:%S")
-    sk = read_kmv_values_windowed(spark, log, since=since)
+    # the merged sketch feeds FIVE branches (stats, merged x2, both x2):
+    # localCheckpoint computes the log read + rank selection once — the
+    # frame is keys x <=64 rows (the q148 reused-small-frame discipline)
+    sk = read_kmv_values_windowed(spark, log, since=since).localCheckpoint()
     ev = _t(spark, sf_dir, "events")
     hs = (
         ev.filter(

@@ -774,27 +774,37 @@ def stream_kmv_values_windowed(
     checkpoint_dir: str,
     bucket: str = "day",
     trigger_once: bool = True,
+    tokenize_values: bool = True,
 ):
     """Windowed twin of ``stream_kmv_values``: per-(key, window) k-smallest
-    hashes; horizon reads union the in-horizon windows and re-select."""
+    hashes; horizon reads union the in-horizon windows and re-select.
+
+    ``tokenize_values=False`` hashes the value column WHOLE (the HLL
+    maintainer's convention) — required when the counted value is an
+    identifier, not text: tokenize would split/normalize an id whose
+    string form is not one lowercase-alphanumeric run (a negative id, a
+    UUID), silently diverging from any consumer that hashes the raw
+    string (q154's oracle does)."""
     from cosmo_spark.operators.sketches import kmv_k_smallest
 
     def upsert(batch_df, batch_id):
         from cosmo_spark.functions.text import poly_hash, tokenize
 
-        hs = (
-            batch_df.filter(
-                F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
-                & F.col(ts_col).isNotNull()
-            )
-            .select(
-                F.col(key_col).cast("string").alias("key"),
-                F.date_trunc(bucket, F.col(ts_col)).alias("win"),
-                F.explode(tokenize(F.col(text_col))).alias("tok"),
-            )
-            .select("key", "win", poly_hash(F.col("tok")).alias("h"))
-            .distinct()
+        base = batch_df.filter(
+            F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        ).select(
+            F.col(key_col).cast("string").alias("key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("win"),
+            F.col(text_col).cast("string").alias("val"),
         )
+        if tokenize_values:
+            base = base.select(
+                "key", "win", F.explode(tokenize(F.col("val"))).alias("val")
+            )
+        hs = base.select(
+            "key", "win", poly_hash(F.col("val")).alias("h")
+        ).distinct()
         kmv_k_smallest(hs, ["key", "win"]).select("key", "win", "h") \
             .write.mode("append").parquet(value_path)
 

@@ -87,13 +87,14 @@ def test_loss_decreases(spark):
 def test_degenerate_inputs(spark):
     empty = spark.createDataFrame([], "embedding array<double>, y int")
     assert train_logreg(empty, label_col="y") == ([], 0)
-    # all-null vectors / labels are excluded, leaving nothing trainable
+    # all rows unusable (null vector / null label): nothing to even probe
+    # a dim from — the untrainable signal is ([], 0), not zero weights at
+    # a guessed dim
     nulls = spark.createDataFrame(
         [(None, 1), ([0.5, 0.5], None)], "embedding array<double>, y int"
     )
-    w, dim = train_logreg(nulls, label_col="y", n_iter=2)
-    assert dim == 2 and w == [0, 0, 0]
-    # ragged vectors are excluded (dim probed from the first non-null row)
+    assert train_logreg(nulls, label_col="y", n_iter=2) == ([], 0)
+    # ragged vectors are excluded (dim = the most frequent usable size)
     ragged = spark.createDataFrame(
         [([1.0, 0.0], 1), ([1.0], 0), ([0.0, 1.0], 0)],
         "embedding array<double>, y int",
@@ -213,3 +214,19 @@ def test_ragged_corpus_dim_is_partition_invariant(spark):
     )
     w, dim = train_logreg(bad, label_col="y", n_iter=2)
     assert dim == 2 and len(w) == 3
+
+
+def test_dim_probe_ignores_untrainable_majority(spark):
+    """Review regression: a corrupted majority batch (NaN elements, or
+    null labels) must not elect the dim — the probe applies the SAME
+    usability predicates as training."""
+    rows = (
+        [(i, [float("nan")] * 4, 1) for i in range(60)]          # corrupt
+        + [(100 + j, [0.5 * j, -0.25, 1.0, 0.0, 0.5, -1.0, 0.25, 2.0],
+            j % 2) for j in range(30)]                            # usable
+    )
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<double>, y int"
+    )
+    w, dim = train_logreg(df, label_col="y", n_iter=2)
+    assert dim == 8 and len(w) == 9 and any(v != 0 for v in w)
