@@ -800,3 +800,147 @@ def test_hdr_bucket_geometry_properties(vals):
     svals = sorted(vals)
     bks = [py_bucket(v) for v in svals]
     assert bks == sorted(bks), "bucket must be monotone in value"
+
+
+# --------------------------------------------------------------------------- #
+# train_logreg: Spark == exact scalar replay (round-9 continuation)            #
+# --------------------------------------------------------------------------- #
+
+@st.composite
+def logreg_corpus(draw):
+    n = draw(st.integers(3, 14))
+    d = draw(st.integers(1, 5))
+    f = st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False, width=32)
+    rows = draw(
+        st.lists(
+            st.tuples(st.lists(f, min_size=d, max_size=d), st.integers(0, 1)),
+            min_size=n, max_size=n,
+        )
+    )
+    parts = draw(st.integers(1, 5))
+    return rows, d, parts
+
+
+@given(logreg_corpus())
+@settings(**_SETTINGS)
+def test_train_logreg_matches_exact_scalar_replay(spark, data):
+    """The distributed trainer equals a pure-Python replay of the SAME
+    quantized-gradient loop — sequential left-fold margins, floor at 1e8,
+    exact integer sums — on any generated corpus under any partitioning.
+    This pins the whole determinism mechanism (not just run-to-run
+    equality): if any Spark expression computed different math, the two
+    implementations would diverge."""
+    import math
+
+    from cosmo_spark.operators.train import train_logreg
+
+    rows, d, parts = data
+    df = spark.createDataFrame(
+        [([float(x) for x in v], int(y)) for v, y in rows],
+        "embedding array<double>, y int",
+    ).repartition(parts)
+    got, dim = train_logreg(df, label_col="y", n_iter=4, lr=1.5)
+    assert dim == d
+
+    # scalar replay
+    w = [0.0] * (d + 1)
+    for _ in range(4):
+        sums = [0] * (d + 1)
+        n = 0
+        for v, y in rows:
+            m = 0.0
+            for j in range(d):           # Spark's sequential zip_with fold
+                m = m + float(v[j]) * w[j]
+            m += w[d]
+            e = 1.0 / (1.0 + math.exp(-m)) - float(y)
+            for j in range(d):
+                sums[j] += math.floor(float(v[j]) * e * 10**8)
+            sums[d] += math.floor(e * 10**8)
+            n += 1
+        for j in range(d):
+            w[j] -= 1.5 * (sums[j] / 10**8) / n
+        w[d] -= 1.5 * (sums[d] / 10**8) / n
+    want = [int(round(x * 10**6)) for x in w]
+    assert got == want
+
+
+# --------------------------------------------------------------------------- #
+# q149: Spark == pure-Python brute-force removal (round-9 continuation)        #
+# --------------------------------------------------------------------------- #
+
+@st.composite
+def removal_corpus(draw):
+    # tiny alphabet forces genuine span collisions and duplicate docs
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    docs = draw(st.lists(doc, min_size=1, max_size=6))
+    return docs
+
+
+@given(removal_corpus())
+@settings(**_SETTINGS)
+def test_q149_matches_bruteforce_removal(spark, tmp_path_factory, data):
+    """q149 equals a pure-Python brute force of its own contract on
+    generated corpora: spans of width N, duplicated hashes keep only the
+    lexicographically-first (doc_id, start), covered positions elide,
+    rebuilt hash folds the survivors in order."""
+    import cosmo_spark.queries.textops as t
+
+    n = 3
+    docs = data
+    tmp = tmp_path_factory.mktemp("q149prop")
+    df = spark.createDataFrame(
+        [(i, s, "en", "s", len(s)) for i, s in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(t, "_SPAN_N", n)
+    try:
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.rebuilt_hash)
+            for r in t.q149_substring_removal(spark, str(tmp)).collect()
+        }
+    finally:
+        mp.undo()
+
+    B, M = 31, 1_000_000_007
+
+    def tok_hash(word):
+        a = 0
+        for ch in word:
+            a = (a * B + ord(ch)) % M
+        return a
+
+    HB, HM = t.HASH_BASE, t.HASH_MOD
+    toks = {i: [w for w in s.split(" ") if w] for i, s in enumerate(docs)}
+    hs = {i: [tok_hash(w) for w in ws] for i, ws in toks.items()}
+    occ = {}  # h -> list of (doc, start 1-based)
+    for i, h in hs.items():
+        for s in range(len(h) - n + 1):
+            a = 0
+            for x in h[s:s + n]:
+                a = (a * HB + x) % HM
+            occ.setdefault(a, []).append((i, s + 1))
+    covered = {i: set() for i in toks}
+    for h, occs in occ.items():
+        if len(occs) < 2:
+            continue
+        keeper = min(occs)
+        for (i, s) in occs:
+            if (i, s) != keeper:
+                covered[i].update(range(s, s + n))
+    want = {}
+    for i, h in hs.items():
+        if not h:
+            continue  # no tokens -> no row (both engines)
+        kept = [x for p, x in enumerate(h, start=1)
+                if p not in covered[i]]
+        a = 0
+        for x in kept:
+            a = (a * HB + x) % HM
+        want[i] = (len(h), len(h) - len(kept), a)
+    assert got == want
