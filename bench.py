@@ -121,10 +121,12 @@ def main() -> None:
         _hll_window_log_dir,
         _kmv_window_log_dir,
         _purge_demo_dir,
+        _purge_parts_dir,
         ensure_cms_window_log,
         ensure_hdr_window_log,
         ensure_hll_window_log,
         ensure_kmv_window_log,
+        ensure_partitioned_purge_demo,
         ensure_purged_events,
     )
 
@@ -136,6 +138,9 @@ def main() -> None:
         # versioned purge table (q151): publish + purge is setup; the query
         # measures the steady-state CDC audit read
         ("purge_demo", _purge_demo_dir, ensure_purged_events),
+        # partitioned store lifecycle (q157): merge + update + purge is
+        # setup; the query measures the three-version CDC audit read
+        ("purge_parts", _purge_parts_dir, ensure_partitioned_purge_demo),
     ):
         shutil.rmtree(dir_fn(sf_dir), ignore_errors=True)
         t0 = time.time()

@@ -108,6 +108,14 @@ def duck_bpe_pass(wcol: str, a_expr: str, b_expr: str, ab_expr: str):
 def duck_bpe_train_ctes(toks_expr: str, n_merges: int, table: str = "documents"):
     """Unrolled DuckDB replay of the greedy BPE training loop.
 
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs, and each
+    merge level references the previous level TWICE (the pair-count branch
+    and the apply branch), so an inlined chain duplicates the base scan
+    2^n_merges times — at 16 merges that is 65k parquet opens ("Too many
+    open files") before any row moves.  Materialization makes the chain
+    linear, which is what lets the full-exhaustion replays (q155/q156)
+    unroll ~100 merges in single-digit seconds.
+
     Returns ``(ctes, final_vocab, best_names)``: a list of CTE definition
     strings, the name of the CTE holding the (freq, w) vocabulary AFTER
     all ``n_merges`` merges, and the names of the one-row ``b{k}`` CTEs
@@ -122,22 +130,22 @@ def duck_bpe_train_ctes(toks_expr: str, n_merges: int, table: str = "documents")
     trainer's early stop.
     """
     ctes = [
-        f"wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM "
+        f"wf AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM "
         f"(SELECT unnest({toks_expr}) AS w FROM {table}) GROUP BY w)",
-        "p0 AS (SELECT word, freq, list_transform(range(1, length(word) + 1), "
+        "p0 AS MATERIALIZED (SELECT word, freq, list_transform(range(1, length(word) + 1), "
         "i -> word[i:i]) AS w FROM wf)",
     ]
     prev = "p0"
     best_names = []
     for k in range(1, n_merges + 1):
         ctes.append(
-            f"g{k} AS (SELECT "
+            f"g{k} AS MATERIALIZED (SELECT "
             f"unnest(list_transform(range(1, len(w)), i -> w[i])) AS a, "
             f"unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS b, "
             f"freq FROM {prev})"
         )
         ctes.append(
-            f"b{k} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt "
+            f"b{k} AS MATERIALIZED (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt "
             f"FROM g{k} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)"
         )
         best_names.append(f"b{k}")
@@ -150,28 +158,142 @@ def duck_bpe_train_ctes(toks_expr: str, n_merges: int, table: str = "documents")
         # rides along so consumers can key the FINAL segmentation by word
         # (q148's per-document tokenization).
         ctes.append(
-            f"r{k}c AS (SELECT word, freq, w, a, b, {c} AS c "
+            f"r{k}c AS MATERIALIZED (SELECT word, freq, w, a, b, {c} AS c "
             f"FROM {prev} LEFT JOIN b{k} ON TRUE)"
         )
         ctes.append(
-            f"r{k}m AS (SELECT word, freq, w, a, b, {m('c')} AS m FROM r{k}c)"
+            f"r{k}m AS MATERIALIZED (SELECT word, freq, w, a, b, {m('c')} AS m FROM r{k}c)"
         )
-        ctes.append(f"r{k} AS (SELECT word, freq, {out('m')} AS w FROM r{k}m)")
+        ctes.append(f"r{k} AS MATERIALIZED (SELECT word, freq, {out('m')} AS w FROM r{k}m)")
         prev = f"r{k}"
     return ctes, prev, best_names
+
+
+def segment_word_py(word: str, rules) -> list[str]:
+    """Pure-Python twin of the :func:`spark_bpe_pass` chain: run ``word``
+    through ``rules`` in learned order, ONE greedy leftmost
+    non-overlapping pass per rule (sequential-pass semantics — a merge
+    that creates an adjacency for an EARLIER rule does not re-trigger it,
+    unlike GPT-2's min-rank loop).  The executor-side kernel of
+    :func:`bpe_segment_words`; the equivalence unit pins it against the
+    expression chain value-for-value."""
+    syms = list(word)
+    if len(syms) < 2:
+        return syms
+    chars = set(syms)
+    for a, b, _cnt, need in rules:
+        # a merged symbol is a concatenation of original characters, so a
+        # rule whose character set is not a subset of the word's can never
+        # match — the skip that makes 1k+ rule tables affordable per word
+        if not (need <= chars):
+            continue
+        out = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        if len(syms) < 2:
+            break
+    return syms
+
+
+def bpe_segment_words(words, rules):
+    """Distinct-word BPE segmentation under a learned rule table, as ONE
+    Spark job: (word, w ARRAY<STRING>, n_sym BIGINT) for every distinct
+    ``word`` of ``words``.
+
+    This is the production APPLY shape the chained
+    :func:`spark_bpe_pass` form cannot reach: the expression chain runs
+    one localCheckpoint job PER RULE (fine at 8, hours of job-launch
+    overhead at 30k), whereas here the full rule table ships to the
+    executors once inside a ``mapInPandas`` closure and every word is
+    segmented in a single Arrow-batched pass over the Heaps-law-sized
+    vocabulary — the corpus itself is never touched.  Python is
+    sanctioned on this path for the same reason the media decode stage
+    is: the work is per-distinct-word string surgery no JVM expression
+    can express at rule-table scale, and the input is vocabulary-, not
+    corpus-, sized.  Equivalence with the expression chain is unit-gated
+    (tests/test_bpe_train.py)."""
+    from pyspark.sql import functions as F
+
+    frozen = tuple(
+        (a, b, int(cnt), frozenset(a + b)) for a, b, cnt in rules
+    )
+
+    def seg(batches):
+        # the kernel is DEFINED INSIDE the closure (pickled by value):
+        # Python workers do not share the driver's sys.path, so a
+        # reference to module-level segment_word_py would be a
+        # ModuleNotFoundError on any cluster where the repo is not
+        # installed as a package on the executors
+        def segment(word):
+            syms = list(word)
+            if len(syms) < 2:
+                return syms
+            chars = set(syms)
+            for a, b, _cnt, need in frozen:
+                if not (need <= chars):
+                    continue
+                out = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                if len(syms) < 2:
+                    break
+            return syms
+
+        import pandas as pd
+
+        for pdf in batches:
+            ws = pdf["word"].astype(str)
+            segs = [segment(w) for w in ws]
+            yield pd.DataFrame(
+                {
+                    "word": ws,
+                    "w": segs,
+                    "n_sym": pd.Series([len(s) for s in segs], dtype="int64"),
+                }
+            )
+
+    return (
+        words.select("word").distinct()
+        .mapInPandas(seg, "word STRING, w ARRAY<STRING>, n_sym BIGINT")
+    )
 
 
 def learned_token_costs(words, rules):
     """Per-word learned-token cost table: distinct words of ``words`` (a
     DataFrame with a ``word`` column) run through ``rules`` in learned
-    order via :func:`spark_bpe_pass`, returning (word, n_sym BIGINT).
+    order, returning (word, n_sym BIGINT).
 
-    The shared apply chain behind q148 and q153 — merge passes run over
-    the DISTINCT-word vocabulary (Heaps-law-sized, never the corpus), and
-    the per-pass localCheckpoint is the HOF-inlining barrier q97
-    documents (Catalyst's CollapseProject otherwise inlines every pass's
-    non-collapse-cheap nested lambdas into the next; measured >100 s vs
-    ~1 s at sf0.01)."""
+    The shared apply chain behind q148 and q153 — since round 10 backed
+    by :func:`bpe_segment_words` (one vocabulary-sized Arrow pass,
+    rule-table size unbounded) instead of one Spark job per rule; the
+    old expression-chain form survives as
+    :func:`learned_token_costs_passes` for the equivalence gate."""
+    return bpe_segment_words(words, rules).select("word", "n_sym")
+
+
+def learned_token_costs_passes(words, rules):
+    """The round-9 expression-chain form of :func:`learned_token_costs`
+    (one :func:`spark_bpe_pass` + localCheckpoint per rule).  Kept as the
+    independent implementation the equivalence unit compares
+    :func:`bpe_segment_words` against — and as the pure-SQL fallback for
+    an environment without Arrow.  The per-pass localCheckpoint is the
+    HOF-inlining barrier q97 documents (Catalyst's CollapseProject
+    otherwise inlines every pass's non-collapse-cheap nested lambdas
+    into the next; measured >100 s vs ~1 s at sf0.01)."""
     from pyspark.sql import functions as F
 
     cur = words.select("word").distinct().select(

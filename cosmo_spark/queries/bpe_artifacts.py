@@ -39,8 +39,21 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 #: merges every catalog BPE query learns/applies — bounded so the q97/q144
-#: oracles can unroll the replay
-BPE_N_MERGES = 8
+#: oracles can unroll the replay (raised 8 -> 16 in round 10: the
+#: MATERIALIZED replay chain made deeper unrolls linear instead of 2^n)
+BPE_N_MERGES = 16
+
+#: merge budget of the PRODUCTION tokenizer family (q155/q156): far past
+#: the driver corpora's pair exhaustion (~89 merges — the synthetic
+#: vocabulary is 31 words), so "train to BPE_PROD_N_MERGES" means "train
+#: until no adjacent pair remains"; the hybrid trainer runs such budgets
+#: driver-side in milliseconds once the one distributed word count is done
+BPE_PROD_N_MERGES = 1024
+
+#: unroll depth of the q155/q156 DuckDB replays: comfortably past the
+#: sf0.01 exhaustion point so the oracle's LEFT-JOIN identity passes make
+#: ranks beyond exhaustion empty, matching the trainer's early stop
+BPE_PROD_ORACLE_N = 112
 
 #: committed trainer output for the driver-generated test corpora
 #: (regenerate with tools/print_bpe_seed.py if TESTDATA changes);
@@ -49,17 +62,26 @@ BPE_SEED: dict[str, tuple[tuple[str, str, int], ...]] = {
     "336903eb10fdca0d": (   # sf0.001 documents
         ('e', 'r', 4650), ('o', 'r', 2880), ('i', 'n', 2858),
         ('o', 'w', 2763), ('s', 't', 2721), ('l', 'u', 1928),
-        ('a', 'r', 1873), ('p', 'ar', 1873),
+        ('a', 'r', 1873), ('p', 'ar', 1873), ('m', 'er', 1824),
+        ('a', 't', 1806), ('a', 'n', 984), ('c', 'an', 984),
+        ('s', 'can', 984), ('c', 'o', 978), ('co', 'lu', 978),
+        ('colu', 'm', 978),
     ),
     "0beb5fb94ab1e645": (   # sf0.01 documents
         ('e', 'r', 4568), ('i', 'n', 2760), ('o', 'w', 2747),
         ('o', 'r', 2696), ('s', 't', 2676), ('m', 'er', 1852),
-        ('a', 't', 1845), ('l', 'u', 1831),
+        ('a', 't', 1845), ('l', 'u', 1831), ('a', 'r', 1758),
+        ('p', 'ar', 1758), ('j', 'o', 964), ('jo', 'in', 964),
+        ('a', 's', 947), ('as', 'h', 947), ('h', 'ash', 947),
+        ('r', 'ow', 943),
     ),
     "bb78c9b4a81f7d25": (   # sf0.1 documents
         ('e', 'r', 45089), ('i', 'n', 27190), ('o', 'r', 27095),
         ('s', 't', 27060), ('o', 'w', 27044), ('t', 'a', 18248),
-        ('l', 'u', 18239), ('m', 'er', 18174),
+        ('l', 'u', 18239), ('m', 'er', 18174), ('a', 'r', 18111),
+        ('p', 'ar', 18111), ('u', 'p', 9295), ('par', 'k', 9182),
+        ('s', 'park', 9182), ('d', 'ow', 9159), ('in', 'dow', 9159),
+        ('w', 'indow', 9159),
     ),
 }
 
@@ -109,9 +131,11 @@ def _cache_dir() -> Path:
     )
 
 
-def _train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+def _train(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> list[tuple[str, str, int]]:
     from cosmo_spark.functions.text import tokenize
-    from cosmo_spark.operators.train import train_bpe_merges
+    from cosmo_spark.operators.train import train_bpe_merges_hybrid
     from cosmo_spark.sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
@@ -120,7 +144,7 @@ def _train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    return train_bpe_merges(wf, n_merges=BPE_N_MERGES)
+    return train_bpe_merges_hybrid(wf, n_merges=n_merges)
 
 
 def resolve_bpe_merges(
@@ -134,9 +158,13 @@ def resolve_bpe_merges(
     seed = BPE_SEED.get(fp)
     if seed is not None:
         return [tuple(r) for r in seed]
-    rules = _RESOLVED.get(fp)
+    # the merge budget is part of the cache key: a cached rule list is
+    # only valid for the budget it was trained under (a raised
+    # BPE_N_MERGES must retrain, not serve last round's shorter ladder)
+    key = f"{fp}-n{BPE_N_MERGES}"
+    rules = _RESOLVED.get(key)
     if rules is None:
-        cache = _cache_dir() / f"{fp}.json"
+        cache = _cache_dir() / f"{key}.json"
         if cache.exists():
             rules = [tuple(r) for r in json.loads(cache.read_text())]
         else:
@@ -145,5 +173,32 @@ def resolve_bpe_merges(
             tmp = cache.with_suffix(f".tmp-{os.getpid()}")
             tmp.write_text(json.dumps([list(r) for r in rules]))
             os.replace(tmp, cache)
-        _RESOLVED[fp] = rules
+        _RESOLVED[key] = rules
+    return list(rules)
+
+
+def resolve_bpe_merges_prod(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, str, int]]:
+    """Rule entry point of the PRODUCTION tokenizer family (q155/q156):
+    the full ``BPE_PROD_N_MERGES``-budget rule table, trained to pair
+    exhaustion by the hybrid trainer.  No committed seed — the driver
+    loop makes live training a one-Spark-job affair, so the only cache
+    is the at-rest JSON entry (same atomic-rename discipline as the base
+    resolver); parity never depends on it because the q155/q156 oracles
+    replay training from the raw corpus."""
+    fp = documents_fingerprint(spark, sf_dir)
+    key = f"{fp}-prod-n{BPE_PROD_N_MERGES}"
+    rules = _RESOLVED.get(key)
+    if rules is None:
+        cache = _cache_dir() / f"{key}.json"
+        if cache.exists():
+            rules = [tuple(r) for r in json.loads(cache.read_text())]
+        else:
+            rules = _train(spark, sf_dir, n_merges=BPE_PROD_N_MERGES)
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cache.with_suffix(f".tmp-{os.getpid()}")
+            tmp.write_text(json.dumps([list(r) for r in rules]))
+            os.replace(tmp, cache)
+        _RESOLVED[key] = rules
     return list(rules)

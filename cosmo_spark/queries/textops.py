@@ -2264,29 +2264,18 @@ def q97_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus); per-word cost is O(L²) on words of bounded length.  The
     only shuffles carry (word, freq) and (symbol, count) pairs.
     """
-    from cosmo_spark.functions.bpe import spark_bpe_pass
+    from cosmo_spark.functions.bpe import bpe_segment_words
     from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges
 
     rules = resolve_bpe_merges(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
     words = d.select(F.explode(tokenize(F.col("text"))).alias("word"))
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    cur = wf.select(
-        "freq",
-        F.expr(
-            "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
-        ).alias("w"),
-    )
-    for a, b, _cnt in rules:
-        c, m, out = spark_bpe_pass("w", a, b)
-        cur = cur.select("freq", "w", F.expr(c).alias("c"))
-        cur = cur.select("freq", "w", F.expr(m("c")).alias("m"))
-        # localCheckpoint per pass: Catalyst's CollapseProject inlines the
-        # non-collapse-cheap nested HOFs of every pass into the next —
-        # measured >100 s at sf0.01 (6x duplication per pass compounds
-        # across chained rules) vs ~1 s with per-pass barriers; the frame
-        # is vocabulary-sized, so the eager materialization is cheap
-        cur = cur.select("freq", F.expr(out("m")).alias("w")).localCheckpoint()
+    # one-job vocabulary segmentation (bpe_segment_words) instead of one
+    # chained expression pass per rule — same greedy sequential-pass
+    # semantics (equivalence unit-gated), but rule-table-size-independent
+    # job count, which is what lets BPE_N_MERGES rise past demo scale
+    cur = wf.join(bpe_segment_words(wf, rules), "word")
     from pyspark.sql.window import Window as _W
 
     sym = cur.select(F.explode("w").alias("symbol"), "freq")
@@ -2380,6 +2369,112 @@ def q148_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
     tok = learned_token_costs(words, rules)
     return words.join(F.broadcast(tok), "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sym").alias("n_tokens"),
+    )
+
+
+def _q155_oracle() -> str:
+    from cosmo_spark.functions.bpe import duck_bpe_train_ctes
+    from cosmo_spark.queries.bpe_artifacts import BPE_PROD_ORACLE_N
+
+    ctes, _final, bests = duck_bpe_train_ctes(_DUCK_TOKS, BPE_PROD_ORACLE_N)
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, a AS lhs, b AS rhs, "
+        f"(a || b) AS merged, cnt FROM {bname}"
+        for k, bname in enumerate(bests, start=1)
+    )
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT rank, lhs, rhs, merged, cnt FROM ({unions}) ORDER BY rank"
+    )
+
+
+@register("q155_bpe_train_full", operators=("TXT3",), oracle=_q155_oracle())
+def q155_bpe_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a PRODUCTION-budget BPE merge table (round-9 verdict #1/#6):
+    the full rule ladder under a ``BPE_PROD_N_MERGES`` (1024) budget —
+    on the driver corpora that means training to PAIR EXHAUSTION (~89
+    rules; the synthetic vocabulary is 31 words), the corpus's complete
+    merge history rather than q144's 16-rule demo prefix.
+
+    The hybrid trainer (operators/train.train_bpe_merges_hybrid) is what
+    makes the budget affordable: ONE distributed word-frequency pass,
+    then the greedy loop driver-side over the Heaps-law-bounded
+    vocabulary under an explicit memory cap (1M words / 16M chars;
+    over-cap corpora fall back to the distributed per-merge loop).  2000
+    merges over a 30k-word vocabulary run in ~2 s driver-side where the
+    one-Spark-job-per-merge loop would need ~6000 jobs.
+
+    The DuckDB oracle replays the ENTIRE greedy loop from the raw corpus
+    — 112 unrolled MATERIALIZED merge levels, comfortably past the
+    sf0.01 exhaustion point; the LEFT-JOIN identity passes make
+    post-exhaustion ranks empty, matching the trainer's early stop — so
+    every learned rule AND its winning pair count hash-match
+    cross-engine with no circularity through the rule cache.
+    """
+    from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges_prod
+
+    rules = resolve_bpe_merges_prod(spark, sf_dir)
+    rows = [(k, a, b, a + b, int(cnt))
+            for k, (a, b, cnt) in enumerate(rules, start=1)]
+    return spark.createDataFrame(
+        rows, "rank LONG, lhs STRING, rhs STRING, merged STRING, cnt LONG"
+    )
+
+
+def _q156_oracle() -> str:
+    from cosmo_spark.functions.bpe import duck_bpe_train_ctes
+    from cosmo_spark.queries.bpe_artifacts import BPE_PROD_ORACLE_N
+
+    ctes, final, _bests = duck_bpe_train_ctes(_DUCK_TOKS, BPE_PROD_ORACLE_N)
+    return f"""
+WITH {", ".join(ctes)},
+tok AS (
+  SELECT word, CAST(len(w) AS BIGINT) AS n_sym FROM {final}
+), dt AS (
+  SELECT doc_id, source, unnest({_DUCK_TOKS}) AS word FROM documents
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_tokens
+FROM dt JOIN tok USING (word)
+GROUP BY source
+"""
+
+
+@register("q156_bpe_tokenize_full", operators=("TXT3", "A11"),
+          oracle=_q156_oracle())
+def q156_bpe_tokenize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price the corpus per SOURCE under the production tokenizer — the
+    token-budget roll-up a pre-training data plan runs per provider:
+    q155's fully-trained (exhaustion-budget) merge table applied to
+    every document, aggregated to (source, n_docs, n_words, n_tokens).
+
+    The apply side is the production shape end-to-end: the whole rule
+    table (any size) ships ONCE inside the ``bpe_segment_words``
+    mapInPandas closure, segmentation runs as one Arrow-batched pass
+    over the DISTINCT-word vocabulary, and only (word, n_sym) pairs — a
+    few bytes per vocabulary entry — broadcast back to the corpus.  The
+    corpus is touched exactly twice (tokenize, per-source sum); job
+    count is independent of merge count.
+
+    The oracle replays training to exhaustion AND the final segmentation
+    from the raw corpus (112 materialized merge levels), so the learned
+    token prices hash-match cross-engine with no cache circularity.
+    """
+    from cosmo_spark.functions.bpe import learned_token_costs
+    from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges_prod
+
+    rules = resolve_bpe_merges_prod(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    tok = learned_token_costs(words, rules)
+    return words.join(F.broadcast(tok), "word").groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_sym").alias("n_tokens"),
     )

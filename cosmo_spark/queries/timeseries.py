@@ -2088,3 +2088,140 @@ def q154_kmv_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("n_exact"), 3),
         ).alias("err_pct"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# q157 — partitioned store lifecycle: merge, time travel, CDC, GDPR purge      #
+# --------------------------------------------------------------------------- #
+
+#: deterministic update slice (events whose id =~ 1 mod 23 get a version-2
+#: row) and the q151 tombstone rule (users divisible by 17)
+_Q157_UPD_MOD = 23
+
+
+def _purge_parts_dir(sf_dir: str) -> str:
+    return _window_log_dir(sf_dir, "purge_parts")
+
+
+def ensure_partitioned_purge_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Build the partitioned-store lifecycle demo once per corpus
+    identity: v1 = the events table merged in (partitioned by
+    event_type), v2 = a version-guarded UPDATE of the mod-23 slice
+    (only its partitions' generations re-point), v3 = a GDPR purge of
+    the mod-17 users (q151's tombstone rule).  Marker-gated like the
+    window-log builders; bench charges the build to setup and q157
+    measures the steady-state audit READ over three manifest-pinned
+    versions."""
+    import os
+
+    from cosmo_spark.sources.versioned_parts import (
+        merge_into_partitioned_versioned,
+        purge_keys_partitioned,
+    )
+
+    base = _purge_parts_dir(sf_dir)
+    table = os.path.join(base, "events_parts")
+    marker = os.path.join(base, "_BUILT")
+    if os.path.exists(marker):
+        return table
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    v1 = ev.withColumn("ver", F.lit(1))
+    merge_into_partitioned_versioned(
+        spark, table, v1, "event_id", "ver", "event_type"
+    )
+    upd = (
+        v1.filter(F.col("event_id") % _Q157_UPD_MOD == 1)
+        .withColumn("ver", F.lit(2))
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+    )
+    merge_into_partitioned_versioned(
+        spark, table, upd, "event_id", "ver", "event_type"
+    )
+    tomb = ev.filter(F.col("user_id") % _Q151_TOMB_MOD == 0).select("user_id")
+    purge_keys_partitioned(spark, table, "user_id", tomb, "event_type")
+    open(marker, "w").close()
+    return table
+
+
+@register(
+    "q157_partitioned_purge_audit",
+    operators=("ST3", "S16", "J5", "A11"),
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN event_id % {_Q157_UPD_MOD} = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(sum(CASE WHEN user_id % {_Q151_TOMB_MOD} = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       CAST(0 AS BIGINT) AS n_remaining
+FROM events
+GROUP BY event_type
+""",
+)
+def q157_partitioned_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lifecycle audit of the PARTITION-GRANULAR snapshot
+    store (sources/versioned_parts — round-9 verdict #2 closed): the
+    merge that loaded the table, the version-guarded update and the
+    right-to-be-forgotten purge are all read back FROM THE MANIFEST'S
+    VERSION HISTORY — n_before from time-traveling to v1, n_updated as
+    the v1→v2 CDC update set, n_purged as the v2→v3 CDC delete set, and
+    n_remaining anti-checked against the current version (the oracle
+    pins it to the constant 0, so any surviving tombstoned row is a
+    hash mismatch).  Untouched partitions share generation directories
+    across all three versions — the store's whole point; the unit suite
+    (tests/test_versioned_parts.py) pins the sharing byte-for-byte.
+
+    Scale shape: three manifest-pinned multi-path parquet scans + CDC
+    diffs keyed on event_id (bucketed at rest at 100 TB → zipped
+    per-bucket joins); the per-partition rollup partial-combines.  The
+    merge/purge themselves (in setup) each rewrote ONLY the affected
+    partitions' generations.
+    """
+    from cosmo_spark.operators.merge import snapshot_diff
+    from cosmo_spark.sources.versioned_parts import (
+        partitioned_versions,
+        read_partitioned,
+    )
+
+    tune_session(spark)
+    table = ensure_partitioned_purge_demo(spark, sf_dir)
+    v1, v2, v3 = partitioned_versions(table)[-3:]
+    old = read_partitioned(spark, table, v1)
+    mid = read_partitioned(spark, table, v2)
+    cur = read_partitioned(spark, table, v3)
+    before = old.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    updated = (
+        snapshot_diff(old, mid, "event_id")
+        .filter(F.col("change_type") == "update")
+        .join(mid.select("event_id", "event_type"), "event_id")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__upd"))
+    )
+    purged = (
+        snapshot_diff(mid, cur, "event_id")
+        .filter(F.col("change_type") == "delete")
+        .join(mid.select("event_id", "event_type"), "event_id")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__purged"))
+    )
+    remaining = (
+        cur.filter(F.col("user_id") % _Q151_TOMB_MOD == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__rem"))
+    )
+    return (
+        before.join(updated, "event_type", "left")
+        .join(purged, "event_type", "left")
+        .join(remaining, "event_type", "left")
+        .select(
+            "event_type", "n_before",
+            F.coalesce("__upd", F.lit(0)).cast("long").alias("n_updated"),
+            F.coalesce("__purged", F.lit(0)).cast("long").alias("n_purged"),
+            F.coalesce("__rem", F.lit(0)).cast("long").alias("n_remaining"),
+        )
+    )
