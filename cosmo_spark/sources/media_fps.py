@@ -126,6 +126,91 @@ def fingerprint_media_cached(
     ).localCheckpoint()
 
 
+def compact_fp_store(
+    spark: SparkSession,
+    store_path: str,
+    target_rows_per_file: int = 4_000_000,
+    _pre_swap_hook=None,
+) -> dict:
+    """Locked compaction of the append-only store (round-9 verdict #3):
+    collapse duplicate content_hash rows and the small files benign
+    racing appends accumulate, leaving READER SEMANTICS UNCHANGED —
+    ``read_fp_store`` still sees one row per content_hash before, during
+    and after.
+
+    Mechanics, under the same lease lock the versioned stores use (two
+    compactors must not double-swap; APPENDERS stay lock-free — racing
+    appends are the store's documented write mode):
+
+    1. snapshot the current part-file list (files appended AFTER the
+       snapshot are untouched — never lost, never double-read);
+    2. read exactly the snapshot, collapse duplicates deterministically
+       (min (fp_hi, fp_lo) per hash — duplicates from re-decodes agree
+       anyway, the rule just pins the tie), write compacted files to a
+       side tmp dir sized by ``target_rows_per_file`` (24 B rows —
+       the default keeps files under ~100 MB);
+    3. move the compacted files IN first, delete the snapshot files
+       second: a lock-free reader in the swap window sees duplicate
+       rows (dropDuplicates absorbs them), never missing ones, and a
+       crash mid-swap degrades to "some duplicates remain" — the next
+       compaction's problem, not data loss.
+
+    Returns {files_before, files_after, rows_before, rows_after}.
+    ``_pre_swap_hook`` is a test seam invoked between the tmp write and
+    the swap — the racing-appender unit injects an append there.
+    """
+    import glob
+    import shutil
+    import uuid
+
+    from cosmo_spark.operators.merge import _table_lock
+
+    with _table_lock(spark, store_path.rstrip("/")) as guard:
+        snapshot = sorted(glob.glob(os.path.join(store_path, "part-*")))
+        if not snapshot:
+            return {"files_before": 0, "files_after": 0,
+                    "rows_before": 0, "rows_after": 0}
+        src = spark.read.schema(_STORE_SCHEMA).parquet(*snapshot)
+        rows_before = src.count()
+        compacted = (
+            src.groupBy("content_hash")
+            .agg(
+                F.min(F.struct("fp_hi", "fp_lo")).alias("__fp"),
+            )
+            .select("content_hash", "__fp.fp_hi", "__fp.fp_lo")
+        )
+        rows_after = compacted.count()
+        n_files = max(1, -(-rows_after // target_rows_per_file))
+        tmp = f"{store_path}.compact-tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            compacted.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+            if _pre_swap_hook is not None:
+                _pre_swap_hook()
+            guard.verify()   # fencing before the destructive swap
+            moved = []
+            for f in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+                dest = os.path.join(
+                    store_path,
+                    f"part-compact-{uuid.uuid4().hex[:8]}-"
+                    + os.path.basename(f),
+                )
+                os.replace(f, dest)
+                moved.append(dest)
+            for f in snapshot:
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    pass
+            return {
+                "files_before": len(snapshot),
+                "files_after": len(moved),
+                "rows_before": rows_before,
+                "rows_after": rows_after,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def ensure_media_fps(
     spark: SparkSession, sf_dir: str, codec: str, encode_fn, id_col: str
 ) -> str:

@@ -142,3 +142,124 @@ def test_ensure_media_fps_builds_default_store(spark, tmp_path, counter,
     assert cold >= n
     ensure_media_fps(spark, SF, "ppm", encode_pgm_gray8x8, "vec_id")
     assert counter.value == cold, "second ensure must be decode-free"
+
+
+# --------------------------------------------------------------------------- #
+# round-10 #3: locked compaction                                              #
+# --------------------------------------------------------------------------- #
+
+def _store_files(store):
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(store, "part-*")))
+
+
+def test_compact_collapses_duplicates_and_small_files(spark, tmp_path):
+    """Three racing-append generations (with duplicate hashes) compact to
+    one file and one row per content_hash; read_fp_store sees the exact
+    same logical table before and after."""
+    from cosmo_spark.sources.media_fps import compact_fp_store
+
+    store = str(tmp_path / "fps")
+    rows = [(h, h * 3, h * 7) for h in range(50)]
+    for chunk in (rows[:30], rows[20:45], rows[35:]):   # overlapping appends
+        spark.createDataFrame(chunk, "content_hash LONG, fp_hi LONG, fp_lo LONG") \
+            .repartition(4).write.mode("append").parquet(store)
+    before = {r.content_hash: (r.fp_hi, r.fp_lo)
+              for r in read_fp_store(spark, store).collect()}
+    files_before = len(_store_files(store))
+    assert files_before > 4
+
+    stats = compact_fp_store(spark, store)
+    assert stats["rows_after"] == 50 < stats["rows_before"]
+    assert stats["files_after"] == 1
+    after_files = _store_files(store)
+    assert len(after_files) == 1
+    after = {r.content_hash: (r.fp_hi, r.fp_lo)
+             for r in read_fp_store(spark, store).collect()}
+    assert after == before
+
+    # idempotent: compacting a compacted store keeps rows and file count
+    stats2 = compact_fp_store(spark, store)
+    assert stats2["rows_before"] == stats2["rows_after"] == 50
+    assert len(_store_files(store)) == 1
+
+
+def test_compact_keeps_racing_append(spark, tmp_path):
+    """An append landing BETWEEN the compactor's snapshot and its swap
+    survives: only snapshot files are deleted, so the raced rows remain
+    alongside the compacted ones."""
+    from cosmo_spark.sources.media_fps import compact_fp_store
+
+    store = str(tmp_path / "fps")
+    spark.createDataFrame([(h, h, h) for h in range(20)],
+                          "content_hash LONG, fp_hi LONG, fp_lo LONG") \
+        .repartition(3).write.mode("append").parquet(store)
+
+    def race():
+        spark.createDataFrame([(999, 1, 2), (5, 5, 5)],
+                              "content_hash LONG, fp_hi LONG, fp_lo LONG") \
+            .coalesce(1).write.mode("append").parquet(store)
+
+    stats = compact_fp_store(spark, store, _pre_swap_hook=race)
+    assert stats["rows_after"] == 20
+    got = {r.content_hash for r in read_fp_store(spark, store).collect()}
+    assert got == set(range(20)) | {999}
+    # reader still sees ONE row per hash (the raced duplicate of 5 is
+    # absorbed by read-time dropDuplicates until the next compaction)
+    assert read_fp_store(spark, store).count() == 21
+
+
+def test_warm_run_still_decode_free_after_compaction(spark, tmp_path, counter):
+    """THE round-10 #3 gate: compaction must not cost the store its whole
+    point — a warm fingerprint run after compacting decodes nothing and
+    returns identical values."""
+    from cosmo_spark.sources.media_fps import compact_fp_store
+
+    store = str(tmp_path / "fps")
+    media = _media(spark, 0, 40)
+    n = media.count()
+    first = sorted(tuple(r) for r in
+                   fingerprint_media_cached(media, "ppm", store).collect())
+    assert counter.value == n
+    compact_fp_store(spark, store)
+    second = sorted(tuple(r) for r in
+                    fingerprint_media_cached(media, "ppm", store).collect())
+    assert counter.value == n, "post-compaction warm run must not decode"
+    assert second == first
+
+
+def test_compact_under_contention_fails_loudly_then_retries(spark, tmp_path):
+    """A second compactor racing a live holder raises
+    MergeContentionError (the single-writer lease discipline — no silent
+    double-swap); once the first finishes, a retry succeeds and the
+    store is intact."""
+    import pytest as _pytest
+
+    from cosmo_spark.operators.merge import MergeContentionError
+    from cosmo_spark.sources.media_fps import compact_fp_store
+
+    store = str(tmp_path / "fps")
+    spark.createDataFrame([(h, h, h) for h in range(10)],
+                          "content_hash LONG, fp_hi LONG, fp_lo LONG") \
+        .repartition(2).write.mode("append").parquet(store)
+
+    def second_compactor():
+        with _pytest.raises(MergeContentionError):
+            compact_fp_store(spark, store)
+
+    stats = compact_fp_store(spark, store, _pre_swap_hook=second_compactor)
+    assert stats["rows_after"] == 10
+    assert {r.content_hash for r in read_fp_store(spark, store).collect()} \
+        == set(range(10))
+    retry = compact_fp_store(spark, store)
+    assert retry["rows_before"] == retry["rows_after"] == 10
+
+
+def test_compact_empty_store_noop(spark, tmp_path):
+    from cosmo_spark.sources.media_fps import compact_fp_store
+
+    stats = compact_fp_store(spark, str(tmp_path / "nope"))
+    assert stats == {"files_before": 0, "files_after": 0,
+                     "rows_before": 0, "rows_after": 0}
