@@ -669,8 +669,9 @@ def stream_hll_registers_windowed(
             ),
             ["key", "win"], text_col,
         )
-        regs.select("key", "win", "bucket", "rho") \
-            .write.mode("append").parquet(register_path)
+        _divert_late(
+            regs.select("key", "win", "bucket", "rho"), register_path
+        ).write.mode("append").parquet(register_path)
 
     writer = (
         stream.writeStream.foreachBatch(upsert)
@@ -738,7 +739,8 @@ def stream_cms_counters_windowed(
         counters = cms_counters(tokh, carry=["win"]).select(
             F.lit(int(batch_id)).alias("batch_id"), "win", "r", "bucket", "cnt"
         )
-        counters.write.mode("append").parquet(counter_path)
+        _divert_late(counters, counter_path) \
+            .write.mode("append").parquet(counter_path)
 
     writer = (
         stream.writeStream.foreachBatch(upsert)
@@ -805,8 +807,10 @@ def stream_kmv_values_windowed(
         hs = base.select(
             "key", "win", poly_hash(F.col("val")).alias("h")
         ).distinct()
-        kmv_k_smallest(hs, ["key", "win"]).select("key", "win", "h") \
-            .write.mode("append").parquet(value_path)
+        _divert_late(
+            kmv_k_smallest(hs, ["key", "win"]).select("key", "win", "h"),
+            value_path,
+        ).write.mode("append").parquet(value_path)
 
     writer = (
         stream.writeStream.foreachBatch(upsert)
@@ -869,7 +873,8 @@ def stream_hdr_buckets_windowed(
             .select(F.lit(int(batch_id)).alias("batch_id"),
                     "key", "win", "bucket", "cnt")
         )
-        counts.write.mode("append").parquet(bucket_path)
+        _divert_late(counts, bucket_path) \
+            .write.mode("append").parquet(bucket_path)
 
     writer = (
         stream.writeStream.foreachBatch(upsert)
@@ -910,6 +915,95 @@ def hdr_quantile_estimates_windowed(
     )
 
 
+# --------------------------------------------------------------------------- #
+# Late-data policy (round-9 verdict #4): QUARANTINE, never recreate            #
+# --------------------------------------------------------------------------- #
+#
+# ``expire_windows`` physically drops pre-horizon windows; without a
+# policy, an event arriving LATER for an already-evicted window would
+# silently recreate it — a partial window (the evicted mass is gone, only
+# the stragglers remain) that poisons any read whose ``since`` reaches
+# past the eviction horizon, while state quietly grows back.  The policy
+# mirrors the ST5 tolerated-lag contract (streaming/joins.py: lateness
+# beyond the watermark is bounded and EXPLICIT, never silent):
+#
+# - ``expire_windows`` persists its horizon FIRST (``_eviction_horizon``,
+#   fsync + atomic rename, monotone — it never moves backward), then
+#   rotates.  The marker is the durable statement "windows before T are
+#   gone and must stay gone".
+# - every windowed maintainer checks the marker per micro-batch: register
+#   rows whose window predates it are diverted to ``<log>/_late/`` —
+#   underscore-prefixed, so every log reader's parquet listing is blind
+#   to it — with the SAME schema, so the drop is observable
+#   (``read_late_quarantine``), auditable, and manually replayable into a
+#   widened horizon if the operator chooses.  Nothing pre-horizon ever
+#   reaches the live log, so horizon reads stay bit-identical
+#   (tests/test_windowed_sketches.py late-data units, all four algebras).
+
+
+def _horizon_file(path: str) -> str:
+    return os.path.join(path, "_eviction_horizon")
+
+
+def read_eviction_horizon(path: str):
+    """The persisted eviction horizon (datetime) or None — windows
+    strictly before it have been physically expired and late arrivals
+    for them quarantine instead of appending."""
+    import datetime as _dt
+
+    try:
+        with open(_horizon_file(path)) as f:
+            return _dt.datetime.fromisoformat(json.load(f)["older_than"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def _write_horizon(path: str, older_than) -> None:
+    import datetime as _dt
+
+    if isinstance(older_than, str):
+        older_than = _dt.datetime.fromisoformat(older_than)
+    prev = read_eviction_horizon(path)
+    if prev is not None and prev >= older_than:
+        return   # monotone: expiry never un-evicts
+    tmp = _horizon_file(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"older_than": older_than.isoformat()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    _fs_replace(tmp, _horizon_file(path))
+    _fsync_dir(path)
+
+
+def _late_dir(path: str) -> str:
+    return os.path.join(path, "_late")
+
+
+def _divert_late(regs: DataFrame, path: str) -> DataFrame:
+    """Split a maintainer batch against the persisted horizon: quarantine
+    pre-horizon rows under ``_late/`` (observable, replayable), return
+    the in-horizon remainder for the live append.  No horizon on disk ->
+    pass-through (the unwindowed maintainers never call this)."""
+    h = read_eviction_horizon(path)
+    if h is None:
+        return regs
+    late = regs.filter(F.col("win") < F.lit(h))
+    if not late.isEmpty():   # bounded probe — most batches have no laggards
+        late.write.mode("append").parquet(_late_dir(path))
+    return regs.filter(F.col("win") >= F.lit(h))
+
+
+def read_late_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """Quarantined pre-horizon register rows (same schema as the live
+    log; empty frame when nothing was ever late)."""
+    d = _late_dir(path)
+    if not os.path.isdir(d):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(d)
+
+
 def expire_windows(
     spark: SparkSession, path: str, kind: str, older_than
 ) -> None:
@@ -917,7 +1011,14 @@ def expire_windows(
     sketch log AND compact what remains — through the crash-atomic
     rotation, so an expiry that dies mid-flight can never double-count
     (CMS/HDR) or serve half a generation.  ``kind`` ∈ {'hll', 'cms',
-    'kmv', 'hdr'}."""
+    'kmv', 'hdr'}.
+
+    Persists the horizon BEFORE rotating (see the late-data policy block
+    above): once this returns — and even if it crashes after the marker
+    lands but before the rotation completes — maintainers divert
+    pre-horizon arrivals to the quarantine instead of recreating evicted
+    windows; a marker without a completed rotation merely means the next
+    expiry re-drops already-doomed rows (idempotent)."""
     from cosmo_spark.operators.sketches import kmv_k_smallest
 
     def merge_hll(files):
@@ -944,6 +1045,7 @@ def expire_windows(
         spark, HDRW_SCHEMA, ["key", "win", "bucket"], pre_filter=_horizon
     )
 
+    _write_horizon(path, older_than)
     merge_fn = {"hll": merge_hll, "cms": merge_cms, "kmv": merge_kmv,
                 "hdr": merge_hdr}[kind]
     _rotate_log(spark, path, merge_fn)

@@ -256,3 +256,118 @@ def test_expire_everything_leaves_empty_readable_log(spark, tmp_path):
     assert sk.read_hll_registers_windowed(spark, regs).count() == 0
     assert sk.hll_distinct_estimates_windowed(spark, regs).count() == 0
     assert sk._read_manifest(regs) is None
+
+
+# --------------------------------------------------------------------------- #
+# round-10 #4: late-data policy — quarantine, never recreate                  #
+# --------------------------------------------------------------------------- #
+
+LATE_JAN = [("web", "late straggler jan", "2024-01-05T10:00:00")]
+FRESH_FEB = [("wiki", "fresh delta", "2024-02-02T09:00:00")]
+
+
+def _late_case(spark, tmp_path, kind, schema_str, start_fn, read_fn, log):
+    """Shared late-data drill: build JAN+FEB state, expire JAN, then feed
+    a batch carrying BOTH a pre-horizon straggler and a fresh in-horizon
+    row.  The straggler must quarantine (observable), the fresh row must
+    land, and no pre-horizon window may reappear in the live log."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b1.json", B_JAN + B_FEB)
+    start_fn(spark.readStream.schema(SCHEMA).json(str(src))).awaitTermination(120)
+
+    sk.expire_windows(spark, log, kind, older_than=FEB)
+    assert sk.read_eviction_horizon(log) == FEB
+    before = sorted(tuple(r) for r in read_fn().collect())
+
+    _write_batch(src, "b2.json", LATE_JAN + FRESH_FEB)
+    start_fn(spark.readStream.schema(SCHEMA).json(str(src))).awaitTermination(120)
+
+    # live log: not a single pre-horizon window recreated
+    live = spark.read.schema(schema_str).parquet(log)
+    assert live.filter(F.col("win") < F.lit(FEB)).count() == 0
+    # the straggler is OBSERVABLE in quarantine, under its true window
+    q = sk.read_late_quarantine(spark, log, schema_str)
+    assert q.count() > 0
+    assert q.filter(F.col("win") >= F.lit(FEB)).count() == 0
+    # the fresh in-horizon row DID land (reads moved), and the JAN-free
+    # horizon read before the late batch is a subset story: re-reading
+    # with until=FEB (the evicted region) stays EMPTY
+    after = sorted(tuple(r) for r in read_fn().collect())
+    assert after != before
+    assert read_fn(until=FEB).count() == 0
+    # monotone horizon: an earlier expiry cannot un-evict
+    sk.expire_windows(spark, log, kind, older_than=JAN)
+    assert sk.read_eviction_horizon(log) == FEB
+
+
+def test_hll_late_data_quarantined(spark, tmp_path):
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    _late_case(
+        spark, tmp_path, "hll", sk.HLLW_SCHEMA,
+        lambda s: sk.stream_hll_registers_windowed(
+            s, "source", "text", "ts", log, ckpt),
+        lambda since=None, until=None: sk.read_hll_registers_windowed(
+            spark, log, since, until),
+        log,
+    )
+
+
+def test_cms_late_data_quarantined(spark, tmp_path):
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    _late_case(
+        spark, tmp_path, "cms", sk.CMSW_SCHEMA,
+        lambda s: sk.stream_cms_counters_windowed(
+            s, "text", "ts", log, ckpt),
+        lambda since=None, until=None: sk.read_cms_counters_windowed(
+            spark, log, since, until),
+        log,
+    )
+
+
+def test_kmv_late_data_quarantined(spark, tmp_path):
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    _late_case(
+        spark, tmp_path, "kmv", sk.KMVW_SCHEMA,
+        lambda s: sk.stream_kmv_values_windowed(
+            s, "source", "text", "ts", log, ckpt),
+        lambda since=None, until=None: sk.read_kmv_values_windowed(
+            spark, log, since, until),
+        log,
+    )
+
+
+def test_hdr_late_data_quarantined(spark, tmp_path):
+    """HDR variant (value stream, not text): same drill over the latency
+    shape."""
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    src = tmp_path / "in"
+    src.mkdir()
+    vschema = "source STRING, value DOUBLE, ts TIMESTAMP"
+
+    def write_vals(name, rows):
+        with open(src / name, "w") as f:
+            for k, v, ts in rows:
+                f.write(json.dumps({"source": k, "value": v, "ts": ts}) + "\n")
+
+    def run():
+        sk.stream_hdr_buckets_windowed(
+            spark.readStream.schema(vschema).json(str(src)),
+            "source", "value", "ts", log, ckpt,
+        ).awaitTermination(120)
+
+    write_vals("b1.json", [("s", 2.0, "2024-01-01T08:00:00"),
+                           ("s", 9.0, "2024-02-01T11:00:00")])
+    run()
+    sk.expire_windows(spark, log, "hdr", older_than=FEB)
+    write_vals("b2.json", [("s", 3.0, "2024-01-06T08:00:00"),   # straggler
+                           ("s", 17.0, "2024-02-03T11:00:00")])  # fresh
+    run()
+    live = spark.read.schema(sk.HDRW_SCHEMA).parquet(log)
+    assert live.filter(F.col("win") < F.lit(FEB)).count() == 0
+    q = sk.read_late_quarantine(spark, log, sk.HDRW_SCHEMA)
+    assert q.count() == 1 and q.first().cnt == 1
+    assert sk.read_hdr_buckets_windowed(spark, log, until=FEB).count() == 0
+    # the fresh row landed
+    assert sk.read_hdr_buckets_windowed(spark, log).agg(
+        F.sum("cnt")).first()[0] == 2
