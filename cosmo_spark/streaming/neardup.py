@@ -280,3 +280,222 @@ def make_keeper(threshold: float, max_bucket: int, ttl_ms_: int | None = None):
         })
 
     return keeper
+
+
+# --------------------------------------------------------------------------- #
+# Streaming MEDIA near-dedup (round-9 verdict #5): store-resolved, zero decode #
+# --------------------------------------------------------------------------- #
+
+#: one row per arrival: accepted / near_dup (dup_of set) / unfingerprinted
+MEDIA_OUT_SCHEMA = (
+    "media_id STRING, content_hash BIGINT, dup_of STRING, hamming INT, "
+    "code BIGINT, status STRING"
+)
+MEDIA_STATE_SCHEMA = "ids ARRAY<STRING>, his ARRAY<BIGINT>, los ARRAY<BIGINT>"
+MEDIA_STATE_SCHEMA_TTL = MEDIA_STATE_SCHEMA + ", tss ARRAY<BIGINT>"
+
+_U64 = (1 << 64) - 1
+
+
+def stream_media_near_dup(
+    stream: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    band_bits: int = 16,
+    max_hamming: int = 6,
+    max_bucket: int = 10_000,
+    ttl: str | None = None,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Near-dup-annotate a stream of (id, blob) MEDIA rows with ZERO
+    decode on the streaming path — the media analog of
+    ``stream_srp_near_dup``, completing the batch (q140–q142) /
+    incremental (q145) / streaming triple.
+
+    The only blob work is a JVM-side ``xxhash64`` computed map-side, after
+    which the blob is projected away — it never enters the stateful
+    shuffle (the q140 blobs-never-shuffle contract).  Fingerprints come
+    from the AT-REST store (sources/media_fps): a stream-static broadcast
+    join on content_hash attaches (fp_hi, fp_lo); arrivals whose content
+    the store has never fingerprinted are emitted as
+    ``status='unfingerprinted'`` — the out-of-band enrichment contract
+    (run ``fingerprint_media_cached`` on them in batch, which appends to
+    the store; a re-arrival then resolves) — NEVER decoded in-stream.
+
+    Resolved arrivals bucket by the fingerprint's leading ``band_bits``
+    (the single-band geometry of the text keeper, same trade documented
+    there) and an ``applyInPandasWithState`` keeper verifies exact
+    128-bit Hamming distance <= ``max_hamming`` against the bucket's
+    accepted fingerprints — first accepted match in insertion order, the
+    batch verifier's rule.  ``ttl``/``ts_col`` bound state by event time
+    exactly as the text keeper does (watermark eviction + whole-bucket
+    EventTimeTimeout; re-arrival of evicted content is accepted as new).
+    """
+    if (ttl is None) != (ts_col is None):
+        raise ValueError("ttl and ts_col must be given together")
+    if not (1 <= band_bits <= 64):
+        raise ValueError(f"band_bits must be in [1, 64], got {band_bits}")
+    from cosmo_spark.sources.media_fps import read_fp_store
+
+    spark = stream.sparkSession
+    cols = [
+        F.col(id_col).cast("string").alias("__id"),
+        F.xxhash64(F.col(blob_col)).alias("content_hash"),
+    ]
+    keep = ["__id", "content_hash"]
+    if ttl is not None:
+        cols.append(F.col(ts_col).cast("timestamp").alias("__ts"))
+        keep.append("__ts")
+    keyed = stream.select(*cols)   # blob hashed map-side and gone
+
+    store = read_fp_store(spark, store_path)
+    if store is None:
+        store = spark.createDataFrame(
+            [], "content_hash LONG, fp_hi LONG, fp_lo LONG"
+        )
+    enriched = keyed.join(F.broadcast(store), "content_hash", "left")
+
+    unresolved = enriched.filter(F.col("fp_hi").isNull()).select(
+        F.col("__id").alias("media_id"), "content_hash",
+        F.lit(None).cast("string").alias("dup_of"),
+        F.lit(None).cast("int").alias("hamming"),
+        F.lit(None).cast("long").alias("code"),
+        F.lit("unfingerprinted").alias("status"),
+    )
+
+    coded = enriched.filter(F.col("fp_hi").isNotNull()).select(
+        *keep, "fp_hi", "fp_lo",
+        F.expr(f"shiftrightunsigned(fp_hi, {64 - band_bits})").alias("__code"),
+    )
+    if ttl is not None:
+        coded = coded.filter(F.col("__ts").isNotNull()).withWatermark(
+            "__ts", ttl
+        )
+    resolved = coded.groupBy("__code").applyInPandasWithState(
+        make_media_keeper(
+            max_hamming, max_bucket,
+            ttl_ms_=None if ttl is None else ttl_ms(ttl),
+        ),
+        outputStructType=MEDIA_OUT_SCHEMA,
+        stateStructType=(
+            MEDIA_STATE_SCHEMA if ttl is None else MEDIA_STATE_SCHEMA_TTL
+        ),
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout if ttl is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
+    )
+    return resolved.unionByName(unresolved)
+
+
+def make_media_keeper(
+    max_hamming: int, max_bucket: int, ttl_ms_: int | None = None
+):
+    """Per-bucket stateful fingerprint keeper (module-level factory for
+    the same reasons as ``make_keeper``; the returned closure is shipped
+    by value — no repo import on the workers).  State is three parallel
+    arrays (ids, fp_hi, fp_lo) plus last-seen times under TTL; matching
+    is exact 128-bit Hamming over masked-unsigned XORs (int64 values are
+    signed on the wire — an unmasked XOR of mixed signs would bit_count
+    a negative and answer garbage)."""
+    max_h = int(max_hamming)
+    cap = int(max_bucket)
+
+    def keeper(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def _empty():
+            return pd.DataFrame({
+                "media_id": pd.Series(dtype=object),
+                "content_hash": pd.Series(dtype="int64"),
+                "dup_of": pd.Series(dtype=object),
+                "hamming": pd.Series(dtype=object),
+                "code": pd.Series(dtype="int64"),
+                "status": pd.Series(dtype=object),
+            })
+
+        U64 = (1 << 64) - 1
+        if ttl_ms_ is not None and state.hasTimedOut:
+            state.remove()
+            yield _empty()
+            return
+        if state.exists:
+            stored = state.get
+            ids, his, los = list(stored[0]), list(stored[1]), list(stored[2])
+            tss = list(stored[3]) if ttl_ms_ is not None else None
+        else:
+            ids, his, los = [], [], []
+            tss = [] if ttl_ms_ is not None else None
+        if ttl_ms_ is not None:
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0 and tss:
+                live = [i for i, t in enumerate(tss) if t >= wm]
+                if len(live) < len(ids):
+                    ids = [ids[i] for i in live]
+                    his = [his[i] for i in live]
+                    los = [los[i] for i in live]
+                    tss = [tss[i] for i in live]
+        rows = []
+        for pdf in pdfs:
+            if ttl_ms_ is not None:
+                ts_ms = (
+                    pd.to_datetime(pdf["__ts"]).astype("int64") // 1_000_000
+                )
+                rows.extend(zip(pdf["__id"], pdf["content_hash"],
+                                pdf["fp_hi"], pdf["fp_lo"], ts_ms))
+            else:
+                rows.extend(zip(pdf["__id"], pdf["content_hash"],
+                                pdf["fp_hi"], pdf["fp_lo"],
+                                [None] * len(pdf)))
+        rows.sort(key=lambda r: r[0])   # deterministic within a micro-batch
+        out = {k: [] for k in
+               ("media_id", "content_hash", "dup_of", "hamming", "status")}
+        for rid, chash, hi, lo, rts in rows:
+            hi, lo = int(hi), int(lo)
+            match, dist = None, None
+            for i in range(len(ids)):
+                d = (((hi ^ int(his[i])) & U64).bit_count()
+                     + ((lo ^ int(los[i])) & U64).bit_count())
+                if d <= max_h:
+                    match, dist = ids[i], d
+                    if ttl_ms_ is not None:   # hot dups stay live
+                        tss[i] = max(tss[i], int(rts))
+                    break
+            if match is None:
+                ids.append(rid)
+                his.append(hi)
+                los.append(lo)
+                if ttl_ms_ is not None:
+                    tss.append(int(rts))
+                if len(ids) > cap:
+                    raise RuntimeError(
+                        f"stream_media_near_dup: bucket code={key[0]} holds "
+                        f"{len(ids)} accepted fingerprints > "
+                        f"max_bucket={cap} — degenerate band; deepen "
+                        "band_bits or shard the key"
+                    )
+            out["media_id"].append(rid)
+            out["content_hash"].append(int(chash))
+            out["dup_of"].append(match)
+            out["hamming"].append(dist)
+            out["status"].append("accepted" if match is None else "near_dup")
+        if ttl_ms_ is None:
+            state.update((ids, his, los))
+        elif tss:
+            state.update((ids, his, los, tss))
+            state.setTimeoutTimestamp(max(tss) + ttl_ms_)
+        else:
+            state.remove()
+        yield pd.DataFrame({
+            "media_id": out["media_id"],
+            "content_hash": pd.Series(out["content_hash"], dtype="int64"),
+            "dup_of": out["dup_of"],
+            "hamming": pd.Series(out["hamming"], dtype=object),
+            "code": pd.Series([key[0]] * len(out["media_id"]), dtype="int64"),
+            "status": out["status"],
+        })
+
+    return keeper
