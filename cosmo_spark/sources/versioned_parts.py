@@ -129,15 +129,17 @@ def _alive(pid: int) -> bool:
 def _abandoned(entry: str, full: str) -> bool:
     """True when a generation/tmp dir provably belongs to a dead writer:
     owner pid embedded in the name is dead ON THIS HOST, or the dir went
-    untouched past the abandonment window (cross-host case)."""
-    m = re.search(r"-(\d+)-([^-]+)-[0-9a-f]{8}$", entry) or re.search(
-        r"tmp-(\d+)-([^-]+)-", entry
-    )
+    untouched past the abandonment window (cross-host case).  The host
+    check is a substring test, not a capture group — hostnames may
+    themselves contain dashes (the flat store's _tmp_owner_pid
+    discipline)."""
+    m = re.search(r"^(?:g|v\.tmp)-(\d+)-", entry)
     try:
         age = time.time() - os.path.getmtime(full)
     except OSError:
         return False
-    if m and m.group(2) == socket.gethostname() and not _alive(int(m.group(1))):
+    owner_here = m is not None and f"-{socket.gethostname()}-" in entry
+    if owner_here and not _alive(int(m.group(1))):
         return True
     return age > _TMP_MAX_AGE_S
 
@@ -174,6 +176,11 @@ def _stage(df: DataFrame, path: str, partition_col: str):
     derived string key; returns (tmp_dir, {key: escaped_subdir}).  The
     staging column is a DUPLICATE of the partition column, so the data
     files stay schema-complete when partitionBy drops it."""
+    if _STAGE_COL in df.columns:
+        raise ValueError(
+            f"versioned partitioned tables reserve the {_STAGE_COL!r} "
+            f"column name for staging"
+        )
     tmp = _new_tmp(path)
     (
         df.withColumn(_STAGE_COL, _key_expr(partition_col))

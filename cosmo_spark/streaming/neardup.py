@@ -324,6 +324,13 @@ def stream_media_near_dup(
     (run ``fingerprint_media_cached`` on them in batch, which appends to
     the store; a re-arrival then resolves) — NEVER decoded in-stream.
 
+    The store is snapshotted when the streaming query is DEFINED (the
+    static side's file listing pins at DataFrame creation): fingerprints
+    appended to the store mid-stream become visible on the next query
+    (re)start, which is exactly when the unfingerprinted channel's
+    out-of-band enrichment pays off — restart-and-resolve, the
+    checkpoint replays nothing.
+
     Resolved arrivals bucket by the fingerprint's leading ``band_bits``
     (the single-band geometry of the text keeper, same trade documented
     there) and an ``applyInPandasWithState`` keeper verifies exact

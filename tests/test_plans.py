@@ -661,3 +661,23 @@ def test_q152_probe_join_broadcasts_counters(spark, qs):
     broadcast, never sort-merge."""
     df = qs["q152_cms_horizon"].spark_fn(spark, SF)
     assert plan_has(df, "BroadcastHashJoin", absent=("SortMergeJoin",)) == []
+
+
+def test_q156_word_join_broadcasts_and_no_word_shuffle(spark, qs):
+    """The production tokenizer's corpus join: per-word token costs (a
+    few bytes per vocabulary entry) must BROADCAST back to the corpus —
+    a SortMergeJoin here would shuffle every (doc, word) pair at 100 TB."""
+    df = qs["q156_bpe_tokenize_full"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q157_audit_joins_stay_hash_shaped(spark, qs):
+    """The partitioned-store audit reads three manifest-pinned versions
+    and diffs on the key: no cartesian, no nested-loop — every join is
+    hash-keyed (event_id / event_type)."""
+    df = qs["q157_partitioned_purge_audit"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan

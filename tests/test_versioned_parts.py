@@ -251,3 +251,52 @@ def test_concurrent_writer_blocked_by_lease(spark, tmp_path):
     vb = merge_vp(spark, path, b, "k", "ver", "month")
     assert (va, vb) == (2, 3)
     assert _state(read_partitioned(spark, path))["k1"] == (3, "2024-01", "B")
+
+
+def test_crash_between_rename_and_manifest_preserves_old_version(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection at the worst point: generations renamed into
+    parts/ but the manifest write dies.  The table must keep serving the
+    old version, and the next successful merge must reap the orphaned
+    generations and publish cleanly."""
+    import cosmo_spark.sources.versioned_parts as vp
+
+    path = str(tmp_path / "tbl")
+    merge_vp(spark, path, _base(spark), "k", "ver", "month")
+    state_v1 = _state(read_partitioned(spark, path))
+
+    real_write = vp._write_manifest
+    calls = {"n": 0}
+
+    def dying_write(p, doc):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(vp, "_write_manifest", dying_write)
+    upd = spark.createDataFrame([("k1", 2, "2024-01", "a2")], SCHEMA)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_vp(spark, path, upd, "k", "ver", "month")
+    monkeypatch.setattr(vp, "_write_manifest", real_write)
+
+    # old version still serves; the orphan generation exists but is
+    # invisible (manifest never adopted it)
+    assert _state(read_partitioned(spark, path)) == state_v1
+    doc = _read_manifest(path)
+    assert doc["current"] == 1
+    referenced = {rel for e in doc["versions"] for rel in e["parts"].values()}
+    orphans = {
+        f"parts/{e}" for e in os.listdir(os.path.join(path, "parts"))
+    } - referenced
+    assert orphans, "the crash must have left unadopted generations"
+
+    # next merge (same process — owner pid alive, so the orphans are NOT
+    # provably abandoned yet; age them artificially) reaps and publishes
+    old = __import__("time").time() - 100 * 3600
+    for rel in orphans:
+        os.utime(os.path.join(path, rel), (old, old))
+    v = merge_vp(spark, path, upd, "k", "ver", "month")
+    assert v == 2
+    assert _state(read_partitioned(spark, path))["k1"] == (2, "2024-01", "a2")
+    for rel in orphans:
+        assert not os.path.isdir(os.path.join(path, rel))
