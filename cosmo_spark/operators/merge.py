@@ -431,11 +431,15 @@ def merge_into_partitioned(
 
     The 100 TB upsert path: a day of updates against a years-deep table
     reads and rewrites a handful of partition directories; everything else
-    is untouched bytes.  Deliberately IN-PLACE (no snapshot history): the
-    partition-surgical rewrite is the whole point, and retaining versions
-    would re-copy untouched partitions — when audit/rollback of a
-    partitioned table is required, publish through
-    ``sources.versioned.write_snapshot`` instead and accept the rewrite.  Mechanics: dynamic partition overwrite
+    is untouched bytes.  IN-PLACE (no snapshot history) — the
+    Hive-layout compatibility path for tables other engines read by
+    directory convention.  When audit/rollback/time-travel of a
+    partitioned table is required, use
+    ``sources.versioned_parts.merge_into_partitioned_versioned`` (round
+    10): the same partition-surgical write cost, plus a
+    partition-granular manifest where untouched generations are SHARED
+    across versions — history without re-copying untouched partitions.
+    Mechanics: dynamic partition overwrite
     (``partitionOverwriteMode=dynamic``) replaces exactly the partitions
     present in the written frame.  Requires ``partition_col`` to be part of
     every update row (the merge key's partition cannot change).

@@ -2129,19 +2129,22 @@ def ensure_partitioned_purge_demo(spark: SparkSession, sf_dir: str) -> str:
         "event_id", "user_id", "event_type", "value"
     )
     v1 = ev.withColumn("ver", F.lit(1))
-    merge_into_partitioned_versioned(
+    published = merge_into_partitioned_versioned(
         spark, table, v1, "event_id", "ver", "event_type"
     )
-    upd = (
-        v1.filter(F.col("event_id") % _Q157_UPD_MOD == 1)
-        .withColumn("ver", F.lit(2))
-        .withColumn("value", F.col("value") + F.lit(1000.0))
-    )
-    merge_into_partitioned_versioned(
-        spark, table, upd, "event_id", "ver", "event_type"
-    )
-    tomb = ev.filter(F.col("user_id") % _Q151_TOMB_MOD == 0).select("user_id")
-    purge_keys_partitioned(spark, table, "user_id", tomb, "event_type")
+    if published > 0:   # an EMPTY corpus publishes nothing — the query
+        upd = (         # degrades to an empty audit (oracle agrees)
+            v1.filter(F.col("event_id") % _Q157_UPD_MOD == 1)
+            .withColumn("ver", F.lit(2))
+            .withColumn("value", F.col("value") + F.lit(1000.0))
+        )
+        merge_into_partitioned_versioned(
+            spark, table, upd, "event_id", "ver", "event_type"
+        )
+        tomb = ev.filter(
+            F.col("user_id") % _Q151_TOMB_MOD == 0
+        ).select("user_id")
+        purge_keys_partitioned(spark, table, "user_id", tomb, "event_type")
     open(marker, "w").close()
     return table
 
@@ -2188,7 +2191,18 @@ def q157_partitioned_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     table = ensure_partitioned_purge_demo(spark, sf_dir)
-    v1, v2, v3 = partitioned_versions(table)[-3:]
+    versions = partitioned_versions(table)
+    if len(versions) < 3:
+        # an EMPTY corpus publishes no versions (the builder degrades);
+        # the oracle's GROUP BY over zero rows is empty too.  Fewer than
+        # 3 versions on a NON-empty corpus cannot happen on the driver
+        # corpora (both the mod-23 update slice and the mod-17 tombstone
+        # set are non-empty at every sf, in every sweep).
+        return spark.createDataFrame(
+            [], "event_type STRING, n_before LONG, n_updated LONG, "
+                "n_purged LONG, n_remaining LONG"
+        )
+    v1, v2, v3 = versions[-3:]
     old = read_partitioned(spark, table, v1)
     mid = read_partitioned(spark, table, v2)
     cur = read_partitioned(spark, table, v3)
