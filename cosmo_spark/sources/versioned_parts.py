@@ -415,6 +415,51 @@ def purge_keys_partitioned(
         keys.unpersist()
 
 
+def adopt_partitioned(
+    spark: SparkSession,
+    path: str,
+    source_path: str,
+    partition_col: str,
+) -> int:
+    """One-time migration of an existing HIVE-LAYOUT partitioned table
+    (``<col>=<val>`` directories, partition values only in the paths —
+    the ``merge_into_partitioned`` shape) into a versioned store at
+    ``path``: read with basePath so Spark re-materializes the partition
+    column, rewrite through the standard staging path (the files gain
+    the in-file partition column every later read relies on), publish as
+    v1.  A REWRITE by design — Hive-layout data files lack the partition
+    column, so zero-copy adoption would poison every multi-path read;
+    the one-time cost buys shared-generation history from then on.
+    ``path`` must not already be a versioned table (publishes v1 only).
+    """
+    from cosmo_spark.operators.merge import _table_lock
+
+    os.makedirs(path, exist_ok=True)
+    with _table_lock(spark, path.rstrip("/")) as guard:
+        doc = _read_manifest(path)
+        if doc.get("current") is not None:
+            raise RuntimeError(
+                f"{path} already has published versions — adopt only "
+                f"into a fresh table"
+            )
+        src = (
+            spark.read.option("basePath", source_path).parquet(source_path)
+        )
+        if partition_col not in src.columns:
+            raise ValueError(
+                f"{source_path} has no {partition_col!r} partition "
+                f"directories to adopt"
+            )
+        tmp, staged = _stage(src, path, partition_col)
+        try:
+            return _publish_locked(
+                path, doc, tmp, staged, set(staged), src.schema.json(), guard
+            )
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+
+
 def vacuum_partitioned(
     spark: SparkSession, path: str, keep_last: int = 1
 ) -> list[int]:
