@@ -3410,3 +3410,91 @@ def q126_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _q158_oracle() -> str:
+    from cosmo_spark.functions.bpe import duck_bpe_train_ctes
+    from cosmo_spark.queries.bpe_artifacts import BPE_PROD_ORACLE_N
+
+    ctes, _final, bests = duck_bpe_train_ctes(_DUCK_TOKS, BPE_PROD_ORACLE_N)
+    merged = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, (a || b) AS token FROM {bname}"
+        for k, bname in enumerate(bests, start=1)
+    )
+    return f"""
+WITH {", ".join(ctes)},
+base AS (
+  SELECT DISTINCT unnest(list_transform(range(1, length(word) + 1),
+                                        i -> word[i:i])) AS token
+  FROM wf
+), base_ids AS (
+  SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id,
+         token, 'base' AS kind, CAST(NULL AS BIGINT) AS rank
+  FROM base
+), m AS ({merged})
+SELECT id, token, kind, rank FROM base_ids
+UNION ALL
+SELECT CAST((SELECT count(*) FROM base) + rank - 1 AS BIGINT) AS id,
+       token, 'merged' AS kind, rank
+FROM m
+"""
+
+
+@register("q158_bpe_vocab_export", operators=("TXT3",), oracle=_q158_oracle())
+def q158_bpe_vocab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export the trained tokenizer's VOCABULARY TABLE — the artifact a
+    runtime tokenizer actually loads (the vocab.json/merges.txt pair of
+    every production BPE): base tokens = the distinct characters of the
+    corpus vocabulary, id-assigned in lexicographic order; merged tokens
+    = the full-exhaustion rule ladder (q155's rules) in learned order,
+    ids continuing after the base block.  Completes the tokenizer
+    family: q155 trains, q158 exports the artifact, q156 prices the
+    corpus, q97/q148 apply.
+
+    The oracle replays training end-to-end (the 112-level materialized
+    chain) AND derives the base charset from the same word-frequency
+    CTE, so ids, tokens, kinds and ranks hash-match cross-engine with no
+    cache circularity.  Duplicate token STRINGS are possible by
+    construction (two different rules can concatenate to the same
+    string) and are kept — the table is the rule ladder, ids stay
+    unique.
+
+    Scale shape: base tokens come from the DISTINCT-word vocabulary
+    (Heaps-law-sized) exploded to characters — a bounded frame at any
+    corpus size; the merged block is rule-count-sized driver rows.  The
+    one scalar that crosses to the driver is the base-block size.
+    """
+    from pyspark.sql.window import Window as _W
+
+    from cosmo_spark.queries.bpe_artifacts import resolve_bpe_merges_prod
+
+    rules = resolve_bpe_merges_prod(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokenize(F.col("text"))).alias("word")) \
+        .distinct()
+    base = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(word)), "
+                    "i -> substring(word, i, 1))"
+                )
+            ).alias("token")
+        )
+        .distinct()
+    )
+    w_id = _W.orderBy("token")
+    base_ids = base.select(
+        (F.row_number().over(w_id) - 1).cast("long").alias("id"),
+        "token", F.lit("base").alias("kind"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    n_base = base.count()   # charset-sized scalar — the one driver number
+    merged_rows = [
+        (n_base + k - 1, a + b, "merged", k)
+        for k, (a, b, _cnt) in enumerate(rules, start=1)
+    ]
+    merged_df = spark.createDataFrame(
+        merged_rows, "id LONG, token STRING, kind STRING, rank LONG"
+    )
+    return base_ids.unionByName(merged_df)

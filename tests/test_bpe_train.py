@@ -325,3 +325,24 @@ def test_prod_family_parity_without_cache(spark, tmp_path, monkeypatch):
     finally:
         B._RESOLVED.clear()
         B._RESOLVED.update(saved)
+
+
+def test_q158_vocab_export_shape(spark):
+    """The exported vocabulary is a loadable artifact: ids contiguous
+    from 0, the base block lexicographically ordered single characters,
+    the merged block exactly the q155 ladder in learned order, ids
+    continuing after the base block."""
+    rows = sorted(
+        all_queries()["q158_bpe_vocab_export"].spark_fn(spark, SF).collect(),
+        key=lambda r: r.id,
+    )
+    assert [r.id for r in rows] == list(range(len(rows)))
+    base = [r for r in rows if r.kind == "base"]
+    merged = [r for r in rows if r.kind == "merged"]
+    assert all(len(r.token) == 1 and r.rank is None for r in base)
+    assert [r.token for r in base] == sorted(r.token for r in base)
+    ladder = all_queries()["q155_bpe_train_full"].spark_fn(spark, SF).collect()
+    assert [(r.rank, r.token) for r in merged] == [
+        (r.rank, r.merged) for r in sorted(ladder, key=lambda r: r.rank)
+    ]
+    assert merged[0].id == len(base)
