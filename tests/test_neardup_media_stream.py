@@ -159,3 +159,137 @@ def test_media_stream_validation():
         stream_media_near_dup(None, "p", ttl="1 hour")        # ts_col missing
     with pytest.raises(ValueError):
         stream_media_near_dup(None, "p", band_bits=0)
+
+
+# --------------------------------------------------------------------------- #
+# keeper vs pure-python reference (property, off-stream)                      #
+# --------------------------------------------------------------------------- #
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _ref_media_keeper(rows, state, max_h):
+    """Independent reference: first accepted fingerprint in insertion
+    order within Hamming <= max_h, else accept — over python ints with
+    explicit 64-bit masking."""
+    U64 = (1 << 64) - 1
+    ids, his, los = [list(x) for x in state]
+    out = []
+    for rid, chash, hi, lo in sorted(rows, key=lambda r: r[0]):
+        match, dist = None, None
+        for kid, khi, klo in zip(ids, his, los):
+            d = (((hi ^ khi) & U64).bit_count()
+                 + ((lo ^ klo) & U64).bit_count())
+            if d <= max_h:
+                match, dist = kid, d
+                break
+        if match is None:
+            ids.append(rid)
+            his.append(hi)
+            los.append(lo)
+        out.append((rid, match, dist))
+    return out, (ids, his, los)
+
+
+def test_media_keeper_matches_reference_property():
+    """Property: across seeded random micro-batch sequences (planted
+    near-dups within the threshold, far fingerprints, negative int64
+    values exercising the sign-masking), the production keeper emits the
+    same accept/match/hamming structure and state as the reference."""
+    import random
+
+    import pandas as pd
+
+    from cosmo_spark.streaming.neardup import make_media_keeper
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        pool = []
+        for i in range(rng.randint(4, 25)):
+            hi = rng.getrandbits(64)
+            lo = rng.getrandbits(64)
+            pool.append((f"m{i:03d}", rng.getrandbits(63), hi, lo))
+            if rng.random() < 0.4:   # planted near-dup: flip <=6 bits of lo
+                flipped = lo
+                for _ in range(rng.randint(0, 6)):
+                    flipped ^= 1 << rng.randrange(64)
+                pool.append(
+                    (f"m{i:03d}d", rng.getrandbits(63), hi, flipped)
+                )
+        rng.shuffle(pool)
+
+        def signed(x):
+            return x - (1 << 64) if x >= (1 << 63) else x
+
+        keeper = make_media_keeper(max_hamming=6, max_bucket=10_000)
+        state = _FakeState()
+        ref_state = ([], [], [])
+        while pool:
+            nb = rng.randint(1, max(1, len(pool)))
+            batch, pool = pool[:nb], pool[nb:]
+            pdf = pd.DataFrame({
+                "__id": [r[0] for r in batch],
+                "content_hash": pd.Series([r[1] for r in batch],
+                                          dtype="int64"),
+                "fp_hi": pd.Series([signed(r[2]) for r in batch],
+                                   dtype="int64"),
+                "fp_lo": pd.Series([signed(r[3]) for r in batch],
+                                   dtype="int64"),
+            })
+            got = list(keeper((7,), [pdf], state))[0]
+            ref_rows = [(r[0], r[1], signed(r[2]), signed(r[3]))
+                        for r in batch]
+            want, ref_state = _ref_media_keeper(ref_rows, ref_state, 6)
+            assert list(got["media_id"]) == [w[0] for w in want], seed
+            assert list(got["dup_of"]) == [w[1] for w in want], seed
+            assert [None if pd.isna(h) else int(h)
+                    for h in got["hamming"]] == [w[2] for w in want], seed
+            assert all(got["code"] == 7)
+        ids, his, los = state.get
+        assert (list(ids), list(his), list(los)) == (
+            ref_state[0], ref_state[1], ref_state[2]
+        ), seed
+
+
+def test_segmenter_bounded_time_under_production_rule_table():
+    """The apply half at production rule-table size: 1,024 synthetic
+    rules over a 5k-word vocabulary segment in bounded wall time through
+    the same kernel the mapInPandas closure ships (the round-10 #6
+    claim: job count AND per-word cost independent of merge count)."""
+    import random
+    import time
+
+    from cosmo_spark.functions.bpe import segment_word_py
+
+    rng = random.Random(3)
+    rules = []
+    syms = [c for c in "abcdefghij"]
+    for _ in range(1024):
+        a, b = rng.choice(syms), rng.choice(syms)
+        rules.append((a, b, 1))
+        syms.append(a + b)
+    frozen = tuple((a, b, c, frozenset(a + b)) for a, b, c in rules)
+    words = [
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(2, 12)))
+        for _ in range(5000)
+    ]
+    t0 = time.time()
+    segs = [segment_word_py(w, frozen) for w in words]
+    elapsed = time.time() - t0
+    assert elapsed < 30, f"5k words x 1024 rules took {elapsed:.1f}s"
+    # sanity: segmentation is a partition of the word
+    for w, s in zip(words, segs):
+        assert "".join(s) == w
