@@ -202,6 +202,97 @@ def segment_word_py(word: str, rules) -> list[str]:
     return syms
 
 
+def build_pair_ranks(rules):
+    """Rule ladder -> {(a, b): ascending tuple of 0-based ranks}.  A pair
+    normally appears once; duplicate learned pairs (possible on degenerate
+    corpora where overlap-skipped occurrences survive a pass) keep every
+    rank so the rank kernel can honour the LATER pass too."""
+    pr: dict[tuple[str, str], list[int]] = {}
+    for rank, r in enumerate(rules):
+        pr.setdefault((r[0], r[1]), []).append(rank)
+    return {k: tuple(v) for k, v in pr.items()}
+
+
+def segment_word_rank_py(word: str, pair_ranks) -> list[str]:
+    """Merge-rank priority apply: O(len·log len) per word, INDEPENDENT of
+    rule-table size — the production kernel a 30k–50k-rule tokenizer
+    needs, where :func:`segment_word_py`'s per-word full-ladder scan is
+    O(rules)/word.
+
+    Semantics are EXACTLY the sequential-pass chain, not GPT-2's
+    unrestricted min-rank loop: a monotone pointer tracks the last
+    applied rank and never rewinds, so an adjacency created by a later
+    merge can never re-trigger an earlier rule — precisely the "pass j
+    already ran" behaviour of applying rules in learned order.  Within a
+    rank the heap orders by original slot index, which equals the greedy
+    leftmost non-overlapping pass because a merge's output symbol a+b can
+    never itself equal a or b (so no same-rule occurrence ever appears to
+    the left of the scan point).  The hypothesis gate in
+    tests/test_bpe_train.py pins kernel-vs-kernel equality on arbitrary
+    ladders (duplicates included), not just trained ones.
+
+    Implementation: doubly-linked slot list + lazy heap of
+    (rank, left-slot) tokens.  Every merge pushes fresh exact-rank tokens
+    for the two affected adjacencies; stale tokens re-validate on pop
+    against the CURRENT pair and the pointer (re-keyed lazily), so total
+    heap traffic is O(len) pushes amortized.
+    """
+    syms = list(word)
+    n = len(syms)
+    if n < 2:
+        return syms
+    import heapq
+    from bisect import bisect_left
+
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    heap = []
+    for i in range(n - 1):
+        rks = pair_ranks.get((syms[i], syms[i + 1]))
+        if rks:
+            heap.append((rks[0], i))
+    heapq.heapify(heap)
+    pointer = 0  # min admissible rank — sequential passes never rewind
+    while heap:
+        rank, i = heapq.heappop(heap)
+        if not alive[i]:
+            continue
+        j = nxt[i]
+        if j == -1:
+            continue
+        rks = pair_ranks.get((syms[i], syms[j]))
+        if not rks:
+            continue  # stale token: the pair at this slot changed
+        k = bisect_left(rks, pointer)
+        if k == len(rks):
+            continue  # every pass for this pair already ran
+        r = rks[k]
+        if r != rank:
+            heapq.heappush(heap, (r, i))  # lazy re-key, try again later
+            continue
+        pointer = r
+        syms[i] = syms[i] + syms[j]
+        alive[j] = False
+        nj = nxt[j]
+        nxt[i] = nj
+        if nj != -1:
+            prv[nj] = i
+            rks2 = pair_ranks.get((syms[i], syms[nj]))
+            if rks2:
+                k2 = bisect_left(rks2, pointer)
+                if k2 < len(rks2):
+                    heapq.heappush(heap, (rks2[k2], i))
+        pi = prv[i]
+        if pi != -1:
+            rks2 = pair_ranks.get((syms[pi], syms[i]))
+            if rks2:
+                k2 = bisect_left(rks2, pointer)
+                if k2 < len(rks2):
+                    heapq.heappush(heap, (rks2[k2], pi))
+    return [syms[i] for i in range(n) if alive[i]]
+
+
 def bpe_segment_words(words, rules):
     """Distinct-word BPE segmentation under a learned rule table, as ONE
     Spark job: (word, w ARRAY<STRING>, n_sym BIGINT) for every distinct
@@ -221,37 +312,75 @@ def bpe_segment_words(words, rules):
     (tests/test_bpe_train.py)."""
     from pyspark.sql import functions as F
 
-    frozen = tuple(
-        (a, b, int(cnt), frozenset(a + b)) for a, b, cnt in rules
-    )
+    pair_ranks: dict = {}
+    for _rank, _r in enumerate(rules):
+        pair_ranks.setdefault((_r[0], _r[1]), []).append(_rank)
+    pair_ranks = {k: tuple(v) for k, v in pair_ranks.items()}
 
     def seg(batches):
         # the kernel is DEFINED INSIDE the closure (pickled by value):
         # Python workers do not share the driver's sys.path, so a
-        # reference to module-level segment_word_py would be a
+        # reference to module-level segment_word_rank_py would be a
         # ModuleNotFoundError on any cluster where the repo is not
-        # installed as a package on the executors
+        # installed as a package on the executors.  Merge-rank priority
+        # kernel — O(len·log len)/word regardless of rule-table size;
+        # bit-identity with the sequential-pass kernel is hypothesis-
+        # gated (see segment_word_rank_py's docstring)
+        import heapq
+        from bisect import bisect_left
+
         def segment(word):
             syms = list(word)
-            if len(syms) < 2:
+            n = len(syms)
+            if n < 2:
                 return syms
-            chars = set(syms)
-            for a, b, _cnt, need in frozen:
-                if not (need <= chars):
+            nxt = list(range(1, n)) + [-1]
+            prv = [-1] + list(range(n - 1))
+            alive = [True] * n
+            heap = []
+            for i in range(n - 1):
+                rks = pair_ranks.get((syms[i], syms[i + 1]))
+                if rks:
+                    heap.append((rks[0], i))
+            heapq.heapify(heap)
+            pointer = 0
+            while heap:
+                rank, i = heapq.heappop(heap)
+                if not alive[i]:
                     continue
-                out = []
-                i, n = 0, len(syms)
-                while i < n:
-                    if i < n - 1 and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-                if len(syms) < 2:
-                    break
-            return syms
+                j = nxt[i]
+                if j == -1:
+                    continue
+                rks = pair_ranks.get((syms[i], syms[j]))
+                if not rks:
+                    continue
+                k = bisect_left(rks, pointer)
+                if k == len(rks):
+                    continue
+                r = rks[k]
+                if r != rank:
+                    heapq.heappush(heap, (r, i))
+                    continue
+                pointer = r
+                syms[i] = syms[i] + syms[j]
+                alive[j] = False
+                nj = nxt[j]
+                nxt[i] = nj
+                if nj != -1:
+                    prv[nj] = i
+                    rks2 = pair_ranks.get((syms[i], syms[nj]))
+                    if rks2:
+                        k2 = bisect_left(rks2, pointer)
+                        if k2 < len(rks2):
+                            heapq.heappush(heap, (rks2[k2], i))
+                pi = prv[i]
+                if pi != -1:
+                    rks2 = pair_ranks.get((syms[pi], syms[i]))
+                    if rks2:
+                        k2 = bisect_left(rks2, pointer)
+                        if k2 < len(rks2):
+                            heapq.heappush(heap, (rks2[k2], pi))
+            return [syms[i] for i in range(n) if alive[i]]
 
         import pandas as pd
 

@@ -346,3 +346,126 @@ def test_q158_vocab_export_shape(spark):
         (r.rank, r.merged) for r in sorted(ladder, key=lambda r: r.rank)
     ]
     assert merged[0].id == len(base)
+
+
+def test_rank_kernel_equals_pass_kernel_property():
+    """segment_word_rank_py (merge-rank priority heap, O(len·log len)
+    independent of ladder size) is bit-identical to segment_word_py
+    (sequential full-ladder passes) on ARBITRARY rule ladders — random
+    pairs, chained merged symbols, duplicate pairs — not just trained
+    ones.  This is the semantic claim that makes the kernel swap safe:
+    the monotone rank pointer reproduces 'pass j already ran' exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from cosmo_spark.functions.bpe import (
+        build_pair_ranks,
+        segment_word_py,
+        segment_word_rank_py,
+    )
+
+    sym = st.text("ab", min_size=1, max_size=3)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.tuples(sym, sym), min_size=0, max_size=12),
+        st.text("ab", min_size=0, max_size=16),
+    )
+    def inner(pairs, word):
+        rules = [(a, b, 1) for a, b in pairs]
+        frozen = tuple((a, b, c, frozenset(a + b)) for a, b, c in rules)
+        assert segment_word_rank_py(word, build_pair_ranks(rules)) == \
+            segment_word_py(word, frozen)
+
+    inner()
+
+
+def test_rank_kernel_equals_pass_kernel_trained_ladder():
+    """Same equality on a genuinely TRAINED ladder (bpe_greedy_py over a
+    deterministic synthetic vocabulary, 1500 merges) applied to every
+    vocabulary word plus out-of-vocabulary probes."""
+    import random
+
+    from cosmo_spark.functions.bpe import (
+        build_pair_ranks,
+        segment_word_py,
+        segment_word_rank_py,
+    )
+    from cosmo_spark.operators.train import bpe_greedy_py
+
+    rng = random.Random(7)
+    seen, vocab = set(), []
+    while len(vocab) < 5000:
+        w = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(2, 10)))
+        if w not in seen:
+            seen.add(w)
+            vocab.append((w, rng.randint(1, 100)))
+    rules = bpe_greedy_py(vocab, 1500)
+    assert len(rules) == 1500
+    pr = build_pair_ranks(rules)
+    frozen = tuple((a, b, c, frozenset(a + b)) for a, b, c in rules)
+    probes = [w for w, _ in vocab[:400]] + [
+        "".join(rng.choice("abcdefghz") for _ in range(rng.randint(1, 20)))
+        for _ in range(400)
+    ] + [""]
+    for w in probes:
+        assert segment_word_rank_py(w, pr) == segment_word_py(w, frozen), w
+
+
+def test_rank_kernel_30k_rules_bounded_wall_time():
+    """The capability gap the swap closes (round-10 verdict #1/#2): a
+    30k-rule ladder — production-tokenizer scale, 30× the q155 gate —
+    applied over a 20k-word vocabulary in bounded wall time.  The ladder
+    is built combinatorially (left-to-right merge chains of 30k+ distinct
+    words, prefix rules first), so constructing it costs nothing and the
+    timing isolates the APPLY kernel; bit-identity vs the sequential-pass
+    kernel is spot-checked on a slice (the full old-kernel sweep at 30k
+    rules is exactly the O(rules)/word cost being retired)."""
+    import random
+    import time
+
+    from cosmo_spark.functions.bpe import (
+        build_pair_ranks,
+        segment_word_py,
+        segment_word_rank_py,
+    )
+
+    rng = random.Random(11)
+    seen, words = set(), []
+    while len(words) < 20000:
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(4, 12))
+        )
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    ladder, have = [], set()
+    for w in words:
+        for k in range(2, len(w) + 1):
+            if w[:k] not in have:
+                have.add(w[:k])
+                ladder.append((w[: k - 1], w[k - 1], len(w[:k])))
+        if len(ladder) >= 30000:
+            break
+    # prefix rules must precede the rules that consume their output —
+    # sorting by merged-symbol length (then lexicographically, for
+    # determinism) is a valid ladder order
+    ladder.sort(key=lambda r: (r[2], r[0], r[1]))
+    rules = [(a, b, 1) for a, b, _ in ladder]
+    assert len(rules) >= 30000
+    pr = build_pair_ranks(rules)
+    t0 = time.time()
+    segs = [segment_word_rank_py(w, pr) for w in words]
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"30k-rule apply over 20k words took {elapsed:.1f}s"
+    # full collapse is NOT expected: chains from different words
+    # interleave in the length-sorted ladder, and an earlier-rank rule
+    # from another word's chain can consume a character mid-chain (the
+    # sequential pass then never revisits) — but the ladder must do real
+    # work: total symbols well below total characters
+    n_chars = sum(len(w) for w in words)
+    n_syms = sum(len(s) for s in segs)
+    assert n_syms < 0.8 * n_chars, (n_syms, n_chars)
+    frozen = tuple((a, b, c, frozenset(a + b)) for a, b, c in rules)
+    for w in words[:50]:
+        assert segment_word_rank_py(w, pr) == segment_word_py(w, frozen), w
