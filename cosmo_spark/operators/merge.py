@@ -425,21 +425,38 @@ def merge_into_partitioned(
     key_cols: str | Sequence[str],
     version_col: str,
     partition_col: str,
-) -> None:
-    """Version-guarded merge into a Hive-partitioned parquet table, touching
-    ONLY partitions that contain updated keys.
+    *,
+    layout: str = "versioned",
+    retain_versions: int | None = 1,
+) -> int | None:
+    """Version-guarded merge into a partitioned table, touching ONLY
+    partitions that contain updated keys — the ONE partitioned-upsert
+    entry point (round-10 verdict #6: two coexisting writers were a
+    caller footgun).
 
-    The 100 TB upsert path: a day of updates against a years-deep table
-    reads and rewrites a handful of partition directories; everything else
-    is untouched bytes.  IN-PLACE (no snapshot history) — the
-    Hive-layout compatibility path for tables other engines read by
-    directory convention.  When audit/rollback/time-travel of a
-    partitioned table is required, use
-    ``sources.versioned_parts.merge_into_partitioned_versioned`` (round
-    10): the same partition-surgical write cost, plus a
-    partition-granular manifest where untouched generations are SHARED
-    across versions — history without re-copying untouched partitions.
-    Mechanics: dynamic partition overwrite
+    ``layout="versioned"`` (default) routes through the partition-
+    granular snapshot store (sources/versioned_parts): same partition-
+    surgical write cost, but reads go through the manifest
+    (``sources.versioned_parts.read_partitioned``), untouched generations
+    are shared byte-identically across versions, and time travel / CDC /
+    the q157 purge audit work.  ``retain_versions=1`` keeps storage at
+    in-place cost (only the current manifest survives, refcount-safely);
+    pass a larger N or None to retain history.  Returns the published
+    version id.
+
+    ``layout="hive"`` is the explicit escape hatch for tables EXTERNAL
+    engines read by raw directory convention (``month=2024-01/`` dirs,
+    ``spark.read.parquet(path)``): in-place dynamic partition overwrite,
+    no history, returns None.  A table written one way cannot be merged
+    the other way by accident: the versioned path refuses an un-adopted
+    Hive directory (migrate once via
+    ``sources.versioned_parts.adopt_partitioned``) and the hive path
+    refuses a manifest-bearing store.
+
+    The 100 TB upsert path either way: a day of updates against a
+    years-deep table reads and rewrites a handful of partition
+    directories; everything else is untouched bytes.
+    Hive-branch mechanics: dynamic partition overwrite
     (``partitionOverwriteMode=dynamic``) replaces exactly the partitions
     present in the written frame.  Requires ``partition_col`` to be part of
     every update row (the merge key's partition cannot change).
@@ -457,6 +474,40 @@ def merge_into_partitioned(
     merge itself), and an expensive update lineage must not recompute per
     action.
     """
+    from cosmo_spark.sources.files import fs_exists
+
+    manifest = os.path.join(path, "_versions.json")
+    if layout == "versioned":
+        from cosmo_spark.sources.versioned_parts import (
+            merge_into_partitioned_versioned,
+        )
+
+        if (
+            not os.path.exists(manifest)
+            and fs_exists(spark, path)
+            and any(
+                e.startswith(f"{partition_col}=")
+                for e in os.listdir(path)
+            )
+        ):
+            raise ValueError(
+                f"{path} is a raw Hive-layout table with no version "
+                f"manifest: adopt it once via sources.versioned_parts."
+                f"adopt_partitioned, or pass layout='hive' to keep "
+                f"merging in place"
+            )
+        return merge_into_partitioned_versioned(
+            spark, path, updates, key_cols, version_col, partition_col,
+            retain_versions=retain_versions,
+        )
+    if layout != "hive":
+        raise ValueError(f"unknown layout {layout!r}: 'versioned' or 'hive'")
+    if os.path.exists(manifest):
+        raise ValueError(
+            f"{path} is a versioned partitioned store: merging it with "
+            f"layout='hive' would write outside the manifest and corrupt "
+            f"every snapshot — use the default layout='versioned'"
+        )
     updates = updates.persist()
     try:
         if updates.isEmpty():  # bounded probe (limit 1), not an O(rows) action

@@ -109,7 +109,9 @@ def test_partitioned_merge_honors_the_same_lock(spark, tmp_path):
         with pytest.raises(MergeContentionError):
             merge_into_partitioned(spark, path, upd, "k", "ver", "month")
     merge_into_partitioned(spark, path, upd, "k", "ver", "month")
-    assert {r.k for r in spark.read.parquet(path).collect()} == {"k1", "k2"}
+    from cosmo_spark.sources.versioned_parts import read_partitioned
+
+    assert {r.k for r in read_partitioned(spark, path).collect()} == {"k1", "k2"}
 
 
 def test_expired_lease_recovers_without_operator(spark, tmp_path):

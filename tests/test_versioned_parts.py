@@ -311,7 +311,8 @@ def test_adopt_hive_layout_table(spark, tmp_path):
     from cosmo_spark.sources.versioned_parts import adopt_partitioned
 
     hive = str(tmp_path / "hive")
-    merge_into_partitioned(spark, hive, _base(spark), "k", "ver", "month")
+    merge_into_partitioned(spark, hive, _base(spark), "k", "ver", "month",
+                           layout="hive")
 
     path = str(tmp_path / "vp")
     v1 = adopt_partitioned(spark, path, hive, "month")
