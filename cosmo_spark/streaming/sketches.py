@@ -1004,6 +1004,63 @@ def read_late_quarantine(
     return spark.read.schema(schema).parquet(d)
 
 
+def rebuild_window(
+    spark: SparkSession, path: str, kind: str, win
+) -> DataFrame:
+    """Offline rebuild of ONE window's sketch from live + quarantined
+    registers — the recovery half of the late-data policy (round-10
+    verdict #3: pre-horizon rows were observable but nothing consumed
+    them).
+
+    Merges the live log's rows for ``win`` with every quarantined
+    (``_late/``) partial for ``win`` under the algebra's own merge (HLL
+    max / CMS sum / KMV re-select / HDR sum), so when the horizon was
+    established BEFORE a window's events arrived (early eviction decree:
+    all of its register mass is in quarantine) the rebuild equals a
+    batch sketch over ALL of that window's events; for an in-horizon
+    window it degrades to the ordinary windowed read.  NEVER re-admits
+    into the live log: the horizon is monotone by design, and appending
+    quarantined partials back would recreate exactly the silent partial
+    window the policy exists to forbid — recovery is this one-off read
+    (or a brand-new log built from it), not a mutation.
+
+    Exactly-once across the union: additive partials (CMS/HDR) dedupe
+    per (batch_id, keys) with MAX before summing, so a batch whose first
+    attempt appended live and whose crash-retry quarantined (the horizon
+    moved between attempts) counts once.  A live copy folded into the
+    compaction sentinel can never coexist with a quarantined twin: only
+    committed batches fold (the newest-keeps-identity rule), and a
+    committed batch is never retried.
+
+    Output schema matches the corresponding ``read_*_windowed`` reader:
+    hll (key, bucket, rho) / cms (r, bucket, cnt) / kmv (key, h) /
+    hdr (key, bucket, cnt).
+    """
+    schema = {"hll": HLLW_SCHEMA, "cms": CMSW_SCHEMA,
+              "kmv": KMVW_SCHEMA, "hdr": HDRW_SCHEMA}[kind]
+    log = (
+        _read_log(spark, path, schema)
+        .unionByName(read_late_quarantine(spark, path, schema))
+        .filter(F.col("win") == F.lit(win))
+    )
+    if kind == "hll":
+        return log.groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
+    if kind == "cms":
+        per_batch = log.groupBy("batch_id", "win", "r", "bucket").agg(
+            F.max("cnt").alias("cnt")
+        )
+        return per_batch.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+    if kind == "kmv":
+        from cosmo_spark.operators.sketches import kmv_k_smallest
+
+        return kmv_k_smallest(log.select("key", "h").distinct(), ["key"])
+    # hdr
+    per_batch = log.groupBy("batch_id", "key", "win", "bucket").agg(
+        F.max("cnt").alias("cnt")
+    )
+    return per_batch.groupBy("key", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def expire_windows(
     spark: SparkSession, path: str, kind: str, older_than
 ) -> None:

@@ -371,3 +371,166 @@ def test_hdr_late_data_quarantined(spark, tmp_path):
     # the fresh row landed
     assert sk.read_hdr_buckets_windowed(spark, log).agg(
         F.sum("cnt")).first()[0] == 2
+
+
+# --------------------------------------------------------------------------- #
+# round-11: quarantine REPLAY — rebuild_window consumes _late/                 #
+# --------------------------------------------------------------------------- #
+#
+# The recovery drill: the horizon is established BEFORE a window's events
+# arrive (an early eviction decree), so ALL of that window's register
+# mass lands in quarantine across several micro-batches.  rebuild_window
+# must then equal a from-scratch batch sketch over ALL of the window's
+# events — and for an in-horizon window it must equal the ordinary
+# windowed read (live only).  The live log and the horizon stay
+# untouched throughout (replay is a read, never a re-admission).
+
+
+def _rebuild_case(spark, tmp_path, kind, schema_str, start_fn, log):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b1.json", B_FEB)
+    start_fn(spark.readStream.schema(SCHEMA).json(str(src))).awaitTermination(120)
+    sk.expire_windows(spark, log, kind, older_than=FEB)
+
+    half = len(B_JAN) // 2
+    _write_batch(src, "b2.json", B_JAN[:half])
+    start_fn(spark.readStream.schema(SCHEMA).json(str(src))).awaitTermination(120)
+    _write_batch(src, "b3.json", B_JAN[half:])
+    start_fn(spark.readStream.schema(SCHEMA).json(str(src))).awaitTermination(120)
+
+    # every JAN partial is in quarantine; none in the live log
+    live = spark.read.schema(schema_str).parquet(log)
+    assert live.filter(F.col("win") < F.lit(FEB)).count() == 0
+    assert sk.read_late_quarantine(spark, log, schema_str).count() > 0
+    jan = sorted(map(tuple, sk.rebuild_window(spark, log, kind, JAN).collect()))
+    feb = sorted(map(tuple, sk.rebuild_window(spark, log, kind, FEB).collect()))
+    # the replay is a READ: horizon monotone and untouched, live log same
+    assert sk.read_eviction_horizon(log) == FEB
+    assert spark.read.schema(schema_str).parquet(log) \
+        .filter(F.col("win") < F.lit(FEB)).count() == 0
+    return jan, feb
+
+
+def test_hll_rebuild_window_from_quarantine(spark, tmp_path):
+    from cosmo_spark.operators.sketches import hll_registers
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    jan, feb = _rebuild_case(
+        spark, tmp_path, "hll", sk.HLLW_SCHEMA,
+        lambda s: sk.stream_hll_registers_windowed(
+            s, "source", "text", "ts", log, ckpt),
+        log,
+    )
+
+    def batch(rows):
+        return sorted(
+            map(tuple, hll_registers(_docs(spark, rows), ["key"], "text")
+                .select("key", "bucket", "rho").collect())
+        )
+
+    assert jan == batch(B_JAN)
+    assert feb == batch(B_FEB)
+
+
+def test_cms_rebuild_window_from_quarantine(spark, tmp_path):
+    from cosmo_spark.functions.text import poly_hash, tokenize
+    from cosmo_spark.operators.sketches import cms_counters
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    jan, feb = _rebuild_case(
+        spark, tmp_path, "cms", sk.CMSW_SCHEMA,
+        lambda s: sk.stream_cms_counters_windowed(s, "text", "ts", log, ckpt),
+        log,
+    )
+
+    def batch(rows):
+        tokh = _docs(spark, rows).filter(F.col("text").isNotNull()).select(
+            F.explode(tokenize(F.col("text"))).alias("tok")
+        ).select(poly_hash(F.col("tok")).alias("th"))
+        return sorted(
+            map(tuple, cms_counters(tokh).select("r", "bucket", "cnt")
+                .collect())
+        )
+
+    assert jan == batch(B_JAN)
+    assert feb == batch(B_FEB)
+
+
+def test_kmv_rebuild_window_from_quarantine(spark, tmp_path):
+    from cosmo_spark.functions.text import poly_hash, tokenize
+    from cosmo_spark.operators.sketches import kmv_k_smallest
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    jan, feb = _rebuild_case(
+        spark, tmp_path, "kmv", sk.KMVW_SCHEMA,
+        lambda s: sk.stream_kmv_values_windowed(
+            s, "source", "text", "ts", log, ckpt),
+        log,
+    )
+
+    def batch(rows):
+        hs = (
+            _docs(spark, rows).filter(F.col("text").isNotNull())
+            .select("key", F.explode(tokenize(F.col("text"))).alias("t"))
+            .select("key", poly_hash(F.col("t")).alias("h"))
+            .distinct()
+        )
+        return sorted(
+            map(tuple, kmv_k_smallest(hs, ["key"]).select("key", "h")
+                .collect())
+        )
+
+    assert jan == batch(B_JAN)
+    assert feb == batch(B_FEB)
+
+
+def test_hdr_rebuild_window_from_quarantine(spark, tmp_path):
+    from cosmo_spark.operators.sketches import hdr_bucket_spark_sql
+
+    jan_vals = [0.5, 2.0, 47.0, 100.0, 12345.678]
+    feb_vals = [1.5, 8.0, 8.0, 999.25]
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_vals(name, rows):
+        with open(src / name, "w") as f:
+            for k, v, ts in rows:
+                f.write(json.dumps({"source": k, "value": v, "ts": ts}) + "\n")
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(
+            "source STRING, value DOUBLE, ts TIMESTAMP"
+        ).json(str(src))
+        sk.stream_hdr_buckets_windowed(
+            stream, "source", "value", "ts", log, ckpt
+        ).awaitTermination(120)
+
+    write_vals("b1.json", [("s", v, "2024-02-01T11:00:00") for v in feb_vals])
+    run()
+    sk.expire_windows(spark, log, "hdr", older_than=FEB)
+    write_vals("b2.json", [("s", v, "2024-01-01T08:00:00") for v in jan_vals[:2]])
+    run()
+    write_vals("b3.json", [("s", v, "2024-01-01T08:30:00") for v in jan_vals[2:]])
+    run()
+
+    assert spark.read.schema(sk.HDRW_SCHEMA).parquet(log) \
+        .filter(F.col("win") < F.lit(FEB)).count() == 0
+
+    def batch(vals):
+        return sorted(map(tuple, (
+            spark.createDataFrame([(v,) for v in vals], "value DOUBLE")
+            .select(F.expr("cast(floor(value * 1000000.0) as bigint)")
+                    .alias("mic"))
+            .select(F.expr(hdr_bucket_spark_sql("mic")).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("s").alias("key"), "bucket", "cnt")
+        ).collect()))
+
+    jan = sorted(map(tuple, sk.rebuild_window(spark, log, "hdr", JAN).collect()))
+    feb = sorted(map(tuple, sk.rebuild_window(spark, log, "hdr", FEB).collect()))
+    assert jan == batch(jan_vals)
+    assert feb == batch(feb_vals)
+    assert sk.read_eviction_horizon(log) == FEB
