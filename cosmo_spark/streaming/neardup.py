@@ -506,3 +506,216 @@ def make_media_keeper(
         })
 
     return keeper
+
+
+# --------------------------------------------------------------------------- #
+# foreachBatch media keeper (round-10 verdict #5): store refresh IN-FLIGHT     #
+# --------------------------------------------------------------------------- #
+
+MEDIA_ACCEPT_SCHEMA = (
+    "code BIGINT, media_id STRING, content_hash BIGINT, fp_hi BIGINT, "
+    "fp_lo BIGINT, batch_id BIGINT, rank BIGINT"
+)
+
+
+def read_media_accepted(spark, state_path: str) -> DataFrame:
+    """The at-rest accepted-fingerprint state of the foreachBatch keeper
+    (empty frame before the first batch)."""
+    import os
+
+    dirs = sorted(
+        os.path.join(state_path, d)
+        for d in (os.listdir(state_path) if os.path.isdir(state_path) else [])
+        if d.startswith("batch-")
+    )
+    if not dirs:
+        return spark.createDataFrame([], MEDIA_ACCEPT_SCHEMA)
+    return spark.read.schema(MEDIA_ACCEPT_SCHEMA).parquet(*dirs)
+
+
+def read_media_near_dup_out(spark, out_path: str) -> DataFrame:
+    """Accumulated per-arrival verdicts of the foreachBatch keeper."""
+    import os
+
+    dirs = sorted(
+        os.path.join(out_path, d)
+        for d in (os.listdir(out_path) if os.path.isdir(out_path) else [])
+        if d.startswith("batch-")
+    )
+    if not dirs:
+        return spark.createDataFrame([], MEDIA_OUT_SCHEMA)
+    return spark.read.schema(MEDIA_OUT_SCHEMA).parquet(*dirs)
+
+
+def run_media_near_dup_foreach(
+    stream: DataFrame,
+    store_path: str,
+    state_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    band_bits: int = 16,
+    max_hamming: int = 6,
+    max_bucket: int = 10_000,
+    trigger_once: bool = True,
+):
+    """The foreachBatch formulation of ``stream_media_near_dup`` — same
+    verdicts (band-bucketed exact-Hamming keeper, first accepted match in
+    media_id order, zero in-stream decode, blobs never shuffle), but the
+    fingerprint store is RE-READ inside every micro-batch, so content
+    batch-enriched mid-stream (``fingerprint_media_cached`` appending to
+    the store) resolves on the next arrival WITHOUT a query restart —
+    the in-flight refresh the stateful variant documents as impossible
+    (its stream-static side pins its file listing at query definition).
+
+    The trade: keeper state moves from ``applyInPandasWithState`` into an
+    at-rest parquet log (``state_path``, one ``batch-<id>/`` dir of newly
+    accepted fingerprints per micro-batch; verdicts land likewise under
+    ``out_path``).  Both writes are keyed by batch_id and overwrite, so a
+    crash-replayed micro-batch commits idempotently — it re-derives the
+    same verdicts from the same prior state (per-batch candidate order is
+    the deterministic media_id sort, and state dirs from later batches
+    cannot exist when batch N replays).  Per-band work joins only
+    (16-byte fingerprint, id) rows; at 100 TB the state log compacts by
+    code the same way the sketch logs rotate.
+    """
+    if not (1 <= band_bits <= 64):
+        raise ValueError(f"band_bits must be in [1, 64], got {band_bits}")
+    from cosmo_spark.sources.media_fps import read_fp_store
+
+    max_h, cap = int(max_hamming), int(max_bucket)
+
+    def upsert(batch_df, batch_id):
+        import os
+
+        spark = batch_df.sparkSession
+        keyed = batch_df.select(
+            F.col(id_col).cast("string").alias("__id"),
+            F.xxhash64(F.col(blob_col)).alias("content_hash"),
+        )   # blob hashed map-side and gone
+        store = read_fp_store(spark, store_path)   # FRESH listing per batch
+        if store is None:
+            store = spark.createDataFrame(
+                [], "content_hash LONG, fp_hi LONG, fp_lo LONG"
+            )
+        enriched = keyed.join(F.broadcast(store), "content_hash", "left")
+        unresolved = enriched.filter(F.col("fp_hi").isNull()).select(
+            F.col("__id").alias("media_id"), "content_hash",
+            F.lit(None).cast("string").alias("dup_of"),
+            F.lit(None).cast("int").alias("hamming"),
+            F.lit(None).cast("long").alias("code"),
+            F.lit("unfingerprinted").alias("status"),
+        )
+        coded = enriched.filter(F.col("fp_hi").isNotNull()).select(
+            "__id", "content_hash", "fp_hi", "fp_lo",
+            F.expr(
+                f"shiftrightunsigned(fp_hi, {64 - band_bits})"
+            ).alias("code"),
+        )
+        accepted = read_media_accepted(spark, state_path)
+
+        def verify(key, cand_pdf, state_pdf):
+            # pickled by value — the executor-side keeper, the stateful
+            # variant's exact rule set over at-rest state
+            import pandas as pd
+
+            U64 = (1 << 64) - 1
+            state_pdf = state_pdf.sort_values(["batch_id", "rank"])
+            ids = list(state_pdf["media_id"])
+            his = [int(h) for h in state_pdf["fp_hi"]]
+            los = [int(x) for x in state_pdf["fp_lo"]]
+            rows = sorted(
+                zip(cand_pdf["__id"], cand_pdf["content_hash"],
+                    cand_pdf["fp_hi"], cand_pdf["fp_lo"]),
+                key=lambda r: r[0],
+            )   # deterministic within a micro-batch (keeper rule)
+            n0 = len(ids)
+            out = {k: [] for k in ("media_id", "content_hash", "fp_hi",
+                                   "fp_lo", "dup_of", "hamming", "status",
+                                   "rank")}
+            for rid, chash, hi, lo in rows:
+                hi, lo = int(hi), int(lo)
+                match, dist = None, None
+                for i in range(len(ids)):
+                    d = (((hi ^ his[i]) & U64).bit_count()
+                         + ((lo ^ los[i]) & U64).bit_count())
+                    if d <= max_h:
+                        match, dist = ids[i], d
+                        break
+                if match is None:
+                    ids.append(rid)
+                    his.append(hi)
+                    los.append(lo)
+                    if len(ids) > cap:
+                        raise RuntimeError(
+                            f"run_media_near_dup_foreach: bucket "
+                            f"code={key[0]} holds {len(ids)} accepted "
+                            f"fingerprints > max_bucket={cap} — degenerate "
+                            f"band; deepen band_bits or shard the key"
+                        )
+                out["media_id"].append(rid)
+                out["content_hash"].append(int(chash))
+                out["fp_hi"].append(hi)
+                out["fp_lo"].append(lo)
+                out["dup_of"].append(match)
+                out["hamming"].append(dist)
+                out["status"].append(
+                    "accepted" if match is None else "near_dup"
+                )
+                out["rank"].append(
+                    len(ids) - 1 - n0 if match is None else -1
+                )
+            return pd.DataFrame({
+                "media_id": out["media_id"],
+                "content_hash": pd.Series(out["content_hash"],
+                                          dtype="int64"),
+                "fp_hi": pd.Series(out["fp_hi"], dtype="int64"),
+                "fp_lo": pd.Series(out["fp_lo"], dtype="int64"),
+                "dup_of": pd.Series(out["dup_of"], dtype=object),
+                "hamming": pd.Series(out["hamming"], dtype=object),
+                "code": pd.Series([key[0]] * len(rows), dtype="int64"),
+                "status": out["status"],
+                "rank": pd.Series(out["rank"], dtype="int64"),
+            })
+
+        verdicts = (
+            coded.withColumnRenamed("code", "__code")
+            .groupby("__code")
+            .cogroup(accepted.groupby("code"))
+            .applyInPandas(
+                verify,
+                "media_id STRING, content_hash BIGINT, fp_hi BIGINT, "
+                "fp_lo BIGINT, dup_of STRING, hamming INT, code BIGINT, "
+                "status STRING, rank BIGINT",
+            )
+            .persist()
+        )
+        try:
+            out = verdicts.select(
+                "media_id", "content_hash", "dup_of", "hamming", "code",
+                "status",
+            ).unionByName(unresolved)
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch-{int(batch_id)}")
+            )
+            newly = verdicts.filter(F.col("status") == "accepted").select(
+                "code", "media_id", "content_hash", "fp_hi", "fp_lo",
+                F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+                "rank",
+            )
+            if not newly.isEmpty():
+                newly.write.mode("overwrite").parquet(
+                    os.path.join(state_path, f"batch-{int(batch_id)}")
+                )
+        finally:
+            verdicts.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -293,3 +293,72 @@ def test_segmenter_bounded_time_under_production_rule_table():
     # sanity: segmentation is a partition of the word
     for w, s in zip(words, segs):
         assert "".join(s) == w
+
+
+FP_D = (0x1234_5678_9ABC_DEF0, -0x7777_7777_7777_7778)   # A's band, far lo
+
+
+def test_media_foreach_store_refresh_resolves_without_restart(
+    spark, tmp_path, store
+):
+    """Round-10 verdict #5 closed: the foreachBatch keeper re-reads the
+    fingerprint store every micro-batch, so content batch-enriched
+    MID-STREAM resolves on its next arrival in the SAME query — no
+    restart.  Cross-batch dedup state (at-rest accepted log) and the
+    stateful keeper's verdict rules are exercised on the way."""
+    from cosmo_spark.streaming.neardup import (
+        read_media_accepted,
+        read_media_near_dup_out,
+        run_media_near_dup_foreach,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_parquet_batch(spark, src, "b1",
+                         [("A", BLOBS["A"]), ("D", BLOBS["D"])])
+    out, state, ckpt = (str(tmp_path / x) for x in ("out", "state", "ck"))
+    stream = spark.readStream.schema(
+        "media_id STRING, blob BINARY"
+    ).option("recursiveFileLookup", "true").parquet(str(src))
+    q = run_media_near_dup_foreach(
+        stream, store, state, out, ckpt, trigger_once=False
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r.media_id: r
+                for r in read_media_near_dup_out(spark, out).collect()}
+        assert got1["A"].status == "accepted"
+        assert got1["D"].status == "unfingerprinted"
+
+        # out-of-band enrichment: D's fingerprint lands in the store
+        # while the query is LIVE (what fingerprint_media_cached does)
+        h_d = spark.createDataFrame(
+            [(BLOBS["D"],)], "blob BINARY"
+        ).select(F.xxhash64("blob").alias("h")).collect()[0].h
+        spark.createDataFrame(
+            [(h_d, _signed(FP_D[0] % (1 << 64)), _signed(FP_D[1] % (1 << 64)))],
+            "content_hash LONG, fp_hi LONG, fp_lo LONG",
+        ).write.mode("append").parquet(store)
+
+        _write_parquet_batch(
+            spark, src, "b2",
+            [("D", BLOBS["D"]), ("A2", BLOBS["A2"]), ("B", BLOBS["B"])],
+        )
+        q.processAllAvailable()
+        rows = read_media_near_dup_out(spark, out).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.media_id, []).append(r)
+        # D resolved WITHOUT a restart: second arrival is a verdict row
+        d_states = sorted(r.status for r in by["D"])
+        assert d_states == ["accepted", "unfingerprinted"]
+        # cross-batch at-rest state: A2 (byte-identical) dups to A at 0
+        (a2,) = by["A2"]
+        assert (a2.status, a2.dup_of, a2.hamming) == ("near_dup", "A", 0)
+        (b,) = by["B"]
+        assert (b.status, b.dup_of, b.hamming) == ("near_dup", "A", 3)
+    finally:
+        q.stop()
+    acc = {(r.media_id, r.batch_id)
+           for r in read_media_accepted(spark, state).collect()}
+    assert acc == {("A", 0), ("D", 1)}
