@@ -469,3 +469,32 @@ def test_rank_kernel_30k_rules_bounded_wall_time():
     frozen = tuple((a, b, c, frozenset(a + b)) for a, b, c in rules)
     for w in words[:50]:
         assert segment_word_rank_py(w, pr) == segment_word_py(w, frozen), w
+
+
+def test_1k_pin_is_trainer_output_and_parity_without_cache(
+    spark, tmp_path, monkeypatch
+):
+    """Literal-deleted gate for the >=1k-rule tokenizer (round-10 #3):
+    with the at-rest cache redirected, retraining the 4096-merge derived-
+    corpus ladder from scratch regenerates the committed BPE_1K_PIN
+    remainder fingerprint bit-identically, q159/q160 stay green against
+    the prefix-replay + pin oracles, and the ladder really carries
+    >=1000 learned merges from catalog data."""
+    monkeypatch.setattr(B, "_cache_dir", lambda: tmp_path / "bpe")
+    saved = dict(B._RESOLVED)
+    B._RESOLVED.clear()
+    try:
+        rules = B.resolve_bpe_merges_1k(spark, SF)
+        assert len(rules) >= 1000
+        fp = B.documents_fingerprint_src(spark, SF)
+        _dh, n, sha, csum = B.BPE_1K_PIN[fp]
+        assert B.tail_fingerprint(rules, B.BPE_1K_ORACLE_N) == (n, sha, csum)
+        con = duck_con(SF)
+        qs = all_queries()
+        for name in ("q159_bpe_train_1k", "q160_bpe_tokenize_1k"):
+            q = qs[name]
+            problems = compare(name, q.spark_fn(spark, SF), con, q.oracle)
+            assert not problems, (name, problems)
+    finally:
+        B._RESOLVED.clear()
+        B._RESOLVED.update(saved)
