@@ -29,9 +29,69 @@ def covariance_cells(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     covariance: cov[i,j] = sxy/n − (sxi/n)(sxj/n), 1-based indices.
 
     One corpus scan; the only exchange carries d² partially-aggregated
-    cells per map partition.  The division is left to the caller so
-    downstream consumers (q81's rounded output, pca_whiten's eigensolver)
-    choose their own precision policy on identical integer-free sums.
+    cells per map partition.  Since round 11 the map side is the TRUE
+    RowMatrix.computeGramianMatrix shape: an Arrow-batched numpy
+    ``X.T @ X`` per batch (BLAS dgemm), yielding one d²-cell partial
+    frame per partition — the 10× certification caught the declarative
+    posexplode form paying ~160 ns per outer-product ELEMENT through the
+    hash aggregate (d²·n row-objects: 13.4 s at 82M elements), where the
+    dgemm partial is memory-bandwidth-bound and output-invariant.  The
+    expression form survives as :func:`covariance_cells_expr` (the
+    no-Arrow fallback and the equivalence gate's independent
+    implementation).  The division is left to the caller so downstream
+    consumers (q81's rounded output, pca_whiten's eigensolver) choose
+    their own precision policy on identical sums.
+    """
+    v = as_double(F.col(vec_col))
+    base = df.select(v.alias("__v")).filter(F.size("__v") == dim)
+    d = int(dim)
+
+    def gram(batches):
+        # defined inside the closure: pickled by value, no repo import on
+        # the executors (the mapInPandas discipline)
+        import numpy as np
+        import pandas as pd
+
+        S = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(r, dtype=np.float64) for r in pdf["__v"]]
+            )
+            S += X.T @ X
+            s += X.sum(axis=0)
+            n += X.shape[0]
+        if not n:
+            return
+        ii, jj = np.divmod(np.arange(d * d), d)
+        yield pd.DataFrame({
+            "i": pd.Series(ii + 1, dtype="int32"),
+            "j": pd.Series(jj + 1, dtype="int32"),
+            "n": pd.Series(np.full(d * d, n), dtype="int64"),
+            "sxy": S.reshape(-1),
+            "sxi": s[ii],
+            "sxj": s[jj],
+        })
+
+    partials = base.mapInPandas(
+        gram, "i INT, j INT, n BIGINT, sxy DOUBLE, sxi DOUBLE, sxj DOUBLE"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+    )
+
+
+def covariance_cells_expr(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """The pure-expression (posexplode + hash aggregate) form of
+    :func:`covariance_cells` — kept as the Arrow-free fallback and as the
+    independent implementation the equivalence unit compares the dgemm
+    path against.  Same output contract.
     """
     v = as_double(F.col(vec_col))
     base = df.select(v.alias("__v")).filter(F.size("__v") == dim)
@@ -40,7 +100,7 @@ def covariance_cells(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     # per element, mirrored after the aggregate) was measured SLOWER at
     # sf0.1 and 10× despite halving the multiplies — per-element struct
     # allocation costs more than the saved arithmetic; the flat array is
-    # the fast shape.
+    # the fast expression shape (and still ~8× the dgemm partial).
     outer = F.flatten(
         F.transform("__v", lambda xi: F.transform("__v", lambda xj: xi * xj))
     )

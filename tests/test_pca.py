@@ -72,3 +72,36 @@ def test_deterministic_across_runs(spark, emb):
 def test_dim_bound_enforced(spark, emb):
     with pytest.raises(ValueError):
         pca_whiten(emb, "embedding", "vec_id", k=2, dim=2048)
+
+
+def test_gramian_kernel_matches_expression_form(spark, emb):
+    """The Arrow dgemm partial (round-11 kernel) and the posexplode
+    expression form agree cell-for-cell to float tolerance on the real
+    embeddings — the independent-implementation gate for the swap."""
+    from cosmo_spark.operators.pca import covariance_cells_expr
+
+    got = {
+        (r.i, r.j): (r.n, r.sxy, r.sxi, r.sxj)
+        for r in covariance_cells(emb, "embedding", 64).collect()
+    }
+    want = {
+        (r.i, r.j): (r.n, r.sxy, r.sxi, r.sxj)
+        for r in covariance_cells_expr(emb, "embedding", 64).collect()
+    }
+    assert set(got) == set(want) and len(got) == 64 * 64
+    for k, (n, sxy, sxi, sxj) in want.items():
+        gn, gxy, gxi, gxj = got[k]
+        assert gn == n
+        assert abs(gxy - sxy) <= 1e-9 * max(1.0, abs(sxy))
+        assert abs(gxi - sxi) <= 1e-9 * max(1.0, abs(sxi))
+        assert abs(gxj - sxj) <= 1e-9 * max(1.0, abs(sxj))
+
+
+def test_gramian_kernel_empty_and_wrong_dim(spark):
+    """Zero qualifying rows -> zero cells (no raise), mixed dims filter."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0] * 64)],
+        "id INT, embedding ARRAY<DOUBLE>",
+    )
+    assert covariance_cells(df.filter("id < 3"), "embedding", 64).count() == 0
+    assert covariance_cells(df, "embedding", 64).count() == 64 * 64

@@ -347,11 +347,12 @@ def test_q80_corpus_window_is_keyed(spark, qs):
 
 
 def test_q81_covariance_exchange_carries_cells_only(spark, qs):
-    # the exchange below the covariance aggregate carries (pos, sum,
-    # count) partials — never the raw vectors
+    # the exchange below the covariance aggregate carries d² (i, j,
+    # partial-sum) cells from the Arrow dgemm stage (round-11 kernel) —
+    # never the raw vectors; exactly one Arrow stage feeds it
     df = qs["q81_embedding_covariance"].spark_fn(spark, SF)
     plan = physical_plan(df)
-    assert "posexplode" in plan or "Generate" in plan
+    assert "MapInPandas" in plan and "posexplode" not in plan, plan
     import re
     for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m, f"raw vectors in exchange key: {m}"
