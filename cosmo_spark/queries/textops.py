@@ -3672,7 +3672,10 @@ def q160_bpe_tokenize_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
         full = words.join(F.broadcast(tokf), "word").groupBy("source").agg(
             F.sum("n_sym_full").alias("n_tokens_full")
         )
-        return base.join(full, "source", "left").select(
+        # the per-source price frames are distinct-source-sized on both
+        # sides — broadcast the full-ladder side (an SMJ here would sort
+        # two 20-row aggregates through two extra exchanges)
+        return base.join(F.broadcast(full), "source", "left").select(
             "source", "n_docs", "n_words", "n_tokens_prefix",
             "n_tokens_full",
         )

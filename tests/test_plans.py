@@ -682,3 +682,25 @@ def test_q157_audit_joins_stay_hash_shaped(spark, qs):
     plan = physical_plan(df)
     assert plan.count("CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q160_derived_corpus_join_broadcasts(spark, qs):
+    """The 4096-rule tokenizer's pricing joins (prefix AND full ladder):
+    per-word costs are vocabulary-sized and must BROADCAST back to the
+    derived corpus; a SortMergeJoin would shuffle every (doc, word) pair
+    at 100 TB.  Exactly two Arrow segmentation stages (prefix + full),
+    both over the DISTINCT-word vocabulary."""
+    df = qs["q160_bpe_tokenize_1k"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_q159_emits_locally(spark, qs):
+    """q159's output is driver-built rows (prefix + fingerprint) — the
+    training itself resolves through the at-rest cache, so the query
+    plan must be a LocalTableScan: no corpus scan, no exchange."""
+    df = qs["q159_bpe_train_1k"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan
