@@ -119,11 +119,13 @@ def main() -> None:
         _cms_window_log_dir,
         _hdr_window_log_dir,
         _hll_window_log_dir,
+        _hllq_window_log_dir,
         _kmv_window_log_dir,
         _purge_demo_dir,
         _purge_parts_dir,
         ensure_cms_window_log,
         ensure_hdr_window_log,
+        ensure_hll_quarantine_log,
         ensure_hll_window_log,
         ensure_kmv_window_log,
         ensure_partitioned_purge_demo,
@@ -135,6 +137,11 @@ def main() -> None:
         ("hll_window_log", _hll_window_log_dir, ensure_hll_window_log),
         ("cms_window_log", _cms_window_log_dir, ensure_cms_window_log),
         ("kmv_window_log", _kmv_window_log_dir, ensure_kmv_window_log),
+        # quarantined HLL log (q161): ingest + early-eviction decree +
+        # quarantined stragglers are setup; the query measures the
+        # steady-state rebuild-from-quarantine READ
+        ("hll_quarantine_log", _hllq_window_log_dir,
+         ensure_hll_quarantine_log),
         # versioned purge table (q151): publish + purge is setup; the query
         # measures the steady-state CDC audit read
         ("purge_demo", _purge_demo_dir, ensure_purged_events),

@@ -2239,3 +2239,150 @@ def q157_partitioned_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__rem", F.lit(0)).cast("long").alias("n_remaining"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# q161 — quarantine REPLAY: rebuild an early-evicted window (round-11)         #
+# --------------------------------------------------------------------------- #
+
+#: the eviction decree (same day-aligned cutoff as q146/q147) and the
+#: pre-horizon day q161 rebuilds purely from quarantined register partials
+_Q161_HORIZON = "2024-01-15 00:00:00"
+_Q161_WIN = "2024-01-10 00:00:00"
+
+
+def _hllq_window_log_dir(sf_dir: str) -> str:
+    return _window_log_dir(sf_dir, "hllq")
+
+
+def ensure_hll_quarantine_log(spark: SparkSession, sf_dir: str) -> str:
+    """Build, once, a windowed HLL register log whose eviction horizon
+    PREDATES part of the data — the early-decree scenario the late-data
+    policy quarantines for: (1) the maintainer ingests only the
+    post-horizon events, (2) ``expire_windows`` persists the horizon,
+    (3) a second maintainer run delivers the PRE-horizon events, every
+    one of whose register partials diverts to ``_late/`` (split across
+    the maintainer's micro-batching).  The live log never holds a
+    pre-horizon window; q161's ``rebuild_window`` recovers one entirely
+    from quarantine."""
+    import os
+
+    from cosmo_spark.sources.tables import _normalize_ts
+    from cosmo_spark.streaming.sketches import (
+        expire_windows,
+        stream_hll_registers_windowed,
+    )
+
+    base = _hllq_window_log_dir(sf_dir)
+    log = os.path.join(base, "log")
+    marker = os.path.join(base, "_BUILT")
+    if os.path.exists(marker):
+        return log
+    tune_session(spark)
+    events = _normalize_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+    stage = os.path.join(base, "src")
+
+    def run_maintainer():
+        stream = (
+            spark.readStream.schema(
+                "event_type STRING, ts TIMESTAMP, user_s STRING"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        stream_hll_registers_windowed(
+            stream, "event_type", "user_s", "ts",
+            register_path=log, checkpoint_dir=os.path.join(base, "ckpt"),
+            bucket="day",
+        ).awaitTermination()
+
+    cols = ["event_type", "ts", F.col("user_id").cast("string").alias("user_s")]
+    events.filter(F.col("ts") >= F.lit(_Q161_HORIZON)).select(*cols) \
+        .write.mode("overwrite").parquet(os.path.join(stage, "b1"))
+    run_maintainer()
+    expire_windows(spark, log, "hll", older_than=_Q161_HORIZON)
+    events.filter(F.col("ts") < F.lit(_Q161_HORIZON)).select(*cols) \
+        .write.mode("overwrite").parquet(os.path.join(stage, "b2"))
+    run_maintainer()
+    open(marker, "w").close()
+    return log
+
+
+def _q161_oracle() -> str:
+    from cosmo_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_lc_table,
+        hll_rho_sql,
+    )
+    from cosmo_spark.queries.textops import _DUCK_POLY
+
+    h = _DUCK_POLY.replace("{X}", "CAST(user_id AS VARCHAR)")
+    rho = hll_rho_sql("w")
+    raw = (
+        f"CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} / "
+        f"(sum(CAST(1.0 AS DOUBLE) / (1 << rho)) + ({HLL_M} - count(*)))"
+    )
+    lc = "[" + ", ".join(
+        f"CAST({x!r} AS DOUBLE)" for x in hll_lc_table()
+    ) + "]"
+    est = (
+        f"CASE WHEN v0 > 0 AND raw < {2.5 * HLL_M!r} "
+        f"THEN {lc}[v0] ELSE raw END"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type, {h} AS h FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts >= TIMESTAMP '{_Q161_WIN}'
+    AND ts < TIMESTAMP '{_Q161_WIN}' + INTERVAL 1 DAY
+), rows_ AS (
+  SELECT event_type, h % {HLL_M} AS bucket, h // {HLL_M} AS w FROM hashed
+), regs AS (
+  SELECT event_type, bucket, max({rho}) AS rho
+  FROM rows_ GROUP BY event_type, bucket
+)
+SELECT event_type, round(est, 3) AS hll_est FROM (
+  SELECT event_type, {est} AS est FROM (
+    SELECT event_type, {raw} AS raw, {HLL_M} - count(*) AS v0
+    FROM regs GROUP BY event_type
+  )
+)
+"""
+
+
+@register("q161_hll_rebuild_window", operators=("A12", "ST4", "ST5"),
+          oracle=_q161_oracle())
+def q161_hll_rebuild_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recover 'distinct users on Jan 10' from a log whose eviction
+    horizon (Jan 15) was decreed BEFORE Jan 10's events arrived — the
+    quarantine-replay operator as a parity row (the round-10 verdict's
+    recovery half, q147's twin for the evicted region).
+
+    The at-rest artifact holds Jan 10's register mass ONLY in the
+    ``_late/`` quarantine (the live log is clean of pre-horizon windows
+    by the policy's own gate); ``rebuild_window`` merges quarantine +
+    live under HLL's max algebra for exactly that window, and the oracle
+    builds the same registers from the day's RAW rows — so
+    quarantine-held partials provably reconstruct the full window, and a
+    rebuild that re-admitted into (or leaked from) the live log would
+    hash-mismatch.  The horizon file stays monotone throughout: replay
+    is a read, never a mutation.
+
+    Scale shape: the rebuild scans registers (≤ 256/key/day), never
+    events; quarantine is day-bucketed parquet like the live log."""
+    import datetime as _dt
+
+    from cosmo_spark.operators.sketches import hll_estimate
+    from cosmo_spark.streaming.sketches import rebuild_window
+
+    tune_session(spark)
+    log = ensure_hll_quarantine_log(spark, sf_dir)
+    win = _dt.datetime.strptime(_Q161_WIN, "%Y-%m-%d %H:%M:%S")
+    regs = rebuild_window(spark, log, "hll", win)
+    return hll_estimate(regs, ["key"]).select(
+        F.col("key").alias("event_type"),
+        F.round("est", 3).alias("hll_est"),
+    )

@@ -534,3 +534,30 @@ def test_hdr_rebuild_window_from_quarantine(spark, tmp_path):
     assert jan == batch(jan_vals)
     assert feb == batch(feb_vals)
     assert sk.read_eviction_horizon(log) == FEB
+
+
+def test_q161_artifact_holds_window_only_in_quarantine(spark):
+    """The q161 parity row only proves recovery if the rebuilt window's
+    register mass really lives in ``_late/``: pin that the live log is
+    clean of every pre-horizon window, the quarantine holds the Jan 10
+    registers, and the horizon file says Jan 15 — otherwise a broken
+    ensure that leaked pre-horizon rows into the live log would still
+    hash-match the oracle."""
+    from cosmo_spark.queries.timeseries import (
+        _Q161_HORIZON,
+        _Q161_WIN,
+        ensure_hll_quarantine_log,
+    )
+
+    log = ensure_hll_quarantine_log(spark, "/root/testdata/sf0.001")
+    live = spark.read.schema(sk.HLLW_SCHEMA).parquet(log)
+    assert live.filter(F.col("win") < F.lit(_Q161_HORIZON)).count() == 0
+    assert live.count() > 0
+    q = sk.read_late_quarantine(spark, log, sk.HLLW_SCHEMA)
+    assert q.filter(F.col("win") == F.lit(_Q161_WIN)).count() > 0
+    assert q.filter(F.col("win") >= F.lit(_Q161_HORIZON)).count() == 0
+    import datetime as _dt
+
+    assert sk.read_eviction_horizon(log) == _dt.datetime.strptime(
+        _Q161_HORIZON, "%Y-%m-%d %H:%M:%S"
+    )
