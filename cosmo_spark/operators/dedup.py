@@ -425,12 +425,31 @@ def embedding_near_dups(
     threshold: float = 0.95,
     block_col: str | None = None,
     dim: int | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
     With ``block_col`` the quadratic join is restricted to same-block pairs
     (e.g. an LSH bucket or coarse cluster id) — the scale path; without it,
     all-pairs (small inputs only).
+
+    ``max_block`` (round-11 verdict #1 — the catalog's one measured scale
+    killer was this operator's unguarded hot block) bounds PER-TASK work
+    when a blocking attribute runs hot: each block of n rows is salted
+    into ``s = ceil(n / max_block)`` sub-blocks by content hash, and the
+    self-join fans out over the s·(s+1)/2 triangular sub-block PAIRS
+    instead of landing the whole block in one reducer.  Semantics are
+    EXACTLY unchanged — every same-block pair still meets exactly once
+    (pair {x,y} with salts p ≤ q meets only in task (p,q)), so this is a
+    parallelism guard, not an approximation: total compare count stays
+    inherently quadratic in the hot block (that IS the exact-output
+    contract), but no task exceeds ~``max_block``² compares and
+    wall-clock scales with cores again.  Row replication cost is s+1
+    copies of each hot-block row across the two join sides; in-bound
+    blocks get s = 1 and degenerate to the unsalted single task.  When
+    total work itself must shrink, trade recall for it with content
+    blocking: :func:`srp_lsh_near_dups` (q55), whose bucket size is
+    corpus-independent.
 
     ``dim`` (the embedding length) switches the per-pair cosine from the
     interpreted ``zip_with``/``aggregate`` fold to the q86 shape: vectors
@@ -474,24 +493,77 @@ def embedding_near_dups(
     # truncated vector must not kill a corpus-wide dedup (the pq_encode
     # filter discipline; mismatched-length vectors can never clear the
     # cosine threshold meaningfully anyway)
+    if max_block is not None and not block_col:
+        raise ValueError(
+            "embedding_near_dups: max_block bounds per-BLOCK fan-out and "
+            "needs block_col; for unblocked inputs use srp_lsh_near_dups"
+        )
     base = base.filter(F.size("__v") == dim).select(
         "__id", "__n", *blk,
         *[F.element_at("__v", i + 1).alias(f"__x{i}") for i in range(dim)],
     )
-    a = base.select(
+    if max_block is not None:
+        # adaptive salt width per block: one bounded aggregate over the
+        # blocking key (partial agg, ≤ |blocks| rows broadcast back), so
+        # only the blocks that actually run hot pay any fan-out
+        widths = base.groupBy("__blk").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(int(max_block)))
+            .cast("int").alias("__s")
+        )
+        salted = base.join(F.broadcast(widths), "__blk").withColumn(
+            "__u", F.pmod(F.xxhash64("__id"), F.col("__s")).cast("int")
+        )
+    else:
+        salted = None
+    keys = ["__blk", "__i", "__j"] if salted is not None else (
+        ["__blk"] if block_col else []
+    )
+    src_a, src_b = (salted, salted) if salted is not None else (base, base)
+    a = src_a.select(
         F.col("__id").alias("id_a"), F.col("__n").alias("n_a"), *blk,
+        *(
+            [F.col("__u").alias("__i"),
+             F.explode(
+                 F.sequence(F.col("__u"), F.col("__s") - 1)
+             ).alias("__j")]
+            if salted is not None else []
+        ),
         *[F.col(f"__x{i}").alias(f"__a{i}") for i in range(dim)],
     )
-    b = base.select(
+    b = src_b.select(
         F.col("__id").alias("id_b"), F.col("__n").alias("n_b"), *blk,
+        *(
+            [F.explode(
+                 F.sequence(F.lit(0), F.col("__u"))
+             ).alias("__i"),
+             F.col("__u").alias("__j")]
+            if salted is not None else []
+        ),
         *[F.col(f"__x{i}").alias(f"__b{i}") for i in range(dim)],
     )
-    pairs = a.join(b, "__blk") if block_col else a.crossJoin(b)
+    pairs = a.join(b, keys) if keys else a.crossJoin(b)
     denom = F.col("n_a") * F.col("n_b")
     dot_ab = (
         F.expr(" + ".join(f"(__a{i} * __b{i})" for i in range(dim)))
         if dim else F.lit(None).cast("double")
     )
+    if salted is not None:
+        # diagonal tasks (i == j) see both orderings of a pair — the id
+        # filter picks one; off-diagonal tasks see exactly one ordering
+        # (arbitrary), so the ids are normalized afterwards
+        kept = pairs.filter(
+            (F.col("__i") < F.col("__j"))
+            | (F.col("id_a") < F.col("id_b"))
+        )
+        return (
+            kept.withColumn("cos_sim", F.when(denom > 0, dot_ab / denom))
+            .filter(F.col("cos_sim") >= threshold)
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "cos_sim",
+            )
+        )
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", F.when(denom > 0, dot_ab / denom))

@@ -474,7 +474,7 @@ def merge_into_partitioned(
     merge itself), and an expensive update lineage must not recompute per
     action.
     """
-    from cosmo_spark.sources.files import fs_exists
+    from cosmo_spark.sources.files import fs_exists, fs_list_names
 
     manifest = os.path.join(path, "_versions.json")
     if layout == "versioned":
@@ -482,12 +482,16 @@ def merge_into_partitioned(
             merge_into_partitioned_versioned,
         )
 
+        # every probe scheme-portable (Hadoop FS, not os.*): on an
+        # hdfs:///object-store table the local calls would raise
+        # FileNotFoundError (os.listdir) or silently miss the manifest,
+        # defeating the adopt-or-hive guard (r11 advice)
         if (
-            not os.path.exists(manifest)
+            not fs_exists(spark, manifest)
             and fs_exists(spark, path)
             and any(
                 e.startswith(f"{partition_col}=")
-                for e in os.listdir(path)
+                for e in fs_list_names(spark, path)
             )
         ):
             raise ValueError(
@@ -502,7 +506,7 @@ def merge_into_partitioned(
         )
     if layout != "hive":
         raise ValueError(f"unknown layout {layout!r}: 'versioned' or 'hive'")
-    if os.path.exists(manifest):
+    if fs_exists(spark, manifest):
         raise ValueError(
             f"{path} is a versioned partitioned store: merging it with "
             f"layout='hive' would write outside the manifest and corrupt "

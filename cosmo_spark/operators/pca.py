@@ -43,7 +43,15 @@ def covariance_cells(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     their own precision policy on identical sums.
     """
     v = as_double(F.col(vec_col))
-    base = df.select(v.alias("__v")).filter(F.size("__v") == dim)
+    # null-element rows are excluded like wrong-length rows: np.asarray
+    # would turn them into NaN and poison the whole partition's Gramian
+    # partial, while the expr fallback's F.sum silently skips null
+    # products per-cell — the shared filter is what makes the two
+    # implementations' "same output contract" true (r11 advice)
+    base = df.select(v.alias("__v")).filter(
+        (F.size("__v") == dim)
+        & ~F.exists("__v", lambda x: x.isNull())
+    )
     d = int(dim)
 
     def gram(batches):
@@ -94,7 +102,11 @@ def covariance_cells_expr(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     path against.  Same output contract.
     """
     v = as_double(F.col(vec_col))
-    base = df.select(v.alias("__v")).filter(F.size("__v") == dim)
+    # same null-element exclusion as the dgemm path (see covariance_cells)
+    base = df.select(v.alias("__v")).filter(
+        (F.size("__v") == dim)
+        & ~F.exists("__v", lambda x: x.isNull())
+    )
     # full d² flat outer product per row: a PRIMITIVE double array through
     # posexplode codegen.  An upper-triangle-only variant (struct{i,j,p}
     # per element, mirrored after the aggregate) was measured SLOWER at

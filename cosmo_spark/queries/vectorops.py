@@ -143,10 +143,37 @@ FROM pairs WHERE sim >= 0.90
 def q33_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection, blocked by label — the
     blocking key stands in for an LSH bucket: the quadratic join only runs
-    within blocks (the 100 TB pattern)."""
+    within blocks (the 100 TB pattern).  ``max_block=256`` is the round-12
+    hot-block guard (r11 verdict #1): a label that runs hot is salted into
+    ceil(n/256) sub-blocks and the join fans out over triangular sub-block
+    pairs — per-task work bounded at ~256², output exactly unchanged (the
+    10× certification measured this operator at 17.3×, the catalog's
+    worst, when the whole block landed in one reducer)."""
     e = _t(spark, sf_dir, "embeddings")
     out = embedding_near_dups(
-        e, "embedding", "vec_id", threshold=0.90, block_col="label", dim=64
+        e, "embedding", "vec_id", threshold=0.90, block_col="label", dim=64,
+        max_block=256,
+    )
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "q162_blocked_neardup_salted",
+    operators=("DD5",),
+    oracle=EMB_NEARDUP_SQL,
+)
+def q162_blocked_neardup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q33 operator with the hot-block guard FORCED ON at parity scale
+    (``max_block=16`` — every sf0.01 label block of ~50 rows salts into
+    s = ceil(n/16) sub-blocks, triangular fan-out engaged): hash-matched
+    against the SAME exact all-pairs-within-block oracle as q33, proving
+    the salted plan is a parallelism rewrite, not an approximation.  The
+    production default (q33, max_block=256) only engages on genuinely hot
+    blocks."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(
+        e, "embedding", "vec_id", threshold=0.90, block_col="label", dim=64,
+        max_block=16,
     )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 

@@ -362,3 +362,220 @@ def test_media_foreach_store_refresh_resolves_without_restart(
     acc = {(r.media_id, r.batch_id)
            for r in read_media_accepted(spark, state).collect()}
     assert acc == {("A", 0), ("D", 1)}
+
+
+# --------------------------------------------------------------------------- #
+# round-12: crash-replay idempotency, log compaction, broadcast fallback       #
+# --------------------------------------------------------------------------- #
+
+
+def _batch_df(spark, items):
+    return spark.createDataFrame(items, "media_id STRING, blob BINARY")
+
+
+def _out_key(spark, out):
+    from cosmo_spark.streaming.neardup import read_media_near_dup_out
+
+    return sorted(
+        (r.media_id, r.status, r.dup_of, r.hamming)
+        for r in read_media_near_dup_out(spark, out).collect()
+    )
+
+
+def _acc_key(spark, state):
+    from cosmo_spark.streaming.neardup import read_media_accepted
+
+    return sorted(
+        (r.media_id, r.batch_id, r.fp_hi, r.fp_lo)
+        for r in read_media_accepted(spark, state).collect()
+    )
+
+
+def test_media_foreach_crash_replay_is_idempotent(spark, tmp_path, store):
+    """r11 advice (high): a replayed micro-batch must not read its own
+    failed attempt's batch-N state — rows it accepted there would
+    self-match at Hamming 0 and flip to near_dup of themselves — and the
+    replay must overwrite the stale batch-N dir unconditionally so state
+    and output can never end up contradicting each other."""
+    from cosmo_spark.streaming.neardup import make_media_upsert
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    upsert = make_media_upsert(store, state, out)
+    upsert(_batch_df(spark, [("A", BLOBS["A"])]), 0)
+    b1 = _batch_df(spark, [("A2", BLOBS["A2"]), ("E", BLOBS["E"])])
+    upsert(b1, 1)                       # the "failed attempt" hits disk
+    first_out, first_acc = _out_key(spark, out), _acc_key(spark, state)
+    upsert(b1, 1)                       # the replay: same batch_id
+    assert _out_key(spark, out) == first_out
+    assert _acc_key(spark, state) == first_acc
+    rows = {r[0]: r for r in _out_key(spark, out)}
+    assert len(first_out) == 3          # one verdict per arrival, ever
+    # E was accepted in the failed attempt; the replay must re-accept it,
+    # not match it against its own ghost at Hamming 0
+    assert rows["E"][1] == "accepted" and rows["E"][2] is None
+    assert rows["A2"][1:] == ("near_dup", "A", 0)
+    assert {(m, b) for m, b, _, _ in first_acc} == {("A", 0), ("E", 1)}
+
+
+def test_media_foreach_replay_overwrites_even_empty_state(
+    spark, tmp_path, store
+):
+    """The all-dup batch writes an EMPTY state dir — so a later replay
+    (or a changed replay after out-of-band store enrichment) always
+    supersedes whatever the failed attempt left behind."""
+    import os
+
+    from cosmo_spark.streaming.neardup import make_media_upsert
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    upsert = make_media_upsert(store, state, out)
+    upsert(_batch_df(spark, [("A", BLOBS["A"])]), 0)
+    upsert(_batch_df(spark, [("A2", BLOBS["A2"])]), 1)   # pure dup batch
+    assert os.path.isdir(os.path.join(state, "batch-1"))
+    assert {(m, b) for m, b, _, _ in _acc_key(spark, state)} == {("A", 0)}
+
+
+def test_media_keeper_log_compaction(spark, tmp_path, store):
+    """r11 verdict #2b: compaction folds the per-batch dirs, readers see
+    identical rows before/after, the newest batch dir is never folded
+    (it alone can be crash-replayed), and a replay of that batch after
+    compaction still commits idempotently."""
+    import os
+
+    from cosmo_spark.streaming.neardup import (
+        compact_media_keeper_logs,
+        make_media_upsert,
+    )
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    upsert = make_media_upsert(store, state, out)
+    upsert(_batch_df(spark, [("A", BLOBS["A"])]), 0)
+    upsert(_batch_df(spark, [("E", BLOBS["E"]), ("D", BLOBS["D"])]), 1)
+    upsert(_batch_df(spark, [("C", BLOBS["C"])]), 2)
+    b3 = _batch_df(spark, [("A2", BLOBS["A2"]), ("B", BLOBS["B"])])
+    upsert(b3, 3)
+    before_out, before_acc = _out_key(spark, out), _acc_key(spark, state)
+
+    res = compact_media_keeper_logs(spark, state_path=state, out_path=out)
+    assert res["state"]["consumed_dirs"] == 3   # batches 0-2; 3 stays out
+    assert res["out"]["consumed_dirs"] == 3
+    assert os.path.isdir(os.path.join(state, "batch-3"))
+    assert os.path.isdir(os.path.join(out, "batch-3"))
+    assert _out_key(spark, out) == before_out
+    assert _acc_key(spark, state) == before_acc
+
+    # replay of the newest batch AFTER compaction: verdicts unchanged,
+    # no row duplicated (its dir was excluded from the fold)
+    upsert(b3, 3)
+    assert _out_key(spark, out) == before_out
+    assert _acc_key(spark, state) == before_acc
+
+    # immediate re-compaction is a no-op (one compact dir + the live batch)
+    res2 = compact_media_keeper_logs(spark, state_path=state, out_path=out)
+    assert res2["state"]["consumed_dirs"] == 0
+    assert _acc_key(spark, state) == before_acc
+
+
+def test_media_keeper_compaction_crash_recovery(spark, tmp_path, store):
+    """Crash injection at both windows of the compaction protocol: before
+    the rename (manifest present, compact dir absent -> roll back) and
+    after it (compact dir present, consumed dirs linger -> complete).
+    Readers see every row exactly once in BOTH windows."""
+    import json
+    import os
+    import shutil
+
+    from cosmo_spark.streaming.neardup import (
+        _KEEPER_MANIFEST,
+        _recover_keeper_compaction,
+        make_media_upsert,
+    )
+    from cosmo_spark.streaming.neardup import MEDIA_ACCEPT_SCHEMA
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    upsert = make_media_upsert(store, state, out)
+    upsert(_batch_df(spark, [("A", BLOBS["A"])]), 0)
+    upsert(_batch_df(spark, [("E", BLOBS["E"])]), 1)
+    upsert(_batch_df(spark, [("C", BLOBS["C"])]), 2)
+    before = _acc_key(spark, state)
+
+    consumed = ["batch-0", "batch-1"]          # newest (batch-2) stays out
+    tmp_name, final = "_compact-tmp-t1", "compact-t1"
+    spark.read.schema(MEDIA_ACCEPT_SCHEMA).parquet(
+        *[os.path.join(state, d) for d in consumed]
+    ).write.mode("overwrite").parquet(os.path.join(state, tmp_name))
+    doc = {"consumed": consumed, "final": final, "tmp": tmp_name}
+
+    # window 1: crash AFTER the manifest, BEFORE the rename
+    with open(os.path.join(state, _KEEPER_MANIFEST), "w") as fh:
+        json.dump(doc, fh)
+    assert _acc_key(spark, state) == before    # reader: consumed still live
+    _recover_keeper_compaction(state)          # rolls back
+    assert not os.path.exists(os.path.join(state, tmp_name))
+    assert not os.path.exists(os.path.join(state, _KEEPER_MANIFEST))
+    assert _acc_key(spark, state) == before
+
+    # window 2: crash AFTER the rename, BEFORE the consumed deletes
+    spark.read.schema(MEDIA_ACCEPT_SCHEMA).parquet(
+        *[os.path.join(state, d) for d in consumed]
+    ).write.mode("overwrite").parquet(os.path.join(state, tmp_name))
+    with open(os.path.join(state, _KEEPER_MANIFEST), "w") as fh:
+        json.dump(doc, fh)
+    os.rename(os.path.join(state, tmp_name), os.path.join(state, final))
+    assert _acc_key(spark, state) == before    # reader: consumed skipped
+    _recover_keeper_compaction(state)          # completes
+    for d in consumed:
+        assert not os.path.exists(os.path.join(state, d))
+    assert not os.path.exists(os.path.join(state, _KEEPER_MANIFEST))
+    assert _acc_key(spark, state) == before
+
+    # orphan tmp with NO manifest (crash before the manifest): swept
+    os.makedirs(os.path.join(state, "_compact-tmp-orphan"))
+    _recover_keeper_compaction(state)
+    assert not os.path.exists(os.path.join(state, "_compact-tmp-orphan"))
+    assert _acc_key(spark, state) == before
+
+
+def test_media_foreach_store_join_fallback_plan(spark):
+    """r11 verdict #2a: past ``broadcast_max_bytes`` the per-batch store
+    join must leave broadcast behind (shuffled hash join) — and the
+    shuffle only ever carries (id, 16-byte hash) rows, never blobs."""
+    from cosmo_spark.plans.explain import physical_plan
+    from cosmo_spark.streaming.neardup import _store_join
+
+    keyed = spark.range(100).select(
+        F.col("id").cast("string").alias("__id"),
+        F.col("id").alias("content_hash"),
+    )
+    fp_store = spark.range(50).select(
+        F.col("id").alias("content_hash"),
+        F.col("id").alias("fp_hi"),
+        F.col("id").alias("fp_lo"),
+    )
+    small = physical_plan(_store_join(keyed, fp_store, use_broadcast=True))
+    assert "BroadcastHashJoin" in small
+    big = physical_plan(_store_join(keyed, fp_store, use_broadcast=False))
+    assert "BroadcastHashJoin" not in big
+    assert "ShuffledHashJoin" in big
+
+
+def test_media_foreach_fallback_verdicts_match_broadcast(
+    spark, tmp_path, store
+):
+    """broadcast_max_bytes=0 forces the shuffle path end-to-end; verdicts
+    are identical to the broadcast run on the same batches."""
+    from cosmo_spark.streaming.neardup import make_media_upsert
+
+    batches = [
+        [("A", BLOBS["A"]), ("D", BLOBS["D"])],
+        [("A2", BLOBS["A2"]), ("B", BLOBS["B"]), ("E", BLOBS["E"])],
+    ]
+    keys = []
+    for tag, bmax in (("bc", 32 << 20), ("sh", 0)):
+        out = str(tmp_path / f"out-{tag}")
+        st = str(tmp_path / f"state-{tag}")
+        upsert = make_media_upsert(store, st, out, broadcast_max_bytes=bmax)
+        for i, items in enumerate(batches):
+            upsert(_batch_df(spark, items), i)
+        keys.append((_out_key(spark, out), _acc_key(spark, st)))
+    assert keys[0] == keys[1]

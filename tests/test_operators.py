@@ -510,3 +510,80 @@ def test_kmv_k_smallest_equals_sorted_prefix(spark):
         expected.setdefault(k, []).append(h)
     expected = {k: sorted(v)[:KMV_K] for k, v in expected.items()}
     assert {k: sorted(v) for k, v in got.items()} == expected
+
+
+def test_embedding_near_dups_hot_block_guard_exact_and_bounded(spark):
+    """r11 verdict #1: a hot blocking attribute must not land its whole
+    block in one reducer.  Gates, on a synthetic hot-label corpus:
+    (1) the salted plan's output is EXACTLY the unguarded all-pairs
+    result; (2) the join key carries the sub-block salts; (3) the
+    triangular fan-out spreads the hot block's pairs over s(s+1)/2 tasks
+    with no task holding more than ~max_block**2 candidates."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.operators.dedup import embedding_near_dups
+    from cosmo_spark.plans.explain import physical_plan
+
+    random.seed(13)
+    rows = []
+    for i in range(300):                       # ONE hot label
+        v = [random.gauss(0, 1) for _ in range(8)]
+        rows.append((i, "hot", v))
+        if i % 6 == 0:                         # planted near-dups
+            rows.append(
+                (1000 + i, "hot",
+                 [x + random.gauss(0, 0.01) for x in v])
+            )
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>"
+    )
+    exact = embedding_near_dups(
+        df, "embedding", "vec_id", threshold=0.9, block_col="label", dim=8
+    )
+    guarded = embedding_near_dups(
+        df, "embedding", "vec_id", threshold=0.9, block_col="label", dim=8,
+        max_block=64,
+    )
+    ek = sorted((r.id_a, r.id_b, round(r.cos_sim, 9)) for r in exact.collect())
+    gk = sorted(
+        (r.id_a, r.id_b, round(r.cos_sim, 9)) for r in guarded.collect()
+    )
+    assert ek == gk and len(ek) >= 50          # exact rewrite, real output
+
+    plan = physical_plan(guarded)
+    assert "__i" in plan and "__j" in plan     # salts ARE join keys
+
+    # task-shape audit: replicate the operator's salting arithmetic and
+    # count candidate pairs per (i, j) sub-block task
+    n = df.count()
+    s = -(-n // 64)                            # ceil(n / max_block)
+    counts = (
+        df.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(s)).alias("u")
+        )
+        .groupBy("u").count().collect()
+    )
+    by_u = {r.u: r["count"] for r in counts}
+    tasks = {
+        (i, j): (
+            by_u.get(i, 0) * by_u.get(j, 0)
+            if i != j
+            else by_u.get(i, 0) * (by_u.get(i, 0) - 1) // 2
+        )
+        for i in range(s) for j in range(i, s)
+    }
+    assert len(tasks) == s * (s + 1) // 2
+    # no task anywhere near the unguarded n^2/2; generous 2x slack on the
+    # per-task bound absorbs hash imbalance
+    assert max(tasks.values()) <= 2 * 64 * 64
+    assert max(tasks.values()) < (n * (n - 1) // 2) / 4
+
+    # max_block without a blocking column is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_block"):
+        embedding_near_dups(
+            df, "embedding", "vec_id", threshold=0.9, dim=8, max_block=64
+        )

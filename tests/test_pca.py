@@ -105,3 +105,37 @@ def test_gramian_kernel_empty_and_wrong_dim(spark):
     )
     assert covariance_cells(df.filter("id < 3"), "embedding", 64).count() == 0
     assert covariance_cells(df, "embedding", 64).count() == 64 * 64
+
+
+def test_gramian_null_element_rows_excluded_both_paths(spark):
+    """r11 advice: a vector containing a NULL element is excluded like a
+    wrong-length one, in BOTH implementations — previously the dgemm
+    path NaN-poisoned its whole partition's partial while the expression
+    form skipped null products per-cell (divergent 'same contract')."""
+    from cosmo_spark.operators.pca import covariance_cells_expr
+
+    clean = [(i, [float(i + j) for j in range(4)]) for i in range(5)]
+    dirty = [(99, [1.0, None, 3.0, 4.0]), (98, [None] * 4)]
+    df = spark.createDataFrame(
+        clean + dirty, "id INT, embedding ARRAY<DOUBLE>"
+    )
+    ref = {
+        (r.i, r.j): (r.n, r.sxy, r.sxi, r.sxj)
+        for r in covariance_cells(
+            spark.createDataFrame(clean, "id INT, embedding ARRAY<DOUBLE>"),
+            "embedding", 4,
+        ).collect()
+    }
+    for impl in (covariance_cells, covariance_cells_expr):
+        got = {
+            (r.i, r.j): (r.n, r.sxy, r.sxi, r.sxj)
+            for r in impl(df, "embedding", 4).collect()
+        }
+        assert set(got) == set(ref), impl.__name__
+        for k, (n, sxy, sxi, sxj) in ref.items():
+            gn, gxy, gxi, gxj = got[k]
+            assert gn == n, impl.__name__
+            assert abs(gxy - sxy) < 1e-9, impl.__name__
+            assert abs(gxi - sxi) < 1e-9 and abs(gxj - sxj) < 1e-9, (
+                impl.__name__
+            )
