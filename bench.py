@@ -119,6 +119,7 @@ def main() -> None:
         _cms_window_log_dir,
         _hdr_window_log_dir,
         _hll_window_log_dir,
+        _hllq_rebuilt_log_dir,
         _hllq_window_log_dir,
         _kmv_window_log_dir,
         _purge_demo_dir,
@@ -126,6 +127,7 @@ def main() -> None:
         ensure_cms_window_log,
         ensure_hdr_window_log,
         ensure_hll_quarantine_log,
+        ensure_hll_rebuilt_log,
         ensure_hll_window_log,
         ensure_kmv_window_log,
         ensure_partitioned_purge_demo,
@@ -142,6 +144,11 @@ def main() -> None:
         # steady-state rebuild-from-quarantine READ
         ("hll_quarantine_log", _hllq_window_log_dir,
          ensure_hll_quarantine_log),
+        # rebuilt-to-new-log recovery (q163): the one-time rebuild_log
+        # materialization is setup; the query measures the steady-state
+        # windowed READ of the new log (must come after the quarantine
+        # log's entry — it derives from that artifact)
+        ("hll_rebuilt_log", _hllq_rebuilt_log_dir, ensure_hll_rebuilt_log),
         # versioned purge table (q151): publish + purge is setup; the query
         # measures the steady-state CDC audit read
         ("purge_demo", _purge_demo_dir, ensure_purged_events),

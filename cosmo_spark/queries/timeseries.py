@@ -2310,7 +2310,10 @@ def ensure_hll_quarantine_log(spark: SparkSession, sf_dir: str) -> str:
     return log
 
 
-def _q161_oracle() -> str:
+def _hll_replay_oracle(ts_where: str) -> str:
+    """Raw-event HLL replay oracle over an arbitrary event-time slice —
+    shared by q161 (one early-evicted window) and q163 (the whole
+    pre-horizon region of a rebuilt log)."""
     from cosmo_spark.operators.sketches import (
         HLL_ALPHA,
         HLL_M,
@@ -2336,8 +2339,7 @@ def _q161_oracle() -> str:
 WITH hashed AS (
   SELECT event_type, {h} AS h FROM events
   WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-    AND ts >= TIMESTAMP '{_Q161_WIN}'
-    AND ts < TIMESTAMP '{_Q161_WIN}' + INTERVAL 1 DAY
+    AND {ts_where}
 ), rows_ AS (
   SELECT event_type, h % {HLL_M} AS bucket, h // {HLL_M} AS w FROM hashed
 ), regs AS (
@@ -2351,6 +2353,13 @@ SELECT event_type, round(est, 3) AS hll_est FROM (
   )
 )
 """
+
+
+def _q161_oracle() -> str:
+    return _hll_replay_oracle(
+        f"ts >= TIMESTAMP '{_Q161_WIN}' "
+        f"AND ts < TIMESTAMP '{_Q161_WIN}' + INTERVAL 1 DAY"
+    )
 
 
 @register("q161_hll_rebuild_window", operators=("A12", "ST4", "ST5"),
@@ -2382,6 +2391,69 @@ def q161_hll_rebuild_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = ensure_hll_quarantine_log(spark, sf_dir)
     win = _dt.datetime.strptime(_Q161_WIN, "%Y-%m-%d %H:%M:%S")
     regs = rebuild_window(spark, log, "hll", win)
+    return hll_estimate(regs, ["key"]).select(
+        F.col("key").alias("event_type"),
+        F.round("est", 3).alias("hll_est"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# q163 — rebuild-to-NEW-log recovery: the whole pre-horizon region (round-12)  #
+# --------------------------------------------------------------------------- #
+
+#: the widened horizon the rebuilt log is born with (predates every event)
+_Q163_NEW_HORIZON = "2024-01-01 00:00:00"
+
+
+def _hllq_rebuilt_log_dir(sf_dir: str) -> str:
+    return _window_log_dir(sf_dir, "hllq_rebuilt")
+
+
+def ensure_hll_rebuilt_log(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize, once, the brand-new windowed log ``rebuild_log``
+    derives from q161's early-decree artifact (live = post-Jan-15,
+    quarantine = everything before): the new log carries the ENTIRE
+    pre-horizon region live, with its own horizon persisted at the
+    widened value.  The source log is untouched — q161 keeps reading it
+    unchanged in the same catalog pass."""
+    import os
+
+    from cosmo_spark.streaming.sketches import rebuild_log
+
+    src = ensure_hll_quarantine_log(spark, sf_dir)
+    dest = os.path.join(_hllq_rebuilt_log_dir(sf_dir), "log")
+    if not os.path.isdir(dest):
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        rebuild_log(spark, src, dest, "hll", older_than=_Q163_NEW_HORIZON)
+    return dest
+
+
+@register("q163_hll_rebuild_log", operators=("A12", "ST4", "ST5"),
+          oracle=_hll_replay_oracle(f"ts < TIMESTAMP '{_Q161_HORIZON}'"))
+def q163_hll_rebuild_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'distinct users per event type BEFORE Jan 15' answered from the
+    REBUILT log — the round-12 recovery operator as a parity row.  In
+    the source log that whole region exists only as ``_late/``
+    quarantine partials (the horizon was decreed before its events
+    arrived); ``rebuild_log`` folds live + quarantine into a fresh log
+    whose windowed read over the pre-horizon days must hash-match the
+    raw-event replay — a rebuild that dropped a quarantined partial,
+    double-counted a retried batch, or leaked post-horizon mass into the
+    read would mismatch.  The source log and its Jan-15 horizon stay
+    byte-identical (q161 reads them in the same pass), and the new log's
+    own horizon starts at the widened Jan-1 value.
+
+    Scale shape: the rebuild and the read scan registers (≤ 256/key/day),
+    never events; publish is one atomic directory rename."""
+    import datetime as _dt
+
+    from cosmo_spark.operators.sketches import hll_estimate
+    from cosmo_spark.streaming.sketches import read_hll_registers_windowed
+
+    tune_session(spark)
+    log = ensure_hll_rebuilt_log(spark, sf_dir)
+    until = _dt.datetime.strptime(_Q161_HORIZON, "%Y-%m-%d %H:%M:%S")
+    regs = read_hll_registers_windowed(spark, log, until=until)
     return hll_estimate(regs, ["key"]).select(
         F.col("key").alias("event_type"),
         F.round("est", 3).alias("hll_est"),

@@ -579,3 +579,147 @@ def test_media_foreach_fallback_verdicts_match_broadcast(
             upsert(_batch_df(spark, items), i)
         keys.append((_out_key(spark, out), _acc_key(spark, st)))
     assert keys[0] == keys[1]
+
+
+# --------------------------------------------------------------------------- #
+# round-12 verdict #3: foreachBatch keeper ≡ replica (property gate)           #
+# --------------------------------------------------------------------------- #
+
+
+def _ref_foreach_stream(batches, visible_at, fps, max_h=6, band_bits=16):
+    """Independent pure-python replica of the foreachBatch keeper over a
+    multi-batch stream with a GROWING store: per batch, resolve each
+    arrival against the store snapshot visible at that batch (content
+    enriched later resolves on a later arrival — the in-flight refresh),
+    route unresolved to the unfingerprinted channel, and run the keeper
+    rule (first accepted match in media_id order, exact Hamming <= max_h,
+    per band-code bucket) against fingerprints accepted in earlier
+    batches plus earlier in this batch.  Same rule set as
+    ``_ref_media_keeper`` plus the store-resolution layer."""
+    U64 = (1 << 64) - 1
+    accepted = {}            # code -> parallel (ids, his, los)
+    out = []
+    for b, batch in enumerate(batches):
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for mid, ckey in batch:
+            if visible_at.get(ckey, 10**9) > b:
+                out.append((mid, "unfingerprinted", None, None))
+                continue
+            hi, lo = fps[ckey]
+            code = (hi & U64) >> (64 - band_bits)
+            groups[code].append((mid, hi, lo))
+        for code, rows in groups.items():
+            ids, his, los = accepted.setdefault(code, ([], [], []))
+            for mid, hi, lo in sorted(rows):
+                match = dist = None
+                for kid, khi, klo in zip(ids, his, los):
+                    d = (((hi ^ khi) & U64).bit_count()
+                         + ((lo ^ klo) & U64).bit_count())
+                    if d <= max_h:
+                        match, dist = kid, d
+                        break
+                if match is None:
+                    ids.append(mid)
+                    his.append(hi)
+                    los.append(lo)
+                    out.append((mid, "accepted", None, None))
+                else:
+                    out.append((mid, "near_dup", match, dist))
+    return sorted(out)
+
+
+def test_media_foreach_keeper_matches_replica_property(spark, tmp_path):
+    """Hypothesis gate (r11 verdict #3): the foreachBatch keeper agrees
+    verdict-for-verdict with the independent replica on randomized
+    multi-batch streams — planted near-dups (<=6 flipped bits), far
+    same-bucket fingerprints, exact byte-dup arrivals, content never
+    fingerprinted, and content enriched MID-STREAM between batches."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from cosmo_spark.streaming.neardup import (
+        make_media_upsert,
+        read_media_near_dup_out,
+    )
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.data())
+    def scenario(data):
+        rng = data.draw(st.randoms(use_true_random=False))
+        n_contents = rng.randint(3, 9)
+        prefixes = [rng.getrandbits(16) for _ in range(2)]
+        fps, visible_at, items = {}, {}, []
+        serial = 0
+        for c in range(n_contents):
+            hi = (rng.choice(prefixes) << 48) | rng.getrandbits(48)
+            lo = rng.getrandbits(64)
+            key = f"c{c:03d}"
+            fps[key] = (hi, lo)
+            # visible from batch 0 (pre-fingerprinted), from batch 1-2
+            # (enriched mid-stream), or never
+            visible_at[key] = rng.choice([0, 0, 1, 2, 10**9])
+            arrivals = rng.randint(1, 2)
+            for _ in range(arrivals):        # exact dup = same content key
+                items.append((f"m{serial:03d}", key))
+                serial += 1
+            if rng.random() < 0.5:           # planted near/far twin
+                flips = rng.randint(0, 12)   # <=6 near; 7-12 far
+                tlo = lo
+                for _ in range(flips):
+                    tlo ^= 1 << rng.randrange(64)
+                tkey = f"c{c:03d}t"
+                fps[tkey] = (hi, tlo)
+                visible_at[tkey] = rng.choice([0, 1, 10**9])
+                items.append((f"m{serial:03d}", tkey))
+                serial += 1
+        rng.shuffle(items)
+        cut1, cut2 = sorted(rng.sample(range(len(items) + 1), 2))
+        batches = [items[:cut1], items[cut1:cut2], items[cut2:]]
+
+        token = rng.getrandbits(48)
+        base = tmp_path / f"prop-{token:012x}"
+        base.mkdir()
+        store = str(base / "store")
+        out, state = str(base / "out"), str(base / "state")
+
+        blobs = {k: f"blob::{token:012x}::{k}".encode() for k in fps}
+        hashes = {
+            r.k: r.h
+            for r in spark.createDataFrame(
+                [(k, v) for k, v in blobs.items()], "k STRING, blob BINARY"
+            ).select("k", F.xxhash64("blob").alias("h")).collect()
+        }
+
+        def append_store(keys):
+            rows = [
+                (hashes[k], _signed(fps[k][0]), _signed(fps[k][1]))
+                for k in keys
+            ]
+            if rows:
+                spark.createDataFrame(
+                    rows, "content_hash LONG, fp_hi LONG, fp_lo LONG"
+                ).write.mode("append").parquet(store)
+
+        upsert = make_media_upsert(store, state, out)
+        for b, batch in enumerate(batches):
+            append_store([k for k, v in visible_at.items() if v == b])
+            bdf = spark.createDataFrame(
+                [(m, blobs[k]) for m, k in batch] or [("__none__", b"x")],
+                "media_id STRING, blob BINARY",
+            )
+            if not batch:
+                bdf = bdf.filter("media_id != '__none__'")
+            upsert(bdf, b)
+
+        got = sorted(
+            (r.media_id, r.status, r.dup_of, r.hamming)
+            for r in read_media_near_dup_out(spark, out).collect()
+        )
+        want = _ref_foreach_stream(batches, visible_at, fps)
+        assert got == want
+
+    scenario()

@@ -561,3 +561,240 @@ def test_q161_artifact_holds_window_only_in_quarantine(spark):
     assert sk.read_eviction_horizon(log) == _dt.datetime.strptime(
         _Q161_HORIZON, "%Y-%m-%d %H:%M:%S"
     )
+
+
+# --------------------------------------------------------------------------- #
+# round-12: rebuild-to-NEW-log recovery (r11 verdict #5)                       #
+# --------------------------------------------------------------------------- #
+#
+# rebuild_log materializes a FRESH windowed log from live + quarantine for
+# a WIDENED horizon.  Gates, per algebra: the new log's windowed reads
+# equal from-scratch batch sketches over ALL events (including the window
+# that lived only in quarantine); the new log's horizon is the widened
+# value; the SOURCE log tree — registers, horizon marker, quarantine — is
+# byte-identical afterwards.
+
+
+def _tree_digest(root):
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            p = os.path.join(dirpath, fn)
+            h.update(os.path.relpath(p, root).encode())
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()
+
+
+def _rebuild_log_case(spark, tmp_path, kind, schema_str, start_fn, log):
+    """FEB live, JAN entirely in quarantine (early eviction decree), then
+    rebuild to a new log at the widened horizon JAN."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b1.json", B_FEB)
+    start_fn(spark.readStream.schema(SCHEMA).json(str(src))).awaitTermination(120)
+    sk.expire_windows(spark, log, kind, older_than=FEB)
+    half = len(B_JAN) // 2
+    _write_batch(src, "b2.json", B_JAN[:half])
+    start_fn(spark.readStream.schema(SCHEMA).json(str(src))).awaitTermination(120)
+    _write_batch(src, "b3.json", B_JAN[half:])
+    start_fn(spark.readStream.schema(SCHEMA).json(str(src))).awaitTermination(120)
+
+    before = _tree_digest(log)
+    dest = str(tmp_path / "rebuilt")
+    sk.rebuild_log(spark, log, dest, kind, older_than=JAN)
+
+    # source untouched, byte for byte (registers, horizon, quarantine)
+    assert _tree_digest(log) == before
+    assert sk.read_eviction_horizon(log) == FEB
+    # the new log carries the WIDENED horizon from birth
+    assert sk.read_eviction_horizon(dest) == JAN
+    return dest
+
+
+def test_hll_rebuild_log_from_quarantine(spark, tmp_path):
+    from cosmo_spark.operators.sketches import hll_registers
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    dest = _rebuild_log_case(
+        spark, tmp_path, "hll", sk.HLLW_SCHEMA,
+        lambda s: sk.stream_hll_registers_windowed(
+            s, "source", "text", "ts", log, ckpt),
+        log,
+    )
+
+    def batch(rows):
+        return sorted(
+            map(tuple, hll_registers(_docs(spark, rows), ["key"], "text")
+                .select("key", "bucket", "rho").collect())
+        )
+
+    got_jan = sorted(map(tuple, sk.read_hll_registers_windowed(
+        spark, dest, until=FEB).collect()))
+    got_feb = sorted(map(tuple, sk.read_hll_registers_windowed(
+        spark, dest, since=FEB).collect()))
+    got_all = sorted(map(tuple, sk.read_hll_registers_windowed(
+        spark, dest).collect()))
+    assert got_jan == batch(B_JAN)
+    assert got_feb == batch(B_FEB)
+    assert got_all == batch(B_JAN + B_FEB)
+
+    # the new log is a first-class log: a maintainer pointed at it (fresh
+    # checkpoint) diverts a pre-JAN laggard to the NEW quarantine
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    _write_batch(src2, "b1.json",
+                 [("web", "dec laggard", "2023-12-15T10:00:00")])
+    sk.stream_hll_registers_windowed(
+        spark.readStream.schema(SCHEMA).json(str(src2)),
+        "source", "text", "ts", dest, str(tmp_path / "ck2"),
+    ).awaitTermination(120)
+    assert sk.read_late_quarantine(spark, dest, sk.HLLW_SCHEMA).count() > 0
+    assert got_all == sorted(map(tuple, sk.read_hll_registers_windowed(
+        spark, dest).collect()))          # laggard did NOT enter live
+
+
+def test_cms_rebuild_log_from_quarantine(spark, tmp_path):
+    from cosmo_spark.functions.text import poly_hash, tokenize
+    from cosmo_spark.operators.sketches import cms_counters
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    dest = _rebuild_log_case(
+        spark, tmp_path, "cms", sk.CMSW_SCHEMA,
+        lambda s: sk.stream_cms_counters_windowed(s, "text", "ts", log, ckpt),
+        log,
+    )
+
+    def batch(rows):
+        tokh = _docs(spark, rows).filter(F.col("text").isNotNull()).select(
+            F.explode(tokenize(F.col("text"))).alias("tok")
+        ).select(poly_hash(F.col("tok")).alias("th"))
+        return sorted(
+            map(tuple, cms_counters(tokh).select("r", "bucket", "cnt")
+                .collect())
+        )
+
+    assert sorted(map(tuple, sk.read_cms_counters_windowed(
+        spark, dest, until=FEB).collect())) == batch(B_JAN)
+    assert sorted(map(tuple, sk.read_cms_counters_windowed(
+        spark, dest, since=FEB).collect())) == batch(B_FEB)
+    assert sorted(map(tuple, sk.read_cms_counters_windowed(
+        spark, dest).collect())) == batch(B_JAN + B_FEB)
+
+
+def test_kmv_rebuild_log_from_quarantine(spark, tmp_path):
+    from cosmo_spark.functions.text import poly_hash, tokenize
+    from cosmo_spark.operators.sketches import kmv_k_smallest
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    dest = _rebuild_log_case(
+        spark, tmp_path, "kmv", sk.KMVW_SCHEMA,
+        lambda s: sk.stream_kmv_values_windowed(
+            s, "source", "text", "ts", log, ckpt),
+        log,
+    )
+
+    def batch(rows):
+        hs = (
+            _docs(spark, rows).filter(F.col("text").isNotNull())
+            .select("key", F.explode(tokenize(F.col("text"))).alias("t"))
+            .select("key", poly_hash(F.col("t")).alias("h"))
+            .distinct()
+        )
+        return sorted(
+            map(tuple, kmv_k_smallest(hs, ["key"]).select("key", "h")
+                .collect())
+        )
+
+    assert sorted(map(tuple, sk.read_kmv_values_windowed(
+        spark, dest, until=FEB).collect())) == batch(B_JAN)
+    assert sorted(map(tuple, sk.read_kmv_values_windowed(
+        spark, dest, since=FEB).collect())) == batch(B_FEB)
+    assert sorted(map(tuple, sk.read_kmv_values_windowed(
+        spark, dest).collect())) == batch(B_JAN + B_FEB)
+
+
+def test_hdr_rebuild_log_from_quarantine(spark, tmp_path):
+    from cosmo_spark.operators.sketches import hdr_bucket_spark_sql
+
+    jan_vals = [0.5, 2.0, 47.0, 100.0, 12345.678]
+    feb_vals = [1.5, 8.0, 8.0, 999.25]
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_vals(name, rows):
+        with open(src / name, "w") as f:
+            for k, v, ts in rows:
+                f.write(json.dumps({"source": k, "value": v, "ts": ts}) + "\n")
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(
+            "source STRING, value DOUBLE, ts TIMESTAMP"
+        ).json(str(src))
+        sk.stream_hdr_buckets_windowed(
+            stream, "source", "value", "ts", log, ckpt
+        ).awaitTermination(120)
+
+    write_vals("b1.json", [("s", v, "2024-02-01T11:00:00") for v in feb_vals])
+    run()
+    sk.expire_windows(spark, log, "hdr", older_than=FEB)
+    write_vals("b2.json", [("s", v, "2024-01-01T08:00:00") for v in jan_vals[:2]])
+    run()
+    write_vals("b3.json", [("s", v, "2024-01-01T08:30:00") for v in jan_vals[2:]])
+    run()
+
+    before = _tree_digest(log)
+    dest = str(tmp_path / "rebuilt")
+    sk.rebuild_log(spark, log, dest, "hdr", older_than=JAN)
+    assert _tree_digest(log) == before
+    assert sk.read_eviction_horizon(dest) == JAN
+
+    def batch(vals):
+        return sorted(map(tuple, (
+            spark.createDataFrame([(v,) for v in vals], "value DOUBLE")
+            .select(F.expr("cast(floor(value * 1000000.0) as bigint)")
+                    .alias("mic"))
+            .select(F.expr(hdr_bucket_spark_sql("mic")).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("s").alias("key"), "bucket", "cnt")
+        ).collect()))
+
+    assert sorted(map(tuple, sk.read_hdr_buckets_windowed(
+        spark, dest, until=FEB).collect())) == batch(jan_vals)
+    assert sorted(map(tuple, sk.read_hdr_buckets_windowed(
+        spark, dest, since=FEB).collect())) == batch(feb_vals)
+    assert sorted(map(tuple, sk.read_hdr_buckets_windowed(
+        spark, dest).collect())) == batch(jan_vals + feb_vals)
+
+
+def test_rebuild_log_validation(spark, tmp_path):
+    import pytest
+
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b1.json", B_FEB)
+    sk.stream_hll_registers_windowed(
+        spark.readStream.schema(SCHEMA).json(str(src)),
+        "source", "text", "ts", log, ckpt,
+    ).awaitTermination(120)
+    sk.expire_windows(spark, log, "hll", older_than=FEB)
+
+    # narrowing is expire_windows' job, not a rebuild
+    with pytest.raises(ValueError, match="WIDENING"):
+        sk.rebuild_log(spark, log, str(tmp_path / "d1"), "hll",
+                       older_than=datetime(2024, 3, 1))
+    # dest must be fresh
+    sk.rebuild_log(spark, log, str(tmp_path / "d2"), "hll", older_than=JAN)
+    with pytest.raises(ValueError, match="already exists"):
+        sk.rebuild_log(spark, log, str(tmp_path / "d2"), "hll",
+                       older_than=JAN)
+    with pytest.raises(ValueError, match="unknown kind"):
+        sk.rebuild_log(spark, log, str(tmp_path / "d3"), "bogus",
+                       older_than=JAN)
