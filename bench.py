@@ -50,7 +50,12 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     clear_cache = os.environ.get("SPARK_GRAFT_CLEARCACHE", "1") != "0"
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # sf from the dir basename, tolerating a protocol tag suffix
+    # ("/tmp/sf1d", the distinct-dups 10x twin) — float("1d") would throw
+    import re as _re
+
+    _m = _re.match(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(_m.group(1)) if _m else 0.1
 
     from cosmo_spark.session import get_spark
     from cosmo_spark.queries import all_queries

@@ -1,11 +1,18 @@
-"""Merge two bench detail files (sf0.1 and the 10x replication at
-/tmp/sf1, both written by bench.py as BENCH_LOCAL.json) into
-BENCH_10X.json — the full-catalog 10x scale certification the round-10
-verdict asked for: per-query (sf0.1 s, sf1 s, ratio), setup comparison,
-and the outlier list (ratio > THRESHOLD) that SCALE.md must root-cause.
+"""Merge bench detail files (sf0.1 and the 10x replication at /tmp/sf1,
+each written by bench.py as BENCH_LOCAL.json) into BENCH_10X.json — the
+full-catalog 10x scale certification the round-10 verdict asked for:
+per-query (sf0.1 s, sf1 s, ratio), setup comparison, and the outlier
+list (ratio > THRESHOLD) that SCALE.md must root-cause.
 
 Usage: python tools/bench_10x.py <bench_sf01.json> <bench_sf1.json>
-"""
+           [<bench_sf1d.json>]
+
+The optional third detail file is the --distinct-dups twin (make_10x.py
+--distinct-dups -> /tmp/sf1d: same 10x volume, ORIGINAL duplicate
+density); when given, the artifact carries its per-query ratios under
+"distinct_dups" so the whole certification regenerates in one
+invocation per round (round-11 verdict #4: the cert must roll forward
+to the full current catalog at every close)."""
 
 from __future__ import annotations
 
@@ -55,6 +62,34 @@ def main() -> None:
         ],
         "queries": rows,
     }
+    if len(sys.argv) > 3:
+        tend = json.loads(Path(sys.argv[3]).read_text())
+        doc["distinct_dups"] = {
+            "protocol": (
+                "tools/make_10x.py --distinct-dups (bijective per-copy "
+                "word rename + embedding rotation: same 10x volume, "
+                "ORIGINAL duplicate density) — separates data-volume cost "
+                "from true-pair volume for the near-dup family"
+            ),
+            "repeats": tend["repeats"],
+            "sum_of_mins": {
+                "sf1d": tend["sum_of_mins"],
+                "ratio_vs_sf0.1": round(
+                    tend["sum_of_mins"] / base["sum_of_mins"], 2
+                ),
+            },
+            "queries": {
+                name: {
+                    "sf1d_s": t,
+                    "ratio_vs_sf0.1": (
+                        round(t / base["queries"][name], 2)
+                        if base["queries"].get(name) else None
+                    ),
+                }
+                for name, t in sorted(tend["queries"].items())
+                if name in base["queries"]
+            },
+        }
     out = Path(__file__).resolve().parent.parent / "BENCH_10X.json"
     out.write_text(json.dumps(doc, indent=1) + "\n")
     print(f"wrote {out}: {len(rows)} queries, "
