@@ -2862,6 +2862,125 @@ def q106_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# q164 — exact containment join (asymmetric set inclusion, prefix-filtered)    #
+# --------------------------------------------------------------------------- #
+
+_Q164_TAU_NUM, _Q164_TAU_DEN = 9, 10   # containment >= 9/10
+
+
+def _q164_oracle() -> str:
+    p = 1_000_000_007
+    return f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM tl),
+tokh AS (SELECT doc_id, pos, {_DUCK_POLY.replace('{X}', 'tok')} AS th FROM tok),
+shh AS (
+  SELECT DISTINCT a.doc_id,
+         ((a.th * 31 + b.th) % {p} * 31 + c.th) % {p} AS h
+  FROM tokh a
+  JOIN tokh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokh c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), ds AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+  FROM shh x JOIN shh y ON x.h = y.h AND x.doc_id <> y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT p.id_a, p.id_b, p.inter, a.n AS na, b.n AS nb,
+       round(CAST(p.inter AS DOUBLE) / a.n, 6) AS containment
+FROM pairs p
+JOIN ds a ON a.doc_id = p.id_a
+JOIN ds b ON b.doc_id = p.id_b
+WHERE {_Q164_TAU_DEN} * p.inter >= {_Q164_TAU_NUM} * a.n
+"""
+
+
+@register("q164_containment_join", operators=("DD2", "DD4"),
+          oracle=_q164_oracle())
+def q164_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set CONTAINMENT join (|A∩B|/|A| ≥ 9/10, ordered
+    pairs: id_a is the CONTAINED document) — the asymmetric complement
+    to q106's Jaccard: quote inclusion, boilerplate-wrapped reposts, and
+    doc-in-doc duplication clear a containment threshold long before
+    they clear a symmetric one (a 50-line article pasted into a
+    5000-line page has Jaccard ≈ 0.01 but containment 1.0), so a
+    training-data pipeline needs both.
+
+    Prefix filtering, asymmetric form: only the PROBE side prunes.
+    Order each document's shingles by ascending document frequency
+    (rarest first, one global order) and keep the first
+    n − ⌈9n/10⌉ + 1 as its probe prefix; the INDEX side must stay
+    complete, because containment puts no lower bound on the container's
+    size — exactly why q106's size-compatibility filter (5·na ≥ 4·nb)
+    would break completeness here and is absent.  Completeness: a
+    qualifying pair needs inter ≥ ⌈9·na/10⌉, and if every prefix shingle
+    of A missed B the intersection would fit in A's suffix
+    (⌈9·na/10⌉ − 1 shingles) — too small.  The oracle verifies against
+    the exhaustive shared-shingle count with no prefixes anywhere.
+    All threshold arithmetic integer (10·inter ≥ 9·na).
+
+    Scale shape: candidates are generated per (prefix shingle of A ×
+    holder of that shingle) — probe prefixes hold each doc's RAREST
+    shingles, so probes land in low-document-frequency buckets; the
+    shingle and prefix tables persist across the candidate and verify
+    branches (the q106 discipline).  Verification intersects the two
+    bounded per-doc arrays row-locally."""
+    from cosmo_spark.operators.dedup import shingle_table
+
+    tn, td = _Q164_TAU_NUM, _Q164_TAU_DEN
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_table(d, "text", "doc_id", shingle_n=3).persist()
+    ex = sh.select(F.col("__id").alias("doc_id"), F.explode("sh").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("h")))
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # probe prefix p = n - ceil(9n/10) + 1, all-integer via div
+    pfx = ordered.select(
+        "doc_id",
+        F.expr(
+            f"transform(slice(s, 1, CAST(n - ({tn}*n + {tn}) DIV {td} + 1"
+            " AS INT)), x -> x.h)"
+        ).alias("pfx"),
+    ).select("doc_id", F.explode("pfx").alias("h"))
+    cand = (
+        pfx.alias("a")
+        .join(ex.alias("b"), "h")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = sh.select(F.col("__id").alias("doc_id"), "sh")
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"),
+                              F.col("sh").alias("sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"),
+                          F.col("sh").alias("sb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            F.size("sa").cast("long").alias("na"),
+            F.size("sb").cast("long").alias("nb"),
+        )
+        .filter(td * F.col("inter") >= tn * F.col("na"))
+    )
+    return verified.select(
+        "id_a", "id_b", "inter", "na", "nb",
+        F.round(F.col("inter").cast("double") / F.col("na"), 6)
+        .alias("containment"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # q118 — per-document LM familiarity score under the q101 bigram model         #
 # --------------------------------------------------------------------------- #
 
