@@ -3337,8 +3337,12 @@ def _entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
     e = _t(spark, sf_dir, "embeddings")
+    # max_block: `label` is an uncontrolled attribute key — one dominant
+    # label reproduces the q33 hot-block pathology inside this evidence
+    # channel; the salt is an exact rewrite (same pairs, bounded tasks)
     emb = embedding_near_dups(
-        e, "embedding", "vec_id", threshold=0.90, block_col="label", dim=64
+        e, "embedding", "vec_id", threshold=0.90, block_col="label", dim=64,
+        max_block=256,
     ).select("id_a", "id_b")
 
     ed = editdist_near_dup_pairs(d).select(

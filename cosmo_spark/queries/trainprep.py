@@ -105,9 +105,13 @@ def q75_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so assignment computes once; at 100 TB this frame is what you would
     # checkpoint to parquet (SemDedup materializes cluster assignment too)
     assigned = assign_buckets(e, centroids, "embedding", "vec_id").persist()
+    # max_block: a hot k-means centroid is the canonical SemDedup skew
+    # (near-duplicate mass collapses into one cluster) — the salted
+    # triangular sub-blocking is an exact rewrite, so results are unchanged
+    # while no single task ever holds more than ~256² candidate compares
     pairs = embedding_near_dups(
         assigned, "embedding", "vec_id",
-        threshold=_SEMDEDUP_TAU, block_col="bucket", dim=64,
+        threshold=_SEMDEDUP_TAU, block_col="bucket", dim=64, max_block=256,
     )
     return pairs.groupBy("id_b").agg(
         F.count(F.lit(1)).alias("n_dups"),

@@ -587,3 +587,76 @@ def test_embedding_near_dups_hot_block_guard_exact_and_bounded(spark):
         embedding_near_dups(
             df, "embedding", "vec_id", threshold=0.9, dim=8, max_block=64
         )
+
+
+def test_embedding_near_dups_hot_kmeans_cluster_guard(spark):
+    """r12 verdict #1: the SemDedup failure mode — near-duplicate mass
+    collapsing into ONE k-means centroid — must hit the salted path.  The
+    corpus here is built so `assign_buckets` (q75's actual blocking stage)
+    lands every row in a single hot bucket; gates mirror the hot-label
+    test but over the derived-cluster blocking column."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cosmo_spark.operators.dedup import embedding_near_dups
+    from cosmo_spark.operators.similarity import assign_buckets
+    from cosmo_spark.plans.explain import physical_plan
+
+    random.seed(29)
+    center = [random.gauss(0, 1) for _ in range(8)]
+    rows = []
+    for i in range(240):                       # everything near ONE centroid
+        v = [c + random.gauss(0, 0.15) for c in center]
+        rows.append((i, v))
+        if i % 5 == 0:
+            rows.append((1000 + i, [x + random.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    centroids = spark.createDataFrame(
+        [(0, center), (1, [-c for c in center])],
+        "bucket INT, centroid ARRAY<DOUBLE>",
+    )
+    assigned = assign_buckets(df, centroids, "embedding", "vec_id").persist()
+    try:
+        # precondition: the corpus really is one hot cluster
+        sizes = {r.bucket: r["count"]
+                 for r in assigned.groupBy("bucket").count().collect()}
+        assert max(sizes.values()) == assigned.count()
+
+        exact = embedding_near_dups(
+            assigned, "embedding", "vec_id", threshold=0.98,
+            block_col="bucket", dim=8,
+        )
+        guarded = embedding_near_dups(
+            assigned, "embedding", "vec_id", threshold=0.98,
+            block_col="bucket", dim=8, max_block=64,
+        )
+        ek = sorted(
+            (r.id_a, r.id_b, round(r.cos_sim, 9)) for r in exact.collect()
+        )
+        gk = sorted(
+            (r.id_a, r.id_b, round(r.cos_sim, 9)) for r in guarded.collect()
+        )
+        assert ek == gk and len(ek) >= 40      # exact rewrite, real output
+        plan = physical_plan(guarded)
+        assert "__i" in plan and "__j" in plan  # salts ARE join keys
+    finally:
+        assigned.unpersist()
+
+
+def test_hot_block_guard_threaded_through_callsites(spark):
+    """r12 verdict #1 wiring gate: q75's SemDedup stage and q125/q136's
+    shared embedding evidence channel must BUILD the salted plan (the
+    `__i`/`__j` sub-block salts appear as join keys), not the unguarded
+    whole-block self-join.  Plan-level, so it fails loudly if a future
+    edit drops the `max_block=` keyword again."""
+    from cosmo_spark.plans.explain import physical_plan
+    from cosmo_spark.queries.textops import _entity_pairs
+    from cosmo_spark.queries.trainprep import q75_semantic_dedup
+    from tests.conftest import SF_SMOKE
+
+    plan75 = physical_plan(q75_semantic_dedup(spark, SF_SMOKE))
+    assert "__i" in plan75 and "__j" in plan75
+
+    plan_ep = physical_plan(_entity_pairs(spark, SF_SMOKE))
+    assert "__i" in plan_ep and "__j" in plan_ep
