@@ -573,7 +573,12 @@ def _keeper_live_dirs(path: str) -> list[str]:
 
 def read_media_accepted(spark, state_path: str) -> DataFrame:
     """The at-rest accepted-fingerprint state of the foreachBatch keeper
-    (empty frame before the first batch)."""
+    (empty frame before the first batch).
+
+    An action on the returned frame that races a concurrent
+    :func:`compact_media_keeper_logs` can fail transiently with
+    FileNotFound (dir list resolved here, files scanned lazily) —
+    retry, or hold the table lock; see ``compact_media_keeper_logs``."""
     dirs = _keeper_live_dirs(state_path)
     if not dirs:
         return spark.createDataFrame([], MEDIA_ACCEPT_SCHEMA)
@@ -595,11 +600,22 @@ def _recover_keeper_compaction(path: str) -> None:
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
         return
     if os.path.isdir(os.path.join(path, doc["final"])):
+        # same verified-gone rule as the happy path (r12 advice): the
+        # manifest may only drop once no consumed dir can double-count
         for name in doc["consumed"]:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            victim = os.path.join(path, name)
+            shutil.rmtree(victim, ignore_errors=True)
+            if os.path.isdir(victim):
+                raise RuntimeError(
+                    f"keeper compaction recovery: consumed dir {victim} "
+                    f"survived deletion; manifest left in place"
+                )
     else:
         shutil.rmtree(os.path.join(path, doc["tmp"]), ignore_errors=True)
     os.remove(os.path.join(path, _KEEPER_MANIFEST))
+    from cosmo_spark.streaming.sketches import _fsync_dir
+
+    _fsync_dir(path)
 
 
 def _compact_keeper_log(spark, path: str, schema: str) -> dict:
@@ -611,17 +627,23 @@ def _compact_keeper_log(spark, path: str, schema: str) -> dict:
     DIR — folding it into a compact file would leave its rows present
     twice after the replay rewrite.  (State rows additionally carry the
     ``batch_id`` COLUMN, so the upsert's strictly-earlier filter survives
-    compaction regardless.)  Protocol: tmp write → fsync'd manifest
-    {consumed, final, tmp} → rename tmp to final → delete consumed →
-    delete manifest; :func:`_keeper_live_dirs` reads each row exactly
-    once through every window, and :func:`_recover_keeper_compaction`
+    compaction regardless.)  Protocol: tmp write → fsync part files →
+    fsync'd manifest {consumed, final, tmp} → rename tmp to final →
+    delete consumed (verified gone) → delete manifest, with a directory
+    fsync after every transition — the sketch-log ``_rotate_log``
+    discipline, so POWER loss (not just process crash) cannot persist
+    the rename while losing the manifest or the data blocks (r12
+    advice).  :func:`_keeper_live_dirs` reads each row exactly once
+    through every window, and :func:`_recover_keeper_compaction`
     finishes/rolls back a crash at any step."""
+    import glob as _glob
     import json
     import os
     import shutil
     import uuid
 
     from cosmo_spark.operators.merge import _table_lock
+    from cosmo_spark.streaming.sketches import _fsync_dir
 
     if not os.path.isdir(path):
         return {"consumed_dirs": 0, "rows": 0}
@@ -644,6 +666,17 @@ def _compact_keeper_log(spark, path: str, schema: str) -> dict:
             *[os.path.join(path, d) for d in names]
         ).write.mode("overwrite").parquet(tmp)
         rows = spark.read.schema(schema).parquet(tmp).count()
+        # fsync the compact parts BEFORE the manifest references them: a
+        # power loss could otherwise persist the manifest (and later the
+        # rename) onto data blocks that never reached disk (r12 advice;
+        # the _rotate_log r8 rule)
+        for part in sorted(_glob.glob(os.path.join(tmp, "*"))):
+            fd = os.open(part, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        _fsync_dir(tmp)
         final = f"compact-{token}"
         mf_tmp = os.path.join(path, f"_compact.manifest.{token}.tmp")
         with open(mf_tmp, "w") as fh:
@@ -653,10 +686,26 @@ def _compact_keeper_log(spark, path: str, schema: str) -> dict:
             os.fsync(fh.fileno())
         guard.verify()   # fencing before the destructive swap
         os.replace(mf_tmp, os.path.join(path, _KEEPER_MANIFEST))
+        _fsync_dir(path)
         os.rename(tmp, os.path.join(path, final))
+        _fsync_dir(path)
+        # consumed dirs must be VERIFIED gone before the manifest drops:
+        # once the manifest is deleted nothing filters a surviving
+        # consumed dir out of the live set, and its rows double-count
+        # alongside the compact dir (r12 advice) — on failure the
+        # manifest stays and readers keep filtering
         for name in names:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            victim = os.path.join(path, name)
+            shutil.rmtree(victim, ignore_errors=True)
+            if os.path.isdir(victim):
+                raise RuntimeError(
+                    f"keeper compaction: consumed dir {victim} survived "
+                    f"deletion; manifest left in place so readers keep "
+                    f"filtering it — re-run compaction after fixing the "
+                    f"underlying FS error"
+                )
         os.remove(os.path.join(path, _KEEPER_MANIFEST))
+        _fsync_dir(path)
         return {"consumed_dirs": len(names), "rows": int(rows)}
 
 
@@ -665,11 +714,21 @@ def compact_media_keeper_logs(
 ) -> dict:
     """Fold the foreachBatch keeper's accumulated per-batch state/verdict
     dirs (round-11 verdict #2b: previously doctrine — "compacts by code
-    like the sketch logs" — with no operator).  Run it anytime: readers
-    (including the keeper's own per-batch state read) see each row
-    exactly once through every compaction window, a crash at any step
-    recovers, and a later replay of the newest batch stays idempotent
-    because that batch's dir is never folded."""
+    like the sketch logs" — with no operator).  Readers (including the
+    keeper's own per-batch state read) see each row exactly once through
+    every compaction window, a crash at any step recovers, and a later
+    replay of the newest batch stays idempotent because that batch's dir
+    is never folded.
+
+    Concurrency caveat (r12 advice): exactly-once here is a LOGICAL
+    guarantee, not freedom from transient failures — the readers resolve
+    the live dir list eagerly but Spark scans the files lazily, so an
+    external :func:`read_media_accepted` / :func:`read_media_near_dup_out`
+    whose job runs WHILE this compaction deletes a consumed dir can fail
+    with FileNotFound.  The keeper's own in-stream read is safe (it holds
+    the same per-table lock); ad-hoc readers should either retry the read
+    or take ``operators.merge._table_lock`` on the log path for the
+    duration of the action."""
     result = {}
     if state_path is not None:
         result["state"] = _compact_keeper_log(
@@ -681,7 +740,10 @@ def compact_media_keeper_logs(
 
 
 def read_media_near_dup_out(spark, out_path: str) -> DataFrame:
-    """Accumulated per-arrival verdicts of the foreachBatch keeper."""
+    """Accumulated per-arrival verdicts of the foreachBatch keeper.
+
+    Same transient-FileNotFound caveat vs a racing compaction as
+    :func:`read_media_accepted`."""
     dirs = _keeper_live_dirs(out_path)
     if not dirs:
         return spark.createDataFrame([], MEDIA_OUT_SCHEMA)

@@ -1156,6 +1156,18 @@ def rebuild_log(
     try:
         merged.write.mode("overwrite").parquet(tmp)
         _write_horizon(tmp, older_than)   # inside tmp: publish is atomic
+        # fsync the staged part files (and the tmp dir) BEFORE the
+        # publish rename becomes durable: a power loss shortly after
+        # publish could otherwise leave dest_path present with torn data
+        # blocks, and the fresh-dest-only guard then blocks a clean
+        # re-derivation (r12 advice; the _rotate_log r8 rule)
+        for part in sorted(glob.glob(os.path.join(tmp, "*"))):
+            fd = os.open(part, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        _fsync_dir(tmp)
         os.rename(tmp, dest_path)
         _fsync_dir(os.path.dirname(dest_path.rstrip("/")) or ".")
     finally:
