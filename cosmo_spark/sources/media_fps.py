@@ -50,7 +50,9 @@ def media_fp_store_dir(spark: SparkSession, sf_dir: str, codec: str) -> str:
 
 
 def read_fp_store(spark: SparkSession, store_path: str) -> DataFrame | None:
-    if not os.path.isdir(store_path):
+    from cosmo_spark.streaming import logio
+
+    if not logio.is_dir(store_path):
         return None
     return (
         spark.read.schema(_STORE_SCHEMA).parquet(store_path)
@@ -159,14 +161,16 @@ def compact_fp_store(
     ``_pre_swap_hook`` is a test seam invoked between the tmp write and
     the swap — the racing-appender unit injects an append there.
     """
-    import glob
-    import shutil
     import uuid
 
     from cosmo_spark.operators.merge import _table_lock
+    from cosmo_spark.streaming import logio
 
     with _table_lock(spark, store_path.rstrip("/")) as guard:
-        snapshot = sorted(glob.glob(os.path.join(store_path, "part-*")))
+        snapshot = sorted(
+            os.path.join(store_path, n)
+            for n in logio.list_names(store_path) if n.startswith("part-")
+        )
         if not snapshot:
             return {"files_before": 0, "files_after": 0,
                     "rows_before": 0, "rows_after": 0}
@@ -188,19 +192,24 @@ def compact_fp_store(
                 _pre_swap_hook()
             guard.verify()   # fencing before the destructive swap
             moved = []
-            for f in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+            for f in sorted(
+                os.path.join(tmp, n)
+                for n in logio.list_names(tmp) if n.startswith("part-")
+            ):
+                # fsync before the move-in: once snapshot files are
+                # deleted these are the only copy (the _rotate_log rule)
+                logio.fsync_file(f)
                 dest = os.path.join(
                     store_path,
                     f"part-compact-{uuid.uuid4().hex[:8]}-"
                     + os.path.basename(f),
                 )
-                os.replace(f, dest)
+                logio.rename(f, dest)
                 moved.append(dest)
+            logio.fsync_dir(store_path)
             for f in snapshot:
-                try:
-                    os.remove(f)
-                except FileNotFoundError:
-                    pass
+                logio.remove(f)
+            logio.fsync_dir(store_path)
             return {
                 "files_before": len(snapshot),
                 "files_after": len(moved),
@@ -208,7 +217,7 @@ def compact_fp_store(
                 "rows_after": rows_after,
             }
         finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            logio.rmtree(tmp)
 
 
 def ensure_media_fps(

@@ -522,18 +522,26 @@ _KEEPER_MANIFEST = "_compact.manifest.json"
 
 
 def _keeper_read_manifest(path: str):
-    import json
     import os
 
-    try:
-        with open(os.path.join(path, _KEEPER_MANIFEST)) as fh:
-            return json.load(fh)
-    except (FileNotFoundError, NotADirectoryError):
-        return None
-    except ValueError:
-        # torn write of the manifest itself cannot happen (tmp+replace),
-        # but a half-copied backup dir should read as "no manifest"
-        return None
+    from cosmo_spark.streaming import logio
+
+    # torn write of the manifest itself cannot happen (atomic swap), but
+    # a half-copied backup dir should read as "no manifest" — read_json
+    # maps unparseable to None
+    return logio.read_json(os.path.join(path, _KEEPER_MANIFEST))
+
+
+def _keeper_phase(doc: dict, names: list[str]) -> str:
+    """The compaction's protocol phase.  Manifests carry an explicit
+    ``phase`` since the logio port (object stores materialize the compact
+    dir file-by-file, so dir-existence cannot mean "committed" there);
+    pre-phase manifests — only possible on rename-atomic schemes — infer
+    it the old way: final listed ⇒ the atomic rename happened."""
+    phase = doc.get("phase")
+    if phase is None:
+        phase = "committed" if doc["final"] in names else "prepared"
+    return phase
 
 
 def _keeper_live_dirs(path: str) -> list[str]:
@@ -546,10 +554,12 @@ def _keeper_live_dirs(path: str) -> list[str]:
     the sketch-log ``_live_files`` discipline (streaming/sketches.py)."""
     import os
 
+    from cosmo_spark.streaming import logio
+
     for _ in range(8):
         doc = _keeper_read_manifest(path)
         names = sorted(
-            d for d in (os.listdir(path) if os.path.isdir(path) else [])
+            d for d in logio.list_names(path)
             if d.startswith(("batch-", "compact-"))
         )
         if _keeper_read_manifest(path) != doc:
@@ -561,12 +571,17 @@ def _keeper_live_dirs(path: str) -> list[str]:
             # Completion deletes the consumed dirs, so a stale mixture
             # always lists a now-missing dir: re-observe until every
             # listed dir still exists (the r8 ABA rule).
-            if all(os.path.isdir(os.path.join(path, d)) for d in names):
+            if all(logio.is_dir(os.path.join(path, d)) for d in names):
                 return [os.path.join(path, d) for d in names]
             continue
-        if doc["final"] in names:
+        if _keeper_phase(doc, names) == "committed":
             consumed = set(doc["consumed"])
             names = [d for d in names if d not in consumed]
+        else:
+            # prepared: on an object store the compact dir materializes
+            # file by file during the copy-based rename — it must not be
+            # read until the manifest flips to committed
+            names = [d for d in names if d != doc["final"]]
         return [os.path.join(path, d) for d in names]
     raise RuntimeError(f"unstable compaction manifest under {path}")
 
@@ -586,36 +601,38 @@ def read_media_accepted(spark, state_path: str) -> DataFrame:
 
 
 def _recover_keeper_compaction(path: str) -> None:
-    """Finish or roll back an interrupted compaction: with the compact dir
-    renamed in, complete the consumed-dir deletes; without it, drop the
-    tmp dir.  Either way the manifest goes last."""
+    """Finish or roll back an interrupted compaction: committed phase
+    completes the consumed-dir deletes; prepared phase rolls back (drops
+    the tmp dir AND any partial compact dir — on object stores the
+    copy-based rename can die half-done).  Either way the manifest goes
+    last."""
     import os
-    import shutil
+
+    from cosmo_spark.streaming import logio
 
     doc = _keeper_read_manifest(path)
     if doc is None:
         # a crash BEFORE the manifest leaves only an orphan tmp dir
-        for d in (os.listdir(path) if os.path.isdir(path) else []):
+        for d in logio.list_names(path):
             if d.startswith("_compact-tmp-"):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                logio.rmtree(os.path.join(path, d))
         return
-    if os.path.isdir(os.path.join(path, doc["final"])):
+    names = logio.list_names(path)
+    if _keeper_phase(doc, names) == "committed":
         # same verified-gone rule as the happy path (r12 advice): the
         # manifest may only drop once no consumed dir can double-count
         for name in doc["consumed"]:
             victim = os.path.join(path, name)
-            shutil.rmtree(victim, ignore_errors=True)
-            if os.path.isdir(victim):
+            if not logio.rmtree(victim):
                 raise RuntimeError(
                     f"keeper compaction recovery: consumed dir {victim} "
                     f"survived deletion; manifest left in place"
                 )
     else:
-        shutil.rmtree(os.path.join(path, doc["tmp"]), ignore_errors=True)
-    os.remove(os.path.join(path, _KEEPER_MANIFEST))
-    from cosmo_spark.streaming.sketches import _fsync_dir
-
-    _fsync_dir(path)
+        logio.rmtree(os.path.join(path, doc["tmp"]))
+        logio.rmtree(os.path.join(path, doc["final"]))
+    logio.remove(os.path.join(path, _KEEPER_MANIFEST))
+    logio.fsync_dir(path)
 
 
 def _compact_keeper_log(spark, path: str, schema: str) -> dict:
@@ -628,29 +645,30 @@ def _compact_keeper_log(spark, path: str, schema: str) -> dict:
     twice after the replay rewrite.  (State rows additionally carry the
     ``batch_id`` COLUMN, so the upsert's strictly-earlier filter survives
     compaction regardless.)  Protocol: tmp write → fsync part files →
-    fsync'd manifest {consumed, final, tmp} → rename tmp to final →
-    delete consumed (verified gone) → delete manifest, with a directory
-    fsync after every transition — the sketch-log ``_rotate_log``
-    discipline, so POWER loss (not just process crash) cannot persist
-    the rename while losing the manifest or the data blocks (r12
-    advice).  :func:`_keeper_live_dirs` reads each row exactly once
-    through every window, and :func:`_recover_keeper_compaction`
-    finishes/rolls back a crash at any step."""
-    import glob as _glob
-    import json
+    manifest {phase: prepared} (atomic swap) → rename tmp to final →
+    manifest {phase: committed} → delete consumed (verified gone) →
+    delete manifest, with a directory fsync after every transition — the
+    sketch-log ``_rotate_log`` discipline, so POWER loss (not just
+    process crash) cannot persist the rename while losing the manifest
+    or the data blocks (r12 advice).  The explicit committed flip (not
+    dir-existence) is what keeps the protocol sound on object stores,
+    where the rename is a file-by-file copy (r12 verdict #2).
+    :func:`_keeper_live_dirs` reads each row exactly once through every
+    window, and :func:`_recover_keeper_compaction` finishes/rolls back a
+    crash at any step.  All filesystem ops route through
+    :mod:`cosmo_spark.streaming.logio` — scheme-portable."""
     import os
-    import shutil
     import uuid
 
     from cosmo_spark.operators.merge import _table_lock
-    from cosmo_spark.streaming.sketches import _fsync_dir
+    from cosmo_spark.streaming import logio
 
-    if not os.path.isdir(path):
+    if not logio.is_dir(path):
         return {"consumed_dirs": 0, "rows": 0}
     with _table_lock(spark, path.rstrip("/")) as guard:
         _recover_keeper_compaction(path)
         names = sorted(
-            d for d in os.listdir(path)
+            d for d in logio.list_names(path)
             if d.startswith(("batch-", "compact-"))
         )
         batches = [d for d in names if d.startswith("batch-")]
@@ -670,25 +688,20 @@ def _compact_keeper_log(spark, path: str, schema: str) -> dict:
         # power loss could otherwise persist the manifest (and later the
         # rename) onto data blocks that never reached disk (r12 advice;
         # the _rotate_log r8 rule)
-        for part in sorted(_glob.glob(os.path.join(tmp, "*"))):
-            fd = os.open(part, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
-        _fsync_dir(tmp)
+        for n in sorted(logio.list_names(tmp)):
+            logio.fsync_file(os.path.join(tmp, n))
+        logio.fsync_dir(tmp)
         final = f"compact-{token}"
-        mf_tmp = os.path.join(path, f"_compact.manifest.{token}.tmp")
-        with open(mf_tmp, "w") as fh:
-            json.dump({"consumed": names, "final": final,
-                       "tmp": tmp_name}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+        doc = {"phase": "prepared", "consumed": names, "final": final,
+               "tmp": tmp_name}
         guard.verify()   # fencing before the destructive swap
-        os.replace(mf_tmp, os.path.join(path, _KEEPER_MANIFEST))
-        _fsync_dir(path)
-        os.rename(tmp, os.path.join(path, final))
-        _fsync_dir(path)
+        manifest = os.path.join(path, _KEEPER_MANIFEST)
+        logio.write_json_atomic(manifest, doc)
+        logio.fsync_dir(path)
+        logio.rename(tmp, os.path.join(path, final))
+        logio.fsync_dir(path)
+        logio.write_json_atomic(manifest, {**doc, "phase": "committed"})
+        logio.fsync_dir(path)
         # consumed dirs must be VERIFIED gone before the manifest drops:
         # once the manifest is deleted nothing filters a surviving
         # consumed dir out of the live set, and its rows double-count
@@ -696,16 +709,15 @@ def _compact_keeper_log(spark, path: str, schema: str) -> dict:
         # manifest stays and readers keep filtering
         for name in names:
             victim = os.path.join(path, name)
-            shutil.rmtree(victim, ignore_errors=True)
-            if os.path.isdir(victim):
+            if not logio.rmtree(victim):
                 raise RuntimeError(
                     f"keeper compaction: consumed dir {victim} survived "
                     f"deletion; manifest left in place so readers keep "
                     f"filtering it — re-run compaction after fixing the "
                     f"underlying FS error"
                 )
-        os.remove(os.path.join(path, _KEEPER_MANIFEST))
-        _fsync_dir(path)
+        logio.remove(manifest)
+        logio.fsync_dir(path)
         return {"consumed_dirs": len(names), "rows": int(rows)}
 
 
@@ -771,13 +783,31 @@ def make_media_upsert(
     max_hamming: int = 6,
     max_bucket: int = 10_000,
     broadcast_max_bytes: int = 32 << 20,
+    compact_every: int | None = 64,
 ):
     """The per-micro-batch body of :func:`run_media_near_dup_foreach`,
     factored out so the crash-replay unit can invoke ``upsert(batch_df,
     batch_id)`` directly — the exact call Structured Streaming makes,
     including a second invocation with the SAME batch_id (what a replay
     after a mid-commit crash looks like).  Semantics, state layout, and
-    the 100 TB posture are documented on the runner."""
+    the 100 TB posture are documented on the runner.
+
+    ``compact_every`` (r12 verdict #3) bounds log growth in a
+    long-running query: once either the state or the out log accumulates
+    that many ``batch-*``/``compact-*`` dirs, the upsert folds them via
+    :func:`compact_media_keeper_logs` before returning — so dir count
+    stays O(compact_every) forever instead of O(stream lifetime).  The
+    newest batch dir is still never folded (crash-replay idempotency),
+    the fold is the same crash-atomic manifest protocol (a crash mid-
+    auto-compaction recovers exactly like the manual call), and
+    foreachBatch runs batches sequentially so the fold never races the
+    upsert itself.  ``None`` disables the policy (manual cadence)."""
+    if compact_every is not None and compact_every < 3:
+        # < 3 could try to fold below the protocol floor every batch
+        # (newest stays out, a fold needs >= 2 inputs)
+        raise ValueError(
+            f"compact_every must be >= 3 or None, got {compact_every}"
+        )
     if not (1 <= band_bits <= 64):
         raise ValueError(f"band_bits must be in [1, 64], got {band_bits}")
     from cosmo_spark.sources.media_fps import read_fp_store
@@ -933,6 +963,26 @@ def make_media_upsert(
             )
         finally:
             verdicts.unpersist()
+        if compact_every is not None:
+            from cosmo_spark.streaming import logio
+
+            def _log_dirs(p):
+                return sum(
+                    n.startswith(("batch-", "compact-"))
+                    for n in logio.list_names(p)
+                )
+
+            compact_media_keeper_logs(
+                spark,
+                state_path=(
+                    state_path if _log_dirs(state_path) >= compact_every
+                    else None
+                ),
+                out_path=(
+                    out_path if _log_dirs(out_path) >= compact_every
+                    else None
+                ),
+            )
 
     return upsert
 
@@ -950,6 +1000,7 @@ def run_media_near_dup_foreach(
     max_hamming: int = 6,
     max_bucket: int = 10_000,
     broadcast_max_bytes: int = 32 << 20,
+    compact_every: int | None = 64,
     trigger_once: bool = True,
 ):
     """The foreachBatch formulation of ``stream_media_near_dup`` — same
@@ -977,13 +1028,17 @@ def run_media_near_dup_foreach(
     back from broadcast to a shuffled hash join past
     ``broadcast_max_bytes`` (probed per batch — the store grows under the
     query), and :func:`compact_media_keeper_logs` folds the accumulated
-    ``batch-*`` dirs crash-atomically, the way the sketch logs rotate.
+    ``batch-*`` dirs crash-atomically, the way the sketch logs rotate —
+    automatically from inside the upsert once ``compact_every`` dirs
+    accumulate (r12 verdict #3), so a long-running query's log stays
+    bounded without an operator remembering a cadence.
     """
     upsert = make_media_upsert(
         store_path, state_path, out_path,
         id_col=id_col, blob_col=blob_col, band_bits=band_bits,
         max_hamming=max_hamming, max_bucket=max_bucket,
         broadcast_max_bytes=broadcast_max_bytes,
+        compact_every=compact_every,
     )
     writer = (
         stream.writeStream.foreachBatch(upsert)

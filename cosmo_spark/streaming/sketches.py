@@ -21,10 +21,8 @@ merged minimum whenever bookkeeping matters.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,50 +78,43 @@ REGISTER_SCHEMA = "key STRING, bucket BIGINT, rho INT"
 # that loud, retryable failure into a silent partial read.
 #
 # File ops go through module-level wrappers so the crash-injection tests can
-# kill the rotation between any two steps.  They are posix os-level calls,
-# matching this environment; on an object store deploy, swap the three
-# wrappers for the Hadoop FileSystem rename/delete used by
-# sources/files.atomic_overwrite (same protocol, same manifest).
+# kill the rotation between any two steps.  The wrappers route through
+# streaming/logio (r12 verdict #2): bare local paths keep the fsync'd
+# os-level fast path, scheme paths (file:/hdfs:/s3a:/…) take the Hadoop
+# FileSystem API with per-scheme-safe commit points — same protocol, same
+# manifest, now the storage 100 TB actually lives on.
+
+from cosmo_spark.streaming import logio as _logio
 
 _MANIFEST = "_rotation_manifest.json"
 _TMP_DIR = "_rotation_tmp"
 
 
 def _fs_replace(src: str, dst: str) -> None:
-    os.replace(src, dst)
+    """Move src onto dst (dst may exist) — crash-injection seam."""
+    _logio.replace_file(src, dst)
 
 
 def _fs_remove(f: str) -> None:
-    try:
-        os.remove(f)
-    except FileNotFoundError:
-        pass
+    _logio.remove(f)
 
 
 def _fsync_dir(d: str) -> None:
-    fd = os.open(d, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+    _logio.fsync_dir(d)
 
 
 def _write_manifest(path: str, doc: dict) -> None:
     tmp = os.path.join(path, _MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-        f.flush()
-        os.fsync(f.fileno())
+    _logio.write_text(tmp, json.dumps(doc))  # staged + fsync'd
     _fs_replace(tmp, os.path.join(path, _MANIFEST))
     _fsync_dir(path)
 
 
 def _read_manifest(path: str) -> dict | None:
-    try:
-        with open(os.path.join(path, _MANIFEST)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return None
+    # a torn manifest is IMPOSSIBLE by protocol (staged + atomic swap), so
+    # JSON errors propagate loudly rather than reading as "no rotation"
+    text = _logio.read_text(os.path.join(path, _MANIFEST))
+    return None if text is None else json.loads(text)
 
 
 def recover_rotation(path: str) -> None:
@@ -132,11 +123,11 @@ def recover_rotation(path: str) -> None:
     no-op on a clean log.  Runs at the start of every rotation (it must
     NOT run concurrently with a live rotation — single-compactor
     contract)."""
-    if not os.path.isdir(path):
+    if not _logio.is_dir(path):
         return
     doc = _read_manifest(path)
     if doc is None:
-        shutil.rmtree(os.path.join(path, _TMP_DIR), ignore_errors=True)
+        _logio.rmtree(os.path.join(path, _TMP_DIR))
         _fs_remove(os.path.join(path, _MANIFEST + ".tmp"))
         return
     if doc["phase"] == "prepared":
@@ -148,7 +139,7 @@ def recover_rotation(path: str) -> None:
     else:  # committed: the move loop finished before the flip
         for consumed in doc["consumed"]:
             _fs_remove(os.path.join(path, consumed))
-    shutil.rmtree(os.path.join(path, _TMP_DIR), ignore_errors=True)
+    _logio.rmtree(os.path.join(path, _TMP_DIR))
     _fs_remove(os.path.join(path, _MANIFEST))
     _fsync_dir(path)
 
@@ -160,7 +151,10 @@ def _live_files(path: str) -> list[str]:
     list/manifest pair is retried until it observes one manifest state."""
     for _ in range(8):
         doc = _read_manifest(path)
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        files = sorted(
+            os.path.join(path, n)
+            for n in _logio.list_names(path) if n.endswith(".parquet")
+        )
         if _read_manifest(path) != doc:
             continue  # rotation advanced mid-listing; re-observe
         if doc is None:
@@ -171,7 +165,7 @@ def _live_files(path: str) -> list[str]:
             # so a stale mixture always references at least one
             # now-missing file — re-observe until every listed file
             # still exists.
-            if all(os.path.exists(f) for f in files):
+            if all(_logio.exists(f) for f in files):
                 return files
             continue
         drop = set(doc["moved"] if doc["phase"] == "prepared"
@@ -184,12 +178,18 @@ def _rotate_log(spark: SparkSession, path: str, merge_fn) -> None:
     """Run one crash-atomic rotation: ``merge_fn(files) -> DataFrame``
     produces the merged replacement for the current snapshot."""
     recover_rotation(path)
-    snapshot = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    snapshot = sorted(
+        os.path.join(path, n)
+        for n in _logio.list_names(path) if n.endswith(".parquet")
+    )
     if not snapshot:
         return
     tmpdir = os.path.join(path, _TMP_DIR)
     merge_fn(snapshot).write.mode("overwrite").parquet(tmpdir)
-    parts = sorted(glob.glob(os.path.join(tmpdir, "*.parquet")))
+    parts = sorted(
+        os.path.join(tmpdir, n)
+        for n in _logio.list_names(tmpdir) if n.endswith(".parquet")
+    )
     token = uuid.uuid4().hex[:12]
     finals = [f"rotated-{token}-{i:05d}.parquet" for i in range(len(parts))]
     consumed = [os.path.basename(s) for s in snapshot]
@@ -199,11 +199,7 @@ def _rotate_log(spark: SparkSession, path: str, merge_fn) -> None:
     # manifest forward onto data blocks that never reached disk — silent
     # count loss for the additive algebras (r8 advice)
     for part in parts:
-        fd = os.open(part, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+        _logio.fsync_file(part)
     _write_manifest(path, {"phase": "prepared", "consumed": consumed,
                            "moved": finals})
     for src, final in zip(parts, finals):
@@ -213,14 +209,14 @@ def _rotate_log(spark: SparkSession, path: str, merge_fn) -> None:
                            "moved": finals})
     for s in snapshot:
         _fs_remove(s)
-    shutil.rmtree(tmpdir, ignore_errors=True)
+    _logio.rmtree(tmpdir)
     _fs_remove(os.path.join(path, _MANIFEST))
     _fsync_dir(path)
 
 
 def _read_log(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Schema'd read over the manifest-filtered live file set."""
-    files = _live_files(path) if os.path.isdir(path) else []
+    files = _live_files(path) if _logio.is_dir(path) else []
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
@@ -951,10 +947,12 @@ def read_eviction_horizon(path: str):
     for them quarantine instead of appending."""
     import datetime as _dt
 
+    doc = _logio.read_json(_horizon_file(path))
+    if doc is None:
+        return None
     try:
-        with open(_horizon_file(path)) as f:
-            return _dt.datetime.fromisoformat(json.load(f)["older_than"])
-    except (FileNotFoundError, KeyError, ValueError):
+        return _dt.datetime.fromisoformat(doc["older_than"])
+    except (KeyError, ValueError):
         return None
 
 
@@ -967,10 +965,7 @@ def _write_horizon(path: str, older_than) -> None:
     if prev is not None and prev >= older_than:
         return   # monotone: expiry never un-evicts
     tmp = _horizon_file(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"older_than": older_than.isoformat()}, f)
-        f.flush()
-        os.fsync(f.fileno())
+    _logio.write_text(tmp, json.dumps({"older_than": older_than.isoformat()}))
     _fs_replace(tmp, _horizon_file(path))
     _fsync_dir(path)
 
@@ -999,7 +994,7 @@ def read_late_quarantine(
     """Quarantined pre-horizon register rows (same schema as the live
     log; empty frame when nothing was ever late)."""
     d = _late_dir(path)
-    if not os.path.isdir(d):
+    if not _logio.is_dir(d):
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(d)
 
@@ -1086,21 +1081,27 @@ def rebuild_log(
     batch ids from 0) may maintain it, so no future replay can collide
     with folded history; KMV re-selects the k smallest per (key, win).
 
-    Publish is one atomic rename: registers and the horizon marker are
-    staged in a tmp sibling and the directory appears whole or not at
-    all — a crash leaves only an inert ``.tmp-*`` sibling (and the next
-    attempt is a pure re-derivation; nothing was consumed from the
-    source).  ``dest_path`` must not already exist: the source stays the
-    log of record until the caller switches readers."""
+    Publish: registers and the horizon marker are staged in a tmp
+    sibling and published via :func:`logio.publish_dir` — one atomic
+    rename on rename-atomic schemes (the directory appears whole or not
+    at all); on object stores the copy is bracketed by a
+    ``<dest>.publishing`` intent marker, so a crashed publish is
+    recognized as OURS and cleared on the next attempt (a pure
+    re-derivation; nothing was consumed from the source), while a real
+    pre-existing log at ``dest_path`` — no marker — still raises.
+    ``dest_path`` must not already exist: the source stays the log of
+    record until the caller switches readers."""
     import datetime as _dt
-    import shutil
     import uuid
 
     from cosmo_spark.operators.sketches import kmv_k_smallest
 
     if isinstance(older_than, str):
         older_than = _dt.datetime.fromisoformat(older_than)
-    if os.path.exists(dest_path):
+    # a crashed non-atomic publish (object stores) leaves an intent
+    # marker + partial dest: provably ours, clear and re-derive
+    _logio.clear_crashed_publish(dest_path)
+    if _logio.exists(dest_path):
         raise ValueError(
             f"rebuild_log: {dest_path} already exists — a rebuilt log must "
             f"be a fresh location (the source stays the log of record "
@@ -1161,17 +1162,12 @@ def rebuild_log(
         # publish could otherwise leave dest_path present with torn data
         # blocks, and the fresh-dest-only guard then blocks a clean
         # re-derivation (r12 advice; the _rotate_log r8 rule)
-        for part in sorted(glob.glob(os.path.join(tmp, "*"))):
-            fd = os.open(part, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+        for n in sorted(_logio.list_names(tmp)):
+            _logio.fsync_file(os.path.join(tmp, n))
         _fsync_dir(tmp)
-        os.rename(tmp, dest_path)
-        _fsync_dir(os.path.dirname(dest_path.rstrip("/")) or ".")
+        _logio.publish_dir(tmp, dest_path)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _logio.rmtree(tmp)
 
 
 def expire_windows(

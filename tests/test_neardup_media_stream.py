@@ -723,3 +723,120 @@ def test_media_foreach_keeper_matches_replica_property(spark, tmp_path):
         assert got == want
 
     scenario()
+
+
+def test_media_keeper_auto_compaction_bounds_dirs(spark, tmp_path, store):
+    """r12 verdict #3: a long-running query must not accumulate one
+    ``batch-*`` dir per micro-batch forever.  With ``compact_every=4``
+    the upsert folds the logs from INSIDE the stream past the threshold:
+    dir count stays bounded across 10 batches, verdicts and state are
+    verdict-for-verdict identical to an uncompacted twin, and a crash
+    mid-auto-compaction recovers on the next batch."""
+    import itertools
+    import os
+
+    from cosmo_spark.streaming.neardup import (
+        make_media_upsert,
+        read_media_accepted,
+        read_media_near_dup_out,
+    )
+
+    out_a = str(tmp_path / "out-auto")
+    state_a = str(tmp_path / "state-auto")
+    out_m = str(tmp_path / "out-manual")
+    state_m = str(tmp_path / "state-manual")
+
+    auto = make_media_upsert(store, state_a, out_a, compact_every=4)
+    manual = make_media_upsert(store, state_m, out_m, compact_every=None)
+
+    names = itertools.cycle(["A", "B", "C", "E", "A2"])
+    batches = [
+        [(f"{k}-{b}", BLOBS[k])] for b, k in zip(range(10), names)
+    ]
+    max_dirs = 0
+    for b, batch in enumerate(batches):
+        auto(_batch_df(spark, batch), b)
+        manual(_batch_df(spark, batch), b)
+        max_dirs = max(
+            max_dirs,
+            sum(n.startswith(("batch-", "compact-"))
+                for n in os.listdir(state_a)),
+            sum(n.startswith(("batch-", "compact-"))
+                for n in os.listdir(out_a)),
+        )
+    # bounded: the fold keeps dir count at most compact_every (threshold
+    # reached -> folded to {compact dir, newest batch} before return)
+    assert max_dirs <= 4
+    assert sum(
+        n.startswith(("batch-", "compact-")) for n in os.listdir(state_m)
+    ) == 10
+
+    for reader, a_path, m_path in (
+        (read_media_near_dup_out, out_a, out_m),
+        (read_media_accepted, state_a, state_m),
+    ):
+        got = sorted(tuple(r) for r in reader(spark, a_path).collect())
+        want = sorted(tuple(r) for r in reader(spark, m_path).collect())
+        assert got == want, "auto-compaction changed observable rows"
+
+    # crash mid-auto-compaction: kill the fold right after the prepared
+    # manifest lands; the NEXT batch's auto-compaction must recover and
+    # the readers stay exact throughout
+    from cosmo_spark.streaming import logio as _logio
+
+    real_write = _logio.write_json_atomic
+    calls = {"n": 0}
+
+    class _Kill(Exception):
+        pass
+
+    def killing_write(path, doc):
+        real_write(path, doc)
+        if doc.get("phase") == "prepared":
+            calls["n"] += 1
+            raise _Kill()
+
+    before = sorted(
+        tuple(r) for r in read_media_accepted(spark, state_a).collect()
+    )
+    _logio.write_json_atomic = killing_write
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(_Kill):
+            # force a fold attempt by dropping the threshold to the floor
+            fold = make_media_upsert(store, state_a, out_a, compact_every=3)
+            fold(_batch_df(spark, [("Z1", BLOBS["A"])]), 10)
+    finally:
+        _logio.write_json_atomic = real_write
+    # reader exactness through the crashed window (manifest says
+    # prepared, so the consumed dirs are still the live generation):
+    # every pre-crash state row is still visible exactly once
+    mid = sorted(
+        tuple(r) for r in read_media_accepted(spark, state_a).collect()
+    )
+    assert [r for r in mid if not r[1].startswith("Z1")] == before
+    assert calls["n"] == 1
+    # next batch recovers the crashed fold and completes its own
+    auto2 = make_media_upsert(store, state_a, out_a, compact_every=3)
+    auto2(_batch_df(spark, [("Z2", BLOBS["B"])]), 11)
+    from cosmo_spark.streaming.neardup import _keeper_read_manifest
+
+    assert _keeper_read_manifest(state_a) is None   # clean log again
+    # no state row lost or duplicated through crash + recovery (Z1/Z2 are
+    # near-dups of already-accepted rows, so state content is unchanged)
+    final = sorted(
+        tuple(r) for r in read_media_accepted(spark, state_a).collect()
+    )
+    assert final == before
+    # ...and their VERDICTS did land in the out log
+    out_ids = {
+        r.media_id for r in read_media_near_dup_out(spark, out_a).collect()
+    }
+    assert {"Z1", "Z2"} <= out_ids
+
+    # loud floor guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compact_every"):
+        make_media_upsert(store, state_a, out_a, compact_every=2)
