@@ -751,6 +751,95 @@ def compact_media_keeper_logs(
     return result
 
 
+def rebuild_keeper_log(
+    spark, src_path: str, dest_path: str, kind: str
+) -> None:
+    """Materialize a BRAND-NEW keeper log at ``dest_path`` from a source
+    log's live dirs — the keeper analog of the sketch family's
+    :func:`streaming.sketches.rebuild_log` (r12 verdict #5: the sketch
+    logs had rebuild-to-new-log recovery, the keeper ``batch-*`` logs and
+    their readers did not).
+
+    ``kind`` selects the log family: ``"state"`` (accepted fingerprints,
+    MEDIA_ACCEPT_SCHEMA) or ``"out"`` (per-arrival verdicts,
+    MEDIA_OUT_SCHEMA).
+
+    Contract mirrors ``rebuild_log``: the SOURCE log is never touched (it
+    stays the log of record until the caller switches readers — and the
+    caller must also move/restart the streaming checkpoint if the query
+    itself is re-pointed), ``dest_path`` must be fresh, and publish is
+    :func:`logio.publish_dir` — atomic rename where the scheme has one,
+    intent-marker-bracketed copy on object stores, so a crashed publish
+    is provably ours and the next attempt re-derives cleanly.
+
+    Replay idempotency is preserved in the rebuilt log: every batch dir
+    except the NEWEST folds into one ``compact-<token>`` dir, and the
+    newest batch keeps its own ``batch-<id>`` dir — Structured Streaming
+    can crash-replay exactly that batch, and a replay after the switch
+    must find a dir it can overwrite (the same rule live compaction
+    follows).  Row content is exactly the accumulated reader view:
+    ``read_media_accepted`` / ``read_media_near_dup_out`` over the
+    rebuilt log equal the same read over the source, row for row."""
+    import os
+    import uuid
+
+    from cosmo_spark.streaming import logio
+
+    schemas = {"state": MEDIA_ACCEPT_SCHEMA, "out": MEDIA_OUT_SCHEMA}
+    if kind not in schemas:
+        raise ValueError(
+            f"rebuild_keeper_log: kind must be 'state' or 'out', got {kind!r}"
+        )
+    schema = schemas[kind]
+    logio.clear_crashed_publish(dest_path)
+    if logio.exists(dest_path):
+        raise ValueError(
+            f"rebuild_keeper_log: {dest_path} already exists — a rebuilt "
+            f"log must be a fresh location (the source stays the log of "
+            f"record until readers switch)"
+        )
+    dirs = _keeper_live_dirs(src_path)
+    tmp = dest_path.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        if dirs:
+            names = [os.path.basename(d.rstrip("/")) for d in dirs]
+            batches = [n for n in names if n.startswith("batch-")]
+            newest = (
+                max(batches, key=lambda n: int(n.split("-", 1)[1]))
+                if batches else None
+            )
+            fold = [
+                d for d, n in zip(dirs, names) if n != newest
+            ]
+            if fold:
+                spark.read.schema(schema).parquet(*fold).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(tmp, f"compact-{uuid.uuid4().hex[:12]}")
+                )
+            if newest is not None:
+                src_newest = dirs[names.index(newest)]
+                spark.read.schema(schema).parquet(src_newest).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(tmp, newest))
+        else:
+            # an empty source still publishes an empty (but real) log dir
+            spark.createDataFrame([], schema).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, f"compact-{uuid.uuid4().hex[:12]}"))
+        # the _rotate_log durability rule: staged data blocks reach disk
+        # before the publish makes them the log of record
+        for d in logio.list_names(tmp):
+            sub = os.path.join(tmp, d)
+            for n in logio.list_names(sub):
+                logio.fsync_file(os.path.join(sub, n))
+            logio.fsync_dir(sub)
+        logio.fsync_dir(tmp)
+        logio.publish_dir(tmp, dest_path)
+    finally:
+        logio.rmtree(tmp)
+
+
 def read_media_near_dup_out(spark, out_path: str) -> DataFrame:
     """Accumulated per-arrival verdicts of the foreachBatch keeper.
 
