@@ -3353,6 +3353,140 @@ def _entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# q165 — incremental containment join: new batch probed vs standing corpus     #
+# --------------------------------------------------------------------------- #
+
+
+def _q165_oracle() -> str:
+    """q164's exhaustive containment oracle restricted to the mod-5
+    ingest split (q79's convention): probe/contained side = doc_id % 5
+    = 0 (the incoming batch), index/container side = the rest."""
+    p = 1_000_000_007
+    return f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM tl),
+tokh AS (SELECT doc_id, pos, {_DUCK_POLY.replace('{X}', 'tok')} AS th FROM tok),
+shh AS (
+  SELECT DISTINCT a.doc_id,
+         ((a.th * 31 + b.th) % {p} * 31 + c.th) % {p} AS h
+  FROM tokh a
+  JOIN tokh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokh c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), ds AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+  FROM shh x JOIN shh y ON x.h = y.h
+  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT p.id_a, p.id_b, p.inter, a.n AS na, b.n AS nb,
+       round(CAST(p.inter AS DOUBLE) / a.n, 6) AS containment
+FROM pairs p
+JOIN ds a ON a.doc_id = p.id_a
+JOIN ds b ON b.doc_id = p.id_b
+WHERE {_Q164_TAU_DEN} * p.inter >= {_Q164_TAU_NUM} * a.n
+"""
+
+
+@register("q165_incremental_containment", operators=("DD2", "DD4", "J5"),
+          oracle=_q165_oracle())
+def q165_incremental_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL containment join — the daily-ingest form of q164
+    (r12 verdict #6): the incoming batch (mod-5 split, q79's convention)
+    probes the STANDING corpus for containers; within-batch and
+    within-corpus pairs are never generated.  This asymmetric probe is
+    what a continuously-ingesting pipeline runs per batch: "is this new
+    document ≥ 90 % contained in something we already hold?"
+
+    Differences from the one-shot q164, each load-bearing at 100 TB:
+
+    - **Prefix filter on the NEW side only** — the corpus index stays
+      complete (containment bounds only the contained side, q164's
+      argument), and only the day's batch pays the shingle-ordering agg.
+    - **Document frequencies come from the INDEX side** — the statistic a
+      standing corpus has precomputed (and that stays stable across
+      batches); a probe shingle absent from the index gets df 0.  The
+      prefix-filter completeness argument is order-agnostic (if every
+      prefix shingle of A misses B, the intersection fits in A's suffix
+      of ⌈9·na/10⌉ − 1 < required), so index-side df cannot lose pairs —
+      df-0 prefix slots simply generate zero candidates.
+    - **Candidate fan-out is probe-bounded**: (batch prefix shingle ×
+      index holders of that shingle), with prefixes holding each new
+      doc's corpus-rarest shingles — the candidate count scales with the
+      BATCH, not the corpus, exactly the q79 incremental shape.
+
+    Verification is q164's row-local array-intersect over the two
+    persisted shingle sets; all threshold arithmetic integer."""
+    from cosmo_spark.operators.dedup import shingle_table
+
+    tn, td = _Q164_TAU_NUM, _Q164_TAU_DEN
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_table(d, "text", "doc_id", shingle_n=3).persist()
+    probe = sh.filter(F.col("__id") % 5 == 0)
+    index = sh.filter(F.col("__id") % 5 != 0)
+    ex_idx = index.select(
+        F.col("__id").alias("doc_id"), F.explode("sh").alias("h")
+    )
+    # index-side document frequency: the standing corpus statistic
+    dfreq = ex_idx.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ex_probe = probe.select(
+        F.col("__id").alias("doc_id"), F.explode("sh").alias("h")
+    )
+    ordered = (
+        ex_probe.join(dfreq, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.coalesce(F.col("df"), F.lit(0)).alias("df"),
+                        F.col("h"),
+                    )
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # probe prefix p = n - ceil(9n/10) + 1, all-integer via div (q164)
+    pfx = ordered.select(
+        "doc_id",
+        F.expr(
+            f"transform(slice(s, 1, CAST(n - ({tn}*n + {tn}) DIV {td} + 1"
+            " AS INT)), x -> x.h)"
+        ).alias("pfx"),
+    ).select("doc_id", F.explode("pfx").alias("h"))
+    cand = (
+        pfx.alias("a")
+        .join(ex_idx.alias("b"), "h")
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = sh.select(F.col("__id").alias("doc_id"), "sh")
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"),
+                              F.col("sh").alias("sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"),
+                          F.col("sh").alias("sb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            F.size("sa").cast("long").alias("na"),
+            F.size("sb").cast("long").alias("nb"),
+        )
+        .filter(td * F.col("inter") >= tn * F.col("na"))
+    )
+    return verified.select(
+        "id_a", "id_b", "inter", "na", "nb",
+        F.round(F.col("inter").cast("double") / F.col("na"), 6)
+        .alias("containment"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # q134–q136 — count-only twins of the output-dense near-dup queries            #
 # --------------------------------------------------------------------------- #
 #
