@@ -319,7 +319,10 @@ def _tok_hash(t):
     return poly_hash(t)
 
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 20,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
     """Connected components over near-duplicate pairs: (id, cluster) where
     cluster is the minimum id reachable through the pair graph.
 
@@ -328,6 +331,16 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     O(diameter) rounds (duplicate clusters are near-cliques from LSH, so
     diameter is tiny).  Each round is one shuffle on the node id; the loop
     is driver-side control flow over small label tables, not collected data.
+
+    Graphs at or below ``driver_max_edges`` symmetrized edges short-circuit
+    to a driver-side union-find over the collected edge list (r13, guide
+    §5: the per-round job overhead of the distributed loop — join,
+    checkpoint, convergence probe — dwarfs the label work on small pair
+    graphs; the robust.py collect-and-recreate precedent).  The result is
+    bit-identical (each node labelled with the minimum reachable id); the
+    iterative path remains the 100 TB route and the edge count that picks
+    the path is computed either way.  Pass ``driver_max_edges=0`` to force
+    the distributed loop.
 
     Input columns: id_a, id_b. Output: one row per node appearing in pairs.
     """
@@ -343,6 +356,42 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # near-dup graphs are usually tiny relative to the corpus, and every
     # propagation round pays per-partition task overhead
     n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:      # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        nodes = set()
+        for row in rows:
+            nodes.add(row[0])
+        for x in nodes:
+            r = find(x)
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        id_type = pairs.schema["id_a"].dataType
+        out_schema = StructType([
+            StructField("id", id_type, False),
+            StructField("cluster", id_type, False),
+        ])
+        return pairs.sparkSession.createDataFrame(
+            [(x, comp_min[find(x)]) for x in sorted(nodes)], out_schema
+        )
     n_parts = max(1, min(n_edges // 500_000, 2000) or 1)
     edges = edges.coalesce(n_parts)
     # the label table is bounded by the node count (≤ 2·edges); when the
@@ -498,9 +547,14 @@ def embedding_near_dups(
             "embedding_near_dups: max_block bounds per-BLOCK fan-out and "
             "needs block_col; for unblocked inputs use srp_lsh_near_dups"
         )
-    base = base.filter(F.size("__v") == dim).select(
+    # the dim-wide unpack and the two join sides ride selectExpr / qualified
+    # references instead of per-column F.element_at/alias chains: the old
+    # formulation issued ~4·dim py4j round-trips per call (measured ~1.4 s
+    # of pure driver-side construction at dim=64 — the srp_lsh planes_lit
+    # lesson applied to column lists)
+    base = base.filter(F.size("__v") == dim).selectExpr(
         "__id", "__n", *blk,
-        *[F.element_at("__v", i + 1).alias(f"__x{i}") for i in range(dim)],
+        *[f"element_at(__v, {i + 1}) AS __x{i}" for i in range(dim)],
     )
     if max_block is not None:
         # adaptive salt width per block: one bounded aggregate over the
@@ -513,38 +567,25 @@ def embedding_near_dups(
         salted = base.join(F.broadcast(widths), "__blk").withColumn(
             "__u", F.pmod(F.xxhash64("__id"), F.col("__s")).cast("int")
         )
+        # each side keeps the shared column names; the salt coordinates are
+        # the only per-side projections (diagonal-triangle fan-out: row with
+        # salt u meets tasks (u, u..s-1) on the a side, (0..u, u) on the b)
+        a = salted.selectExpr(
+            "*", "__u AS __i",
+            "explode(sequence(__u, __s - 1)) AS __j",
+        ).alias("a")
+        b = salted.selectExpr(
+            "*", "explode(sequence(0, __u)) AS __i", "__u AS __j",
+        ).alias("b")
+        keys = ["__blk", "__i", "__j"]
     else:
         salted = None
-    keys = ["__blk", "__i", "__j"] if salted is not None else (
-        ["__blk"] if block_col else []
-    )
-    src_a, src_b = (salted, salted) if salted is not None else (base, base)
-    a = src_a.select(
-        F.col("__id").alias("id_a"), F.col("__n").alias("n_a"), *blk,
-        *(
-            [F.col("__u").alias("__i"),
-             F.explode(
-                 F.sequence(F.col("__u"), F.col("__s") - 1)
-             ).alias("__j")]
-            if salted is not None else []
-        ),
-        *[F.col(f"__x{i}").alias(f"__a{i}") for i in range(dim)],
-    )
-    b = src_b.select(
-        F.col("__id").alias("id_b"), F.col("__n").alias("n_b"), *blk,
-        *(
-            [F.explode(
-                 F.sequence(F.lit(0), F.col("__u"))
-             ).alias("__i"),
-             F.col("__u").alias("__j")]
-            if salted is not None else []
-        ),
-        *[F.col(f"__x{i}").alias(f"__b{i}") for i in range(dim)],
-    )
+        a, b = base.alias("a"), base.alias("b")
+        keys = ["__blk"] if block_col else []
     pairs = a.join(b, keys) if keys else a.crossJoin(b)
-    denom = F.col("n_a") * F.col("n_b")
+    denom = F.col("a.__n") * F.col("b.__n")
     dot_ab = (
-        F.expr(" + ".join(f"(__a{i} * __b{i})" for i in range(dim)))
+        F.expr(" + ".join(f"(a.__x{i} * b.__x{i})" for i in range(dim)))
         if dim else F.lit(None).cast("double")
     )
     if salted is not None:
@@ -553,22 +594,26 @@ def embedding_near_dups(
         # (arbitrary), so the ids are normalized afterwards
         kept = pairs.filter(
             (F.col("__i") < F.col("__j"))
-            | (F.col("id_a") < F.col("id_b"))
+            | (F.col("a.__id") < F.col("b.__id"))
         )
         return (
             kept.withColumn("cos_sim", F.when(denom > 0, dot_ab / denom))
             .filter(F.col("cos_sim") >= threshold)
             .select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
+                F.least("a.__id", "b.__id").alias("id_a"),
+                F.greatest("a.__id", "b.__id").alias("id_b"),
                 "cos_sim",
             )
         )
     return (
-        pairs.filter(F.col("id_a") < F.col("id_b"))
+        pairs.filter(F.col("a.__id") < F.col("b.__id"))
         .withColumn("cos_sim", F.when(denom > 0, dot_ab / denom))
         .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            "cos_sim",
+        )
     )
 
 

@@ -105,24 +105,61 @@ def fingerprint_media_cached(
     lineage reads the checkpointed 16-byte fingerprints, so downstream
     fan-out (band joins, Hamming verify) can never re-trigger the Python
     stage — the q140 single-Python-stage guarantee, now enforced by
-    materialization instead of caching."""
+    materialization instead of caching.
+
+    The blob encode/hash pass over ``media`` runs ONCE (r13 guide §1/§2:
+    it was the measured dominant cost of every warm call): the 16-byte
+    (media_id, content_hash) projection is checkpointed first and both
+    the miss probe and the final attach read that checkpoint.  A warm
+    store resolves the miss probe to an empty id set driver-side, so the
+    decode stage is skipped outright — zero decode jobs, not just zero
+    decoded rows."""
     spark = media.sparkSession
     keyed = media.select(
         F.col(id_col).alias("media_id"), "blob",
         F.xxhash64("blob").alias("content_hash"),
     )
-    ids = keyed.select("media_id", "content_hash")   # blob projected away
     store = read_fp_store(spark, store_path)
-    new_rows = _miss_fp_plan(keyed, store, codec) \
-        .localCheckpoint()   # decode runs HERE, exactly once
+    if store is None:
+        # the ONE encode+hash pass; 16 B/row at rest, the attach join
+        # below reads this instead of re-encoding blobs
+        ids = keyed.select("media_id", "content_hash").localCheckpoint()
+        new_rows = _miss_fp_plan(keyed, None, codec) \
+            .localCheckpoint()   # decode runs HERE, exactly once
+    else:
+        # the ONE encode+hash pass, with store membership resolved in the
+        # SAME job (broadcast left join onto the store's hash set) so the
+        # miss probe needs no second pass over the blobs
+        ids = keyed.select("media_id", "content_hash").join(
+            F.broadcast(
+                store.select("content_hash").withColumn("__known", F.lit(True))
+            ),
+            "content_hash", "left",
+        ).select(
+            "media_id", "content_hash",
+            F.coalesce("__known", F.lit(False)).alias("__known"),
+        ).localCheckpoint()
+        miss_ids = ids.filter(~F.col("__known")).select("media_id")
+        ids = ids.drop("__known")
+        if miss_ids.isEmpty():
+            # warm store: nothing to decode — no decode job at all
+            new_rows = spark.createDataFrame([], _STORE_SCHEMA)
+        else:
+            # decode ONLY the missing blobs: the miss id set (bounded by
+            # new content per batch) broadcasts onto the blob side, so
+            # blobs still never enter an exchange (plan-gated)
+            miss_keyed = keyed.join(
+                F.broadcast(miss_ids), "media_id", "left_semi"
+            )
+            new_rows = _miss_fp_plan(miss_keyed, None, codec) \
+                .localCheckpoint()
     if not new_rows.isEmpty():
         new_rows.write.mode("append").parquet(store_path)
     full = store.unionByName(new_rows) if store is not None else new_rows
-    # materialize the ATTACHED frame too (r9 self-review #5): its lineage
-    # still carries the embeddings scan -> 64-expression blob encode ->
-    # xxhash64, and ahash_band_profile consumes it from ~7 branches — a
-    # 24-byte-per-row checkpoint beats re-running the encode per branch
-    # and needs no persist/unpersist lifecycle
+    # materialize the ATTACHED frame too (r9 self-review #5): lineage is
+    # the checkpointed ids ⋈ (store scan ∪ checkpointed new rows), and
+    # ahash_band_profile consumes it from ~7 branches — a 24-byte-per-row
+    # checkpoint beats re-running the join per branch
     return ids.join(full, "content_hash").select(
         F.col("media_id").alias(id_col), "fp_hi", "fp_lo"
     ).localCheckpoint()

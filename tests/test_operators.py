@@ -660,3 +660,34 @@ def test_hot_block_guard_threaded_through_callsites(spark):
 
     plan_ep = physical_plan(_entity_pairs(spark, SF_SMOKE))
     assert "__i" in plan_ep and "__j" in plan_ep
+
+
+def test_duplicate_clusters_driver_path_equals_iterative(spark):
+    """r13: small pair graphs take the driver-side union-find shortcut;
+    its labels must be bit-identical to the distributed min-label loop
+    (forced via driver_max_edges=0) — including long paths (pointer
+    jumping territory), isolated pairs, and string ids."""
+    from cosmo_spark.operators.dedup import duplicate_clusters
+
+    # chain 0-1-2-...-9 (diameter 9), a triangle, an isolated pair, and
+    # a duplicate edge given in both orientations
+    pairs = [(i, i + 1) for i in range(9)]
+    pairs += [(20, 21), (21, 22), (20, 22), (30, 31), (22, 20)]
+    df = spark.createDataFrame(pairs, "id_a LONG, id_b LONG")
+    fast = {(r.id, r.cluster)
+            for r in duplicate_clusters(df).collect()}
+    slow = {(r.id, r.cluster)
+            for r in duplicate_clusters(df, driver_max_edges=0).collect()}
+    assert fast == slow
+    assert {(i, 0) for i in range(10)} <= fast
+    assert {(20, 20), (21, 20), (22, 20), (30, 30), (31, 30)} <= fast
+
+    sdf = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "id_a STRING, id_b STRING"
+    )
+    fast_s = {(r.id, r.cluster) for r in duplicate_clusters(sdf).collect()}
+    slow_s = {(r.id, r.cluster)
+              for r in duplicate_clusters(sdf, driver_max_edges=0).collect()}
+    assert fast_s == slow_s
+    assert fast_s == {("a", "a"), ("b", "a"), ("c", "a"),
+                      ("x", "x"), ("y", "x")}
