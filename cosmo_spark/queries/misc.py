@@ -487,11 +487,18 @@ def q104_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the few-huge-groups shape (5 event types of 20 TB each) — the
     oracle is the plain ordered-rank median, so the gate proves the
     bucketed rank-selection IS the exact order statistic."""
-    from cosmo_spark.operators.robust import grouped_median_distributed
+    from cosmo_spark.operators.robust import grouped_median_weighted
 
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    med = grouped_median_distributed(e, "event_type", "value", "event_id")
-    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # ONE scan: the distinct-value table carries everything the median
+    # machinery and the n rollup need (guide §2.3 — aggregate before you
+    # shuffle; r13: was two scans + three fact passes inside the median.
+    # 2.10 -> 1.36 s at sf0.1.  q102/q127 deliberately NOT moved to this
+    # path: their distinct-(key,value) table is ~half the facts, and the
+    # same rewrite measured 6.5 -> 20.7 s there — see robust.py docstring)
+    vb = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    med = grouped_median_weighted(vb, "event_type", "value", "c")
+    n = vb.groupBy("event_type").agg(F.sum("c").alias("n"))
     return med.join(n, "event_type").select("event_type", "n", "median")
 
 
