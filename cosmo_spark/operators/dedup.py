@@ -342,6 +342,13 @@ def duplicate_clusters(
     the path is computed either way.  Pass ``driver_max_edges=0`` to force
     the distributed loop.
 
+    Driver-memory note (ADVICE r13): the cap counts EDGES, not bytes —
+    at the 500k default the collect pulls ~100 MB of Row objects for long
+    ids and several times that for long string ids.  The catalog's pair
+    ids are integers; callers clustering wide string keys should lower
+    ``driver_max_edges`` (or pass 0) to keep the collect inside their
+    driver budget.
+
     Input columns: id_a, id_b. Output: one row per node appearing in pairs.
     """
     # persist the edge list: the loop re-references it every round, and its

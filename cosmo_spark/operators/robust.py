@@ -266,7 +266,12 @@ def grouped_median_weighted(
     into one weighted row, which is why no tiebreak column is needed.
     The only float arithmetic is the shared two-row average — and when
     both middle ranks select the same value v, (v+v)/2 == v exactly.
-    Contract: ``val`` non-null and finite, ``weight`` >= 1.
+    Contract: ``val`` non-null and finite, ``weight`` >= 1.  Duplicate
+    (key, val) rows are tolerated (ADVICE r13: they previously made the
+    slow-path running-sum window rank-ambiguous): the hot-bucket pass
+    re-aggregates per distinct value before ranking — a map-side combine
+    over the few rows that land in a non-degenerate bucket, free for
+    callers honouring the one-row contract.
 
     WHEN TO USE (r13 measurement): only when the distinct-value table is
     genuinely much smaller than the facts.  q104 (5 huge groups, heavy
@@ -345,6 +350,12 @@ def grouped_median_weighted(
     )
     slow = (
         bucketed.join(F.broadcast(slow_t), ["__k", "__b"])
+        # collapse duplicate (key, val) rows before the running sum: with
+        # ties on __v the rowsBetween(-1) window is rank-ambiguous and the
+        # rank filter could match 0 or 2 rows (ADVICE r13) — one distinct
+        # value per row makes it exact; map-side combined, hot-bucket-sized
+        .groupBy("__k", "__r", "__cum_prev", "__v")
+        .agg(F.sum("__w").alias("__w"))
         .withColumn("__before", F.coalesce(F.sum("__w").over(w_in), F.lit(0)))
         .filter(
             (F.col("__r") - F.col("__cum_prev") > F.col("__before"))

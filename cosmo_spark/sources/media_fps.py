@@ -36,6 +36,22 @@ from pyspark.sql import functions as F
 
 _STORE_SCHEMA = "content_hash LONG, fp_hi LONG, fp_lo LONG"
 
+#: conf key for the store-hash broadcast gate (bytes of ON-DISK store
+#: parquet; ~10 B/row compressed -> the 64 MB default admits ~6M hashes,
+#: ~50-100 MB built relation — inside Spark's broadcast comfort zone).
+#: Past the gate the membership/miss probes fall back to shuffle joins on
+#: the BLOB-FREE (media_id, content_hash) projection, so blobs still never
+#: enter an exchange (r13 verdict #6: the store is unbounded at 100 TB).
+_BCAST_CONF = "spark.cosmo.mediaFps.broadcastStoreMaxBytes"
+_BCAST_DEFAULT = 64 * 1024 * 1024
+
+
+def _store_fits_broadcast(spark: SparkSession, store_path: str) -> bool:
+    from cosmo_spark.streaming import logio
+
+    limit = int(spark.conf.get(_BCAST_CONF, str(_BCAST_DEFAULT)))
+    return logio.dir_bytes(store_path) <= limit
+
 
 def media_fp_store_dir(spark: SparkSession, sf_dir: str, codec: str) -> str:
     """Default store location: keyed by the corpus content fingerprint
@@ -60,24 +76,48 @@ def read_fp_store(spark: SparkSession, store_path: str) -> DataFrame | None:
     )
 
 
-def _miss_fp_plan(keyed: DataFrame, store: DataFrame | None, codec: str):
+def _miss_fp_plan(
+    keyed: DataFrame,
+    store: DataFrame | None,
+    codec: str,
+    ids: DataFrame | None = None,
+    store_broadcastable: bool = True,
+):
     """The lazy (content_hash, fp_hi, fp_lo) plan for store MISSES — the
     single Python decode stage of the media family.  Factored out so the
     plan gate (tests/test_media_fps.py) can assert blobs never enter an
-    exchange: the store-hash anti-join broadcasts, and the fingerprint
-    attach joins on (media_id) only after features collapse to 16 bytes."""
+    exchange: the store-hash probe broadcasts under the size gate (else
+    it runs blob-free and re-attaches by a batch-bounded id broadcast),
+    and the fingerprint attach joins on (media_id) only after features
+    collapse to 16 bytes.
+
+    ``ids`` — an already-materialized (media_id, content_hash) covering
+    ``keyed``'s rows (r13 ADVICE #1: without it the attach join re-hashes
+    every blob a second time); derived from ``keyed`` when absent."""
     from cosmo_spark.operators.phash import ahash_fingerprints
     from cosmo_spark.sources.multimodal import decode_media
 
-    ids = keyed.select("media_id", "content_hash")
+    if ids is None:
+        ids = keyed.select("media_id", "content_hash")
     if store is None:
         miss_media = keyed.select("media_id", "blob")
-    else:
+    elif store_broadcastable:
         # broadcast the hash set: the blob side must not enter an exchange
-        # (plan-gated); at 100 TB this becomes a bucket-zipped anti-join
+        # (plan-gated)
         miss_media = keyed.join(
             F.broadcast(store.select("content_hash")),
             "content_hash", "left_anti",
+        ).select("media_id", "blob")
+    else:
+        # store past the broadcast gate (r13 verdict #6): anti-join the
+        # BLOB-FREE id projection against the store (shuffle join, 16 B
+        # rows), then re-attach miss-ness to the blobs by broadcasting the
+        # batch-bounded miss id set — blobs still never enter an exchange
+        miss_ids = ids.join(
+            store.select("content_hash"), "content_hash", "left_anti"
+        ).select("media_id")
+        miss_media = keyed.join(
+            F.broadcast(miss_ids), "media_id", "left_semi"
         ).select("media_id", "blob")
     feats = (
         decode_media(miss_media, codec=codec, emit_features=True)
@@ -107,13 +147,22 @@ def fingerprint_media_cached(
     stage — the q140 single-Python-stage guarantee, now enforced by
     materialization instead of caching.
 
-    The blob encode/hash pass over ``media`` runs ONCE (r13 guide §1/§2:
-    it was the measured dominant cost of every warm call): the 16-byte
-    (media_id, content_hash) projection is checkpointed first and both
-    the miss probe and the final attach read that checkpoint.  A warm
-    store resolves the miss probe to an empty id set driver-side, so the
-    decode stage is skipped outright — zero decode jobs, not just zero
-    decoded rows."""
+    The blob encode/hash pass over ``media`` runs ONCE per call (r13
+    guide §1/§2: it was the measured dominant cost of every warm call),
+    and on a store-backed call that ONE job also ATTACHES the stored
+    fingerprints (r14: the warm path's separate attach job + second
+    checkpoint are gone — the membership join simply carries fp_hi/fp_lo
+    along with the known flag).  A warm store resolves the miss probe to
+    an empty id set driver-side over the checkpoint, so the decode stage
+    is skipped outright and the checkpointed frame IS the result — one
+    Spark job total.  On misses, the decode reads only the missing blobs
+    (batch-bounded id broadcast) and the attach joins the checkpointed
+    ids (r13 ADVICE #1 — previously the attach re-hashed the miss blobs).
+
+    The store broadcast is SIZE-GATED (``_BCAST_CONF``, r13 verdict #6 —
+    the store is unbounded at 100 TB): past the gate, membership resolves
+    through a shuffle join of the blob-free id projection against the
+    store, and blobs still never enter an exchange."""
     spark = media.sparkSession
     keyed = media.select(
         F.col(id_col).alias("media_id"), "blob",
@@ -121,46 +170,62 @@ def fingerprint_media_cached(
     )
     store = read_fp_store(spark, store_path)
     if store is None:
-        # the ONE encode+hash pass; 16 B/row at rest, the attach join
-        # below reads this instead of re-encoding blobs
+        # the ONE encode+hash pass; 16 B/row at rest, the decode attach
+        # and the final attach read this instead of re-encoding blobs
         ids = keyed.select("media_id", "content_hash").localCheckpoint()
-        new_rows = _miss_fp_plan(keyed, None, codec) \
+        new_rows = _miss_fp_plan(keyed, None, codec, ids=ids) \
             .localCheckpoint()   # decode runs HERE, exactly once
-    else:
-        # the ONE encode+hash pass, with store membership resolved in the
-        # SAME job (broadcast left join onto the store's hash set) so the
-        # miss probe needs no second pass over the blobs
-        ids = keyed.select("media_id", "content_hash").join(
-            F.broadcast(
-                store.select("content_hash").withColumn("__known", F.lit(True))
-            ),
-            "content_hash", "left",
-        ).select(
-            "media_id", "content_hash",
-            F.coalesce("__known", F.lit(False)).alias("__known"),
+        if not new_rows.isEmpty():
+            new_rows.write.mode("append").parquet(store_path)
+        # materialize the ATTACHED frame too (r9 self-review #5):
+        # ahash_band_profile consumes it from ~7 branches — a 24-byte-
+        # per-row checkpoint beats re-running the join per branch
+        return ids.join(new_rows, "content_hash").select(
+            F.col("media_id").alias(id_col), "fp_hi", "fp_lo"
         ).localCheckpoint()
-        miss_ids = ids.filter(~F.col("__known")).select("media_id")
-        ids = ids.drop("__known")
-        if miss_ids.isEmpty():
-            # warm store: nothing to decode — no decode job at all
-            new_rows = spark.createDataFrame([], _STORE_SCHEMA)
-        else:
-            # decode ONLY the missing blobs: the miss id set (bounded by
-            # new content per batch) broadcasts onto the blob side, so
-            # blobs still never enter an exchange (plan-gated)
-            miss_keyed = keyed.join(
-                F.broadcast(miss_ids), "media_id", "left_semi"
-            )
-            new_rows = _miss_fp_plan(miss_keyed, None, codec) \
-                .localCheckpoint()
+    bcast_ok = _store_fits_broadcast(spark, store_path)
+    flagged = store.withColumn("__known", F.lit(True))
+    # the ONE encode+hash pass: membership AND stored fingerprints resolve
+    # in the SAME job (left join onto the flagged store — broadcast under
+    # the size gate, shuffle of the 16 B id rows past it), so the miss
+    # probe needs no second pass over the blobs and a warm call needs no
+    # second job at all
+    ids_fp = keyed.select("media_id", "content_hash").join(
+        F.broadcast(flagged) if bcast_ok else flagged,
+        "content_hash", "left",
+    ).select(
+        "media_id", "content_hash", "fp_hi", "fp_lo",
+        F.coalesce("__known", F.lit(False)).alias("__known"),
+    ).localCheckpoint()
+    miss_ids = ids_fp.filter(~F.col("__known")).select("media_id")
+    if miss_ids.isEmpty():
+        # warm store: nothing to decode, nothing to append, and the
+        # already-checkpointed frame is the attached result
+        return ids_fp.select(
+            F.col("media_id").alias(id_col), "fp_hi", "fp_lo"
+        )
+    ids = ids_fp.select("media_id", "content_hash")
+    # decode ONLY the missing blobs: the miss id set (bounded by new
+    # content per batch) broadcasts onto the blob side, so blobs still
+    # never enter an exchange (plan-gated); the checkpointed ids serve
+    # the attach join, so miss blobs are hashed zero further times
+    miss_keyed = keyed.join(F.broadcast(miss_ids), "media_id", "left_semi")
+    new_rows = _miss_fp_plan(miss_keyed, None, codec, ids=ids) \
+        .localCheckpoint()
     if not new_rows.isEmpty():
         new_rows.write.mode("append").parquet(store_path)
-    full = store.unionByName(new_rows) if store is not None else new_rows
-    # materialize the ATTACHED frame too (r9 self-review #5): lineage is
-    # the checkpointed ids ⋈ (store scan ∪ checkpointed new rows), and
-    # ahash_band_profile consumes it from ~7 branches — a 24-byte-per-row
-    # checkpoint beats re-running the join per branch
-    return ids.join(full, "content_hash").select(
+    hits = ids_fp.filter(F.col("__known")).select(
+        "media_id", "fp_hi", "fp_lo"
+    )
+    missed = (
+        ids.join(F.broadcast(miss_ids), "media_id", "left_semi")
+        .join(new_rows, "content_hash")
+        .select("media_id", "fp_hi", "fp_lo")
+    )
+    # materialize the ATTACHED frame (r9 self-review #5): everything below
+    # reads the two checkpoints, and ahash_band_profile consumes the
+    # result from ~7 branches
+    return hits.unionByName(missed).select(
         F.col("media_id").alias(id_col), "fp_hi", "fp_lo"
     ).localCheckpoint()
 

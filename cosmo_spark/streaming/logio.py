@@ -130,6 +130,28 @@ def list_names(path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def dir_bytes(path: str) -> int:
+    """Total size in bytes of the direct child FILES of ``path`` (0 when
+    absent) — the portable one-level ``du``.  One FS listing, no data
+    read: callers use it to size-gate broadcasts of at-rest stores
+    (media_fps) without a Spark job."""
+    if _use_os(path):
+        if not os.path.isdir(path):
+            return 0
+        total = 0
+        for n in os.listdir(path):
+            fp = os.path.join(path, n)
+            if os.path.isfile(fp):
+                total += os.path.getsize(fp)
+        return total
+    _, _, _, p, fs = _jfs(path)
+    if not fs.exists(p):
+        return 0
+    return sum(
+        int(st.getLen()) for st in fs.listStatus(p) if st.isFile()
+    )
+
+
 # --------------------------------------------------------------------- #
 # small-file read / atomic write (manifests, horizon markers)            #
 # --------------------------------------------------------------------- #

@@ -105,6 +105,49 @@ def test_miss_plan_single_python_stage_no_blob_exchange(spark, tmp_path):
                 assert "blob" not in line and "features" not in line, line
 
 
+def test_broadcast_gate_oversized_store(spark, tmp_path, counter):
+    """r13 verdict #6: a store past the broadcast byte gate resolves
+    membership through BLOB-FREE shuffle joins — identical results, still
+    zero decode on warm calls, misses still decode exactly once, and no
+    exchange ever carries blobs."""
+    store = str(tmp_path / "fps")
+    media = _media(spark, 0, 30)
+    expect = sorted(
+        tuple(r)
+        for r in fingerprint_media_cached(media, "ppm", store).collect()
+    )
+    cold_decodes = counter.value
+    spark.conf.set("spark.cosmo.mediaFps.broadcastStoreMaxBytes", "1")
+    try:
+        # warm call in the shuffle regime: same rows, still decode-free
+        out = sorted(
+            tuple(r)
+            for r in fingerprint_media_cached(media, "ppm", store).collect()
+        )
+        assert out == expect
+        assert counter.value == cold_decodes, "warm call must not decode"
+        # miss batch in the shuffle regime: only new content decodes
+        batch = _media(spark, 0, 45)
+        n_new = batch.count() - media.count()
+        fingerprint_media_cached(batch, "ppm", store).count()
+        assert counter.value == cold_decodes + n_new
+        # plan gate for the shuffle regime's miss plan: one Python stage,
+        # blobs never in an exchange
+        keyed = batch.select(
+            "media_id", "blob", F.xxhash64("blob").alias("content_hash")
+        )
+        st = read_fp_store(spark, store)
+        plan = _miss_fp_plan(
+            keyed, st, "ppm", store_broadcastable=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1, "exactly one Python stage"
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "blob" not in line and "features" not in line, line
+    finally:
+        spark.conf.unset("spark.cosmo.mediaFps.broadcastStoreMaxBytes")
+
+
 def test_corrupt_content_is_retried_not_stored(spark, tmp_path, counter):
     """Undecodable blobs never enter the store (re-decode next run is the
     retry policy), and they never surface a fingerprint."""

@@ -64,7 +64,13 @@ def main() -> None:
     ap.add_argument("names", nargs="*", help="query name prefixes (q125); empty = all")
     ap.add_argument("--plans", default=None, help="dir for explain(formatted) dumps")
     ap.add_argument("--suffix", default="before", help="plan file suffix")
-    ap.add_argument("--repeats", type=int, default=3)
+    def _pos_int(s: str) -> int:
+        v = int(s)
+        if v < 1:  # ADVICE r13: repeats < 1 leaves df unbound for --plans
+            raise argparse.ArgumentTypeError("--repeats must be >= 1")
+        return v
+
+    ap.add_argument("--repeats", type=_pos_int, default=3)
     ap.add_argument("--out", default="/tmp/profile_r13.json")
     args = ap.parse_args()
 
