@@ -103,6 +103,11 @@ def test_q144_rule_shape(spark):
 
 from cosmo_spark.operators.train import bpe_greedy_py, train_bpe_merges_hybrid
 
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 
 def _naive_greedy(vocab, n):
     """Independent recount-from-scratch replica of the greedy loop — no

@@ -15,6 +15,11 @@ from cosmo_spark.sources.export import (
     write_sharded_jsonl,
 )
 
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 N_SHARDS = 4
 

@@ -5,6 +5,11 @@ from __future__ import annotations
 
 import pytest
 
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 
 def _py_pagerank(edge_list, iterations=5, d=0.85):
     from collections import defaultdict

@@ -18,6 +18,11 @@ import pytest
 from cosmo_spark.operators.train import train_logreg
 from tests.conftest import SF_SMOKE
 
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 
 def _planted(n=400, d=8, seed=7):
     rng = np.random.RandomState(seed)

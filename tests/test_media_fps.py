@@ -17,6 +17,11 @@ from cosmo_spark.sources.media_fps import (
 )
 from cosmo_spark.sources.multimodal import encode_pgm_gray8x8
 
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

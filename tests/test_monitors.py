@@ -20,6 +20,11 @@ from cosmo_spark.monitors.telemetry import map_text_states, telemetry_monitor, v
 from cosmo_spark.monitors.aper import aperture_shift_monitor
 from cosmo_spark.monitors.jitter import jitter_monitor
 
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def acq(spark):

@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 import cosmo_spark.sources.multimodal as mm
 from cosmo_spark.streaming.neardup import stream_media_near_dup
 
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 #: handcrafted fingerprints — same leading 16 bits (one bucket) for A/B/E,
 #: B within Hamming 3 of A, E far from both; C lives in another bucket
 FP_A = (0x1234_5678_9ABC_DEF0, 0x0F0F_0F0F_0F0F_0F0F)

@@ -14,6 +14,13 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from cosmo_spark.operators.asof import asof_join
 from cosmo_spark.operators.merge import merge_versioned
 
+import pytest
+
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 _SETTINGS = dict(
     deadline=None,
     max_examples=12,  # each example runs Spark jobs — keep the dial low

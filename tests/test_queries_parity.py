@@ -8,6 +8,11 @@ import pytest
 
 from tools.parity import compare, duck_con
 
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

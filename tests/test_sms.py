@@ -14,6 +14,11 @@ from cosmo_spark.sources.sms import (
     sms_catalog,
 )
 
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 HEADER = "# SMS schedule report\n# generated for test\n"
 LINE = (
     "{exp} {root} {prop} {det} {op} {exptime} {start} "

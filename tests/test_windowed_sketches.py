@@ -16,6 +16,13 @@ from pyspark.sql import functions as F
 
 from cosmo_spark.streaming import sketches as sk
 
+import pytest
+
+# heavyweight Spark suite: deselected by the default `addopts` fast set so
+# the driver's verify completes inside its window (r13 verdict #7); run via
+# `pytest -m slow` or the full suite via `pytest --override-ini addopts= tests/`
+pytestmark = pytest.mark.slow
+
 JAN = datetime(2024, 1, 1)
 FEB = datetime(2024, 2, 1)
 
