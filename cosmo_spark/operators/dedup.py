@@ -351,23 +351,24 @@ def duplicate_clusters(
 
     Input columns: id_a, id_b. Output: one row per node appearing in pairs.
     """
-    # persist the edge list: the loop re-references it every round, and its
-    # upstream (MinHash + Jaccard verification) must not be recomputed
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .persist()
-    )
-    # size the per-round tables to the graph, not the session default —
-    # near-dup graphs are usually tiny relative to the corpus, and every
-    # propagation round pays per-partition task overhead
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
+    # persist the DIRECTIONAL pair list once: the path gate (one count),
+    # the driver-path collect, and the distributed path's edge build all
+    # read it, and its upstream (MinHash + Jaccard verification) must not
+    # be recomputed per consumer.  The symmetrize+distinct shuffle is paid
+    # ONLY on the distributed path — union-find treats each pair row as an
+    # undirected edge, so duplicates and orientation are irrelevant to it
+    # (r14: the symmetrized-distinct materialization was ~2 s of the
+    # q125/q136 closure at sf0.1 for a 1.5k-edge graph).
+    plist = pairs.select("id_a", "id_b").persist()
+    n_pairs = plist.count()
+    # gate on the symmetrized-edge bound (2 pairs per undirected edge) so
+    # the threshold keeps its historical meaning; the collect itself pulls
+    # only n_pairs two-column rows — at most half the old row count
+    if 2 * n_pairs <= driver_max_edges:
         from pyspark.sql.types import StructField, StructType
 
-        rows = edges.collect()
-        edges.unpersist()
+        rows = plist.collect()
+        plist.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -386,6 +387,7 @@ def duplicate_clusters(
         nodes = set()
         for row in rows:
             nodes.add(row[0])
+            nodes.add(row[1])
         for x in nodes:
             r = find(x)
             m = comp_min.get(r)
@@ -399,6 +401,22 @@ def duplicate_clusters(
         return pairs.sparkSession.createDataFrame(
             [(x, comp_min[find(x)]) for x in sorted(nodes)], out_schema
         )
+    # distributed label propagation needs the symmetrized distinct edge
+    # list (each round joins neighbors by src); built from the cached
+    # pair list, so the expensive pair pipeline runs exactly once
+    edges = (
+        plist.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            plist.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    # size the per-round tables to the graph, not the session default —
+    # near-dup graphs are usually tiny relative to the corpus, and every
+    # propagation round pays per-partition task overhead
+    n_edges = edges.count()
+    plist.unpersist()
     n_parts = max(1, min(n_edges // 500_000, 2000) or 1)
     edges = edges.coalesce(n_parts)
     # the label table is bounded by the node count (≤ 2·edges); when the
