@@ -486,19 +486,22 @@ def q104_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's rows ever see a window.  This is q102's machinery made safe
     for the few-huge-groups shape (5 event types of 20 TB each) — the
     oracle is the plain ordered-rank median, so the gate proves the
-    bucketed rank-selection IS the exact order statistic."""
-    from cosmo_spark.operators.robust import grouped_median_weighted
+    bucketed rank-selection IS the exact order statistic.
+
+    r14 (verdict #5): the r13 distinct-value rewrite (pre-aggregate to a
+    weighted (event_type, value) table, grouped_median_weighted) was
+    settled by an interleaved quiet-window A/B (tools/ab_q104.py,
+    results recorded in OPTIMIZATION_r14.md): distributed min
+    1.31 s / weighted 1.41 s, distributed faster in 6 of 7 alternating
+    passes — the r13 "2.10 -> 1.36 s" claim was a noisy-window artifact
+    the driver's own bench already contradicted.  Reverted to the r12
+    distributed shape; grouped_median_weighted stays an operator (its
+    exactness gate keeps it honest) for genuinely tie-heavy callers."""
+    from cosmo_spark.operators.robust import grouped_median_distributed
 
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    # ONE scan: the distinct-value table carries everything the median
-    # machinery and the n rollup need (guide §2.3 — aggregate before you
-    # shuffle; r13: was two scans + three fact passes inside the median.
-    # 2.10 -> 1.36 s at sf0.1.  q102/q127 deliberately NOT moved to this
-    # path: their distinct-(key,value) table is ~half the facts, and the
-    # same rewrite measured 6.5 -> 20.7 s there — see robust.py docstring)
-    vb = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
-    med = grouped_median_weighted(vb, "event_type", "value", "c")
-    n = vb.groupBy("event_type").agg(F.sum("c").alias("n"))
+    med = grouped_median_distributed(e, "event_type", "value", "event_id")
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return med.join(n, "event_type").select("event_type", "n", "median")
 
 
