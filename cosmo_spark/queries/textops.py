@@ -3199,26 +3199,35 @@ def editdist_near_dup_pairs(docs: DataFrame) -> DataFrame:
     # srp_lsh planes_lit discipline): the per-element F.struct/F.substring
     # formulation issued ~1.2k py4j round-trips — measured 1.5 s of pure
     # driver-side construction per call, the parser ingests the same
-    # expression in milliseconds
+    # expression in milliseconds.
+    #
+    # r14 (guide §2.3 — shuffle fewer bytes): the candidate equi-join key
+    # (lang, i, 13-14-char piece) is folded into ONE xxhash64 long BEFORE
+    # the explode, so the window side ships 153 x 8 bytes per doc instead
+    # of 153 x ~30.  Exactness is find-then-verify's: any TRUE near-dup
+    # pair (ed <= maxd) has a real untouched chunk whose image appears in
+    # the other doc's windows (pigeonhole), so its hashes collide too and
+    # the pair is still generated; a 64-bit hash collision can only ADD a
+    # candidate, which banded levenshtein then rejects (dist = -1) — the
+    # verified output is bit-identical (A/B-asserted at sf0.1, 1.90 ->
+    # 1.39 s; parity green).
     chunk_arr = F.expr("array(" + ", ".join(
-        f"named_struct('i', {i}, 'piece', substring(pfx, {st}, {ln}))"
+        f"xxhash64(lang, {i}, substring(pfx, {st}, {ln}))"
         for i, st, ln in _Q120_CHUNKS
     ) + ")")
     win_arr = F.expr("array(" + ", ".join(
-        f"named_struct('i', {i}, 'piece', substring(pfx, {ws}, {ln}))"
+        f"xxhash64(lang, {i}, substring(pfx, {ws}, {ln}))"
         for i, st, ln in _Q120_CHUNKS
         for ws in range(max(1, st - _Q120_MAXD), st + _Q120_MAXD + 1)
     ) + ")")
     chunks = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", F.explode(chunk_arr).alias("c")
-    ).select("doc_a", "lang", F.col("c.i").alias("i"),
-             F.col("c.piece").alias("piece"))
+        F.col("doc_id").alias("doc_a"), F.explode(chunk_arr).alias("h")
+    )
     windows = d.select(
-        F.col("doc_id").alias("doc_b"), "lang", F.explode(win_arr).alias("c")
-    ).select("doc_b", "lang", F.col("c.i").alias("i"),
-             F.col("c.piece").alias("piece"))
+        F.col("doc_id").alias("doc_b"), F.explode(win_arr).alias("h")
+    )
     cand = (
-        chunks.join(windows, ["lang", "i", "piece"])
+        chunks.join(windows, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
